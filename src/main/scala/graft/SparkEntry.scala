@@ -1,13 +1,281 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.pipeline.{SpatialJoin, SynthGeo}
+import graft.stats.{Breaks, Lisa, Rates, SpatialLag}
+import graft.weights.{ContiguityWeights, DistanceWeights, KnnWeights}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract — one `queries` entry per implemented operator
+  * (SURVEY.md §2), with DuckDB-runnable oracle SQL over the same parquet
+  * tables. Spatial inputs are derived deterministically from integer keys
+  * (see SynthGeo) so every derivation is replicable in ANSI SQL.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  import OracleSql._
+
+  /** Flagship: geocode → tile → PIP spatial join → kNN weights → local
+    * Moran (999 perms, seed 123456789) on sf0.001 — the BASELINE.json
+    * north-rule pipeline in miniature.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val pts = SynthGeo.customerPoints(spark, dir)
+    val polys = SynthGeo.partPolygons(spark, dir).withColumnRenamed("gid", "pid")
+    val joined = SpatialJoin.pip(pts, polys, SynthGeo.CellW)
+    val w = KnnWeights.build(pts, KnnWeights.Conf(k = 4, cellSize = Some(4.0)))
+    val vals = SynthGeo.customerValues(spark, dir)
+    Lisa.localMoran(vals, w).join(joined, Seq("gid"), "left")
+  }
+
+  private def knnWeights4(s: SparkSession, dir: String): DataFrame =
+    KnnWeights.build(SynthGeo.customerPoints(s, dir),
+      KnnWeights.Conf(k = 4, cellSize = Some(4.0)))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- relational plumbing (scan/filter/agg/join/window/sort/top-k) ----
+    "q01_pricing_agg" -> ((s, dir) => {
+      SynthGeo.table(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum("l_quantity").as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    "q02_join_agg" -> ((s, dir) => {
+      val o = SynthGeo.table(s, dir, "orders")
+      val c = SynthGeo.table(s, dir, "customer")
+      val n = SynthGeo.table(s, dir, "nation")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy("n_name")
+        .agg(round(sum("o_totalprice"), 2).as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("n_name")
+    }),
+    "q03_window_top_order" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      SynthGeo.table(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy("o_custkey")
+    }),
+    "q04_topk_orders" -> ((s, dir) => {
+      SynthGeo.table(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+        .select("o_orderkey", "o_totalprice")
+    }),
+    "q05_anti_join" -> ((s, dir) => {
+      val c = SynthGeo.table(s, dir, "customer")
+      val o = SynthGeo.table(s, dir, "orders")
+        .filter(col("o_totalprice") > 200000.0)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey").orderBy("c_custkey")
+    }),
+
+    // ---- tiling / weights (SURVEY §2.1 W1-W7, A1) ----
+    "q10_points_cells" -> ((s, dir) => {
+      SynthGeo.customerPoints(s, dir)
+        .withColumn("cell",
+          graft.core.Tiling.cellIdCol(col("x"), col("y"), 4.0))
+        .orderBy("gid")
+    }),
+    "q11_knn_pairs" -> ((s, dir) => {
+      KnnWeights.pairs(SynthGeo.customerPoints(s, dir),
+          KnnWeights.Conf(k = 4, cellSize = Some(4.0)))
+        .select(col("gid"), col("nbr"), col("rk").cast("long").as("rk"))
+        .orderBy("gid", "rk")
+    }),
+    "q12_distband_pairs" -> ((s, dir) => {
+      DistanceWeights.pairs(SynthGeo.customerPoints(s, dir),
+          DistanceWeights.Conf(threshold = 8.0))
+        .select(col("gid"), col("nbr"))
+        .orderBy("gid", "nbr")
+    }),
+    "q13_min_dist_threshold" -> ((s, dir) => {
+      val v = DistanceWeights.minDistThreshold(SynthGeo.customerPoints(s, dir))
+      import s.implicits._
+      Seq(v).toDF("mdt")
+    }),
+    "q14_spatial_lag" -> ((s, dir) => {
+      SpatialLag.lag(SynthGeo.customerValues(s, dir), knnWeights4(s, dir))
+        .select(col("gid"), round(col("lag"), 4).as("lag"))
+        .orderBy("gid")
+    }),
+    "q15_moran_stat" -> ((s, dir) => {
+      // declarative local Moran statistic (no permutations): z via global
+      // aggregates, lag via neighbor join — mirrors the oracle exactly
+      val vals = SynthGeo.customerValues(s, dir)
+      val mo = vals.agg(avg("value").as("m"), stddev_samp("value").as("sd"))
+      val z = vals.crossJoin(broadcast(mo))
+        .select(col("gid"), ((col("value") - col("m")) / col("sd")).as("z"))
+      val prs = KnnWeights.pairs(SynthGeo.customerPoints(s, dir),
+        KnnWeights.Conf(k = 4, cellSize = Some(4.0)))
+      val lag = prs.join(z.select(col("gid").as("nbr"), col("z").as("zn")),
+          Seq("nbr"))
+        .groupBy("gid").agg(avg("zn").as("lag"))
+      z.join(lag, Seq("gid"))
+        .select(col("gid"), round(col("z") * col("lag"), 4).as("moran_i"))
+        .orderBy("gid")
+    }),
+    "q16_queen_pairs" -> ((s, dir) => {
+      ContiguityWeights.adjacency(SynthGeo.partPolygons(s, dir),
+          ContiguityWeights.Conf(queen = true))
+        .orderBy("gid", "nbr")
+    }),
+    "q17_rook_pairs" -> ((s, dir) => {
+      ContiguityWeights.adjacency(SynthGeo.partPolygons(s, dir),
+          ContiguityWeights.Conf(queen = false))
+        .orderBy("gid", "nbr")
+    }),
+    "q18_queen_order2" -> ((s, dir) => {
+      ContiguityWeights.orderedAdjacency(SynthGeo.partPolygons(s, dir),
+          ContiguityWeights.Conf(queen = true, order = 2))
+        .orderBy("gid", "nbr")
+    }),
+    "q19_pip_join" -> ((s, dir) => {
+      SpatialJoin.pip(SynthGeo.customerPoints(s, dir),
+          SynthGeo.partPolygons(s, dir).withColumnRenamed("gid", "pid"),
+          SynthGeo.CellW)
+        .orderBy("gid", "pid")
+    }),
+
+    // ---- rates / smoothing (R1-R5) ----
+    "q20_excess_risk" -> ((s, dir) => {
+      Rates.excessRisk(SynthGeo.customerRates(s, dir)).orderBy("gid")
+    }),
+    "q21_eb_rate" -> ((s, dir) => {
+      Rates.ebRate(SynthGeo.customerRates(s, dir))
+        .select(col("gid"), round(col("ebrate"), 6).as("ebrate"))
+        .orderBy("gid")
+    }),
+    "q22_spatial_rate" -> ((s, dir) => {
+      Rates.spatialRate(SynthGeo.customerRates(s, dir), knnWeights4(s, dir))
+        .orderBy("gid")
+    }),
+    "q23_spatial_eb" -> ((s, dir) => {
+      Rates.spatialEb(SynthGeo.customerRates(s, dir), knnWeights4(s, dir))
+        .select(col("gid"), round(col("sebrate"), 6).as("sebrate"))
+        .orderBy("gid")
+    }),
+
+    // ---- breaks (B1-B6) ----
+    "q24_hinge15_breaks" -> ((s, dir) => breaksDf(s,
+      Breaks.hingeBreaks(SynthGeo.customerValues(s, dir), 1.5))),
+    "q24b_hinge30_breaks" -> ((s, dir) => breaksDf(s,
+      Breaks.hingeBreaks(SynthGeo.customerValues(s, dir), 3.0))),
+    "q25_stddev_breaks" -> ((s, dir) => breaksDf(s,
+      Breaks.stddevBreaks(SynthGeo.customerValues(s, dir)))),
+    "q26_quantile_breaks" -> ((s, dir) => breaksDf(s,
+      Breaks.quantileBreaks(SynthGeo.customerValues(s, dir), 6))),
+    "q26b_percentile_breaks" -> ((s, dir) => breaksDf(s,
+      Breaks.percentileBreaks(SynthGeo.customerValues(s, dir)))),
+    "q27_natural_breaks" -> ((s, dir) => breaksDf(s,
+      Breaks.naturalBreaks(SynthGeo.customerValues(s, dir), 5))),
+
+    // ---- LISA with permutations (L1-L11; deterministic, oracle-free) ----
+    "q30_local_moran" -> ((s, dir) =>
+      Lisa.localMoran(SynthGeo.customerValues(s, dir), knnWeights4(s, dir))
+        .orderBy("gid")),
+    "q31_local_g" -> ((s, dir) =>
+      Lisa.localG(SynthGeo.customerValues(s, dir), knnWeights4(s, dir),
+        star = false).orderBy("gid")),
+    "q32_local_gstar" -> ((s, dir) =>
+      Lisa.localG(SynthGeo.customerValues(s, dir), knnWeights4(s, dir),
+        star = true).orderBy("gid")),
+    "q33_local_geary" -> ((s, dir) =>
+      Lisa.localGeary(SynthGeo.customerValues(s, dir), knnWeights4(s, dir))
+        .orderBy("gid")),
+    "q34_local_joincount" -> ((s, dir) =>
+      Lisa.localJoinCount(binaryVar(s, dir), knnWeights4(s, dir))
+        .orderBy("gid")),
+    "q35_local_bijoincount" -> ((s, dir) => {
+      val v = binaryVar(s, dir)
+        .withColumn("value2", lit(1.0) - col("value"))
+      Lisa.localBiJoinCount(v, knnWeights4(s, dir)).orderBy("gid")
+    }),
+    "q36_local_multijoincount" -> ((s, dir) => {
+      val v = SynthGeo.table(s, dir, "customer").select(
+        col("c_custkey").cast("long").as("gid"),
+        array(((col("c_custkey") * 13) % 7 < 3).cast("double"),
+          ((col("c_custkey") * 11) % 5 < 2).cast("double")).as("vals"))
+      Lisa.localMultiJoinCount(v, knnWeights4(s, dir)).orderBy("gid")
+    }),
+    "q37_quantile_lisa" -> ((s, dir) =>
+      Lisa.quantileLisa(5, 5, SynthGeo.customerValues(s, dir),
+        knnWeights4(s, dir)).orderBy("gid")),
+    "q38_multiquantile_lisa" -> ((s, dir) => {
+      val v = SynthGeo.table(s, dir, "customer").select(
+        col("c_custkey").cast("long").as("gid"),
+        array(col("c_acctbal").cast("double"),
+          ((col("c_custkey") * 17) % 1000).cast("double")).as("vals"))
+      Lisa.multiQuantileLisa(Array(4, 4), Array(4, 1), v, knnWeights4(s, dir))
+        .orderBy("gid")
+    }),
+    "q39_local_multigeary" -> ((s, dir) => {
+      val v = SynthGeo.table(s, dir, "customer").select(
+        col("c_custkey").cast("long").as("gid"),
+        array(col("c_acctbal").cast("double"),
+          ((col("c_custkey") * 17) % 1000).cast("double")).as("vals"))
+      Lisa.localMultiGeary(v, knnWeights4(s, dir)).orderBy("gid")
+    }),
+
+    // ---- documents / training-data ops ----
+    "q50_dedup_exact" -> ((s, dir) => {
+      SynthGeo.table(s, dir, "documents")
+        .groupBy(md5(col("text").cast("binary")).as("h"))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n"))
+        .orderBy("h")
+    }),
+    "q51_token_count" -> ((s, dir) => {
+      SynthGeo.table(s, dir, "documents")
+        .select(col("doc_id"),
+          (length(col("text")) -
+            length(expr("replace(text, ' ', '')")) + 1)
+            .cast("long").as("n_tokens"))
+        .orderBy("doc_id")
+    }),
+    "q52_text_quality" -> ((s, dir) => {
+      val d = SynthGeo.table(s, dir, "documents")
+      d.select(col("doc_id"),
+        length(col("text")).cast("long").as("len"),
+        (length(col("text")) - length(expr("replace(text, ' ', '')")))
+          .cast("long").as("n_spaces"),
+        (length(col("text")) - length(expr("replace(text, '.', '')")))
+          .cast("long").as("n_periods"),
+        round((length(col("text")) - length(expr("replace(text, ' ', '')")))
+          .cast("double") / length(col("text")).cast("double"), 6)
+          .as("space_ratio"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- events: windowed aggregation (micro-batch equivalent of the
+    // Structured Streaming pipeline in graft.streaming) ----
+    "q60_event_hourly" -> ((s, dir) => {
+      SynthGeo.table(s, dir, "events")
+        .groupBy(col("event_type"),
+          floor(unix_timestamp(col("ts")) / 3600.0).cast("long").as("hr"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_val"))
+        .orderBy("event_type", "hr")
+    })
+  )
+
+  private def binaryVar(s: SparkSession, dir: String): DataFrame =
+    SynthGeo.table(s, dir, "customer").select(
+      col("c_custkey").cast("long").as("gid"),
+      ((col("c_custkey") * 13) % 7 < 3).cast("double").as("value"))
+
+  private def breaksDf(s: SparkSession, brks: Seq[Double]): DataFrame = {
+    import s.implicits._
+    brks.zipWithIndex
+      .map { case (b, i) =>
+        ((i + 1).toLong, BigDecimal(b).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+      .toDF("bidx", "brk")
+  }
+
+  def oracleSql: Map[String, String] = OracleSql.all
 }

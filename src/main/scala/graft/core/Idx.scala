@@ -1,0 +1,56 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dense 0-based index assignment by global sort order, without a
+  * single-partition window. The reference keys everything by window
+  * position (`postgeoda/src/proxy.cpp:361-363`); our analogue is
+  * "rank of gid ascending", computed scalably:
+  *
+  *   1. range-repartition by the sort key,
+  *   2. sort within partitions,
+  *   3. count rows per partition (one tiny job),
+  *   4. per-partition cumulative offsets broadcast, then a
+  *      `mapPartitionsWithIndex`-style pass assigns offsets+position.
+  *
+  * Two narrow jobs + one shuffle; no driver materialization of data rows.
+  * This is the standard scalable zipWithIndex pattern re-expressed on the
+  * DataFrame API (`monotonically_increasing_id` is per-partition-prefixed,
+  * `spark_partition_id` keys the offset join — both codegen'd; the offset
+  * join is a broadcast of numPartitions rows).
+  */
+object Idx {
+
+  /** Returns `df` with an extra `idxCol` long column = dense rank of
+    * `sortCols` ascending (ties impossible iff key unique — caller's
+    * responsibility; order among ties is still deterministic because the
+    * range partitioner + intra-partition sort see identical keys).
+    */
+  def attach(df: DataFrame, idxCol: String, sortCols: String*): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df
+      .repartitionByRange(df.sparkSession.sessionState.conf.numShufflePartitions,
+        sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__mid", monotonically_increasing_id())
+    sorted.cache()
+    val counts = sorted.groupBy("__pid").agg(count(lit(1)).as("__cnt"),
+        min("__mid").as("__base"))
+      .orderBy("__pid").collect()
+    var off = 0L
+    val offsets = counts.map { r =>
+      val pid = r.getInt(0); val cnt = r.getLong(1); val base = r.getLong(2)
+      val o = (pid, off - base); off += cnt; o
+    }.toMap
+    val offDf = spark.createDataFrame(offsets.toSeq.map(t => OffRow(t._1, t._2)))
+    sorted
+      .join(broadcast(offDf.toDF("__pid2", "__off")),
+        col("__pid") === col("__pid2"))
+      .withColumn(idxCol, col("__mid") + col("__off"))
+      .drop("__pid", "__pid2", "__mid", "__off")
+  }
+}
+
+case class OffRow(pid: Int, off: Long)

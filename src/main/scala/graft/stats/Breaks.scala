@@ -1,0 +1,166 @@
+package graft.stats
+
+import graft.core.{Idx, Stat0}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Map-classification breaks (`postgeoda/src/breaks.c`,
+  * `proxy_breaks.cpp:20-183`). True aggregates in the reference; here
+  * computed from exact order statistics obtained scalably:
+  * the value column is given a dense rank by global sort (range
+  * partitioner + per-partition offsets — no single-partition window),
+  * then only the handful of ranks a break formula needs are fetched.
+  * Driver never sees more than O(#breaks) rows, so the same code path
+  * holds at 10^12 rows. Jenks natural breaks is the exception: the DP is
+  * inherently sequential, so it runs on a bounded sample collected to the
+  * driver (exact when n <= cap), mirroring SURVEY §2.1 B6.
+  *
+  * Percentile convention: GeoDa `GenUtils::percentile` plotting positions
+  * (see Stat0.percentileSorted) — NOT SQL percentile_cont/disc.
+  */
+object Breaks {
+
+  /** Fetch values at the given 0-based ranks of `values.value` asc. */
+  private def valuesAtRanks(values: DataFrame, ranks: Seq[Long]): Map[Long, Double] = {
+    val ranked = Idx.attach(
+      values.select(col("value").cast("double"), col("gid")), "rk",
+      "value", "gid")
+    val want = ranks.distinct
+    ranked.filter(col("rk").isin(want: _*))
+      .select(col("rk"), col("value")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+  }
+
+  /** GeoDa percentile over a value column using only 2 order statistics
+    * per requested percentile.
+    */
+  def percentiles(values: DataFrame, pcts: Seq[Double]): Seq[Double] = {
+    val n = values.count()
+    require(n > 0, "breaks over empty input")
+    val nd = n.toDouble
+    // which ranks does each percentile need?
+    case class Need(p: Double, lo: Long, hi: Long, frac: Double)
+    val needs = pcts.map { x =>
+      val p0 = (100.0 / nd) * 0.5
+      val pN = (100.0 / nd) * (nd - 0.5)
+      if (x <= p0) Need(x, 0L, 0L, 0.0)
+      else if (x >= pN) Need(x, n - 1, n - 1, 0.0)
+      else {
+        val idx = x * nd / 100.0 - 0.5
+        val i = math.floor(idx).toLong
+        if (i >= n - 1) Need(x, n - 1, n - 1, 0.0)
+        else Need(x, i, i + 1, idx - i)
+      }
+    }
+    val fetched = valuesAtRanks(values,
+      needs.flatMap(nd0 => Seq(nd0.lo, nd0.hi)))
+    needs.map(nd0 =>
+      fetched(nd0.lo) + nd0.frac * (fetched(nd0.hi) - fetched(nd0.lo)))
+  }
+
+  /** hinge15/hinge30 box-map breaks (5 values): [q1 - h*iqr, q1, median,
+    * q3, q3 + h*iqr] (`breaks.c:118-194`, GeoDa box-map [public]).
+    */
+  def hingeBreaks(values: DataFrame, hinge: Double): Seq[Double] = {
+    val Seq(q1, med, q3) = percentiles(values, Seq(25.0, 50.0, 75.0))
+    val iqr = q3 - q1
+    Seq(q1 - hinge * iqr, q1, med, q3, q3 + hinge * iqr)
+  }
+
+  /** percentile_breaks: 1, 10, 50, 90, 99 (`breaks.c:196-233`). */
+  def percentileBreaks(values: DataFrame): Seq[Double] =
+    percentiles(values, Seq(1.0, 10.0, 50.0, 90.0, 99.0))
+
+  /** stddev_breaks: mean-2sd, mean-sd, mean, mean+sd, mean+2sd
+    * (`breaks.c:236-273`; sample sd).
+    */
+  def stddevBreaks(values: DataFrame): Seq[Double] = {
+    val r = values.agg(avg(col("value")).as("m"),
+      stddev_samp(col("value")).as("s")).head()
+    val m = r.getDouble(0); val s = r.getDouble(1)
+    Seq(m - 2 * s, m - s, m, m + s, m + 2 * s)
+  }
+
+  /** quantile_breaks: k-1 breaks at percentiles 100*i/k (`breaks.c:276`). */
+  def quantileBreaks(values: DataFrame, k: Int): Seq[Double] =
+    percentiles(values, (1 until k).map(i => 100.0 * i / k))
+
+  /** Jenks natural breaks via Fisher-Jenks DP on the driver
+    * (`breaks.c:315-352` → gda_naturalbreaks [public]). Exact when
+    * n <= sampleCap; above that, computed on a deterministic sorted
+    * sample of sampleCap ranks (documented approximation for scale).
+    */
+  def naturalBreaks(values: DataFrame, k: Int, sampleCap: Int = 100000): Seq[Double] = {
+    val n = values.count()
+    val vals: Array[Double] =
+      if (n <= sampleCap) {
+        values.select(col("value").cast("double")).orderBy("value")
+          .collect().map(_.getDouble(0))
+      } else {
+        val step = n.toDouble / sampleCap
+        val ranks = (0 until sampleCap).map(i => (i * step).toLong)
+        val m = valuesAtRanks(values, ranks)
+        ranks.map(m).toArray
+      }
+    jenks(vals, k)
+  }
+
+  /** Fisher-Jenks exact DP over sorted values, O(k n^2). Returns k-1
+    * lower break values (GeoDa convention: break = first value of the
+    * next class).
+    */
+  def jenks(sorted: Array[Double], k: Int): Seq[Double] = {
+    val n = sorted.length
+    require(n > 0 && k >= 2)
+    if (k >= n) return sorted.drop(1).take(k - 1).toSeq
+    // prefix sums for O(1) class variance
+    val ps = new Array[Double](n + 1)
+    val ps2 = new Array[Double](n + 1)
+    var i = 0
+    while (i < n) {
+      ps(i + 1) = ps(i) + sorted(i)
+      ps2(i + 1) = ps2(i) + sorted(i) * sorted(i)
+      i += 1
+    }
+    @inline def ssd(a: Int, b: Int): Double = { // [a,b) sum sq deviation
+      val cnt = b - a
+      val s = ps(b) - ps(a)
+      (ps2(b) - ps2(a)) - s * s / cnt
+    }
+    // dp(c)(i) = min total ssd splitting first i values into c classes
+    var prev = Array.tabulate(n + 1)(i => if (i == 0) 0.0 else ssd(0, i))
+    val split = Array.ofDim[Int](k + 1, n + 1)
+    var c = 2
+    while (c <= k) {
+      val cur = new Array[Double](n + 1)
+      java.util.Arrays.fill(cur, Double.MaxValue)
+      var iEnd = c
+      while (iEnd <= n) {
+        var j = c - 1
+        var best = Double.MaxValue
+        var bestJ = c - 1
+        while (j < iEnd) {
+          val v = prev(j) + ssd(j, iEnd)
+          if (v < best) { best = v; bestJ = j }
+          j += 1
+        }
+        cur(iEnd) = best
+        split(c)(iEnd) = bestJ
+        iEnd += 1
+      }
+      prev = cur
+      c += 1
+    }
+    // backtrack split points
+    val cuts = new Array[Int](k - 1)
+    var end = n
+    c = k
+    while (c > 1) {
+      val j = split(c)(end)
+      cuts(c - 2) = j
+      end = j
+      c -= 1
+    }
+    cuts.map(j => sorted(j)).toSeq
+  }
+}

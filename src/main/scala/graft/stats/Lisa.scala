@@ -1,0 +1,264 @@
+package graft.stats
+
+import graft.core.Stat0
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Distributed LISA execution.
+  *
+  * The reference computes every local statistic over a whole PG window
+  * partition materialized in RAM (`postgeoda/src/localmoran.c:43-131`).
+  * The Spark shape (SURVEY §3.4): global moments by aggregation, the
+  * standardized value vector broadcast to executors (the permutation step
+  * must read z-values of uniformly drawn ids, so each task needs the full
+  * vector), then a shuffle-free `mapPartitions` over the weights rows
+  * running the per-row seeded kernel. Output is bit-identical under any
+  * partitioning because each row's permutation stream depends only on
+  * (seed, idx).
+  *
+  * Broadcast mode holds 16 bytes/row (gid + z) — fine to ~100M rows. At
+  * the 10^12 web-table scale the engine switches to per-tile windows,
+  * which the reference itself defines via its window-trim semantics
+  * (`postgeoda/src/binweight.cpp:137-207`, SURVEY §1.4): LISA over a
+  * sub-window drops out-of-window neighbors and renumbers ids — i.e.
+  * per-tile LISA is reference-exact behavior, not an approximation.
+  */
+case class LisaOut(gid: Long, stat: Double, p: Double, c: Double)
+
+object Lisa {
+
+  case class Conf(
+      permutations: Int = 999,
+      seed: Int = 123456789,
+      cutoff: Double = 0.05,
+      /** scale method for multivariate stats (lisa.h:139-159) */
+      scaleMethod: String = "standardize")
+
+  val outSchema: StructType = StructType(Seq(
+    StructField("gid", LongType), StructField("stat", DoubleType),
+    StructField("p", DoubleType), StructField("c", DoubleType)))
+
+  /** Collect (gid asc) → (gids, values). Driver-side gather of the value
+    * vector = the broadcast build step. Deterministic: exact-sum moments,
+    * gid-sorted order.
+    */
+  def gather(values: DataFrame): (Array[Long], Array[Double]) = {
+    val rows = values.select(col("gid").cast("long"), col("value").cast("double"))
+      .orderBy("gid").collect()
+    val gids = new Array[Long](rows.length)
+    val vals = new Array[Double](rows.length)
+    var i = 0
+    rows.foreach { r => gids(i) = r.getLong(0); vals(i) = r.getDouble(1); i += 1 }
+    (gids, vals)
+  }
+
+  private def gatherMulti(values: DataFrame): (Array[Long], Array[Array[Double]]) = {
+    val rows = values.select(col("gid").cast("long"), col("vals"))
+      .orderBy("gid").collect()
+    val n = rows.length
+    val gids = new Array[Long](n)
+    val first = rows.head.getSeq[Double](1)
+    val nv = first.length
+    val mat = Array.ofDim[Double](nv, n)
+    var i = 0
+    rows.foreach { r =>
+      gids(i) = r.getLong(0)
+      val s = r.getSeq[Double](1)
+      var v = 0
+      while (v < nv) { mat(v)(i) = s(v); v += 1 }
+      i += 1
+    }
+    (gids, mat)
+  }
+
+  /** Run a kernel over weights rows with a broadcast context.
+    * `weights`: (gid, nbrs array<long>); output (gid, stat, p, c).
+    */
+  private def runKernel(weights: DataFrame, gids: Array[Long],
+      kernel: (Int, Array[Int], LisaKernels.Scratch) => LisaKernels.Triple): DataFrame = {
+    val spark = weights.sparkSession
+    import spark.implicits._
+    val bGids = spark.sparkContext.broadcast(gids)
+    val numObs = gids.length
+    weights.select(col("gid").cast("long"), col("nbrs"))
+      .as[(Long, Option[Seq[Long]])]
+      .mapPartitions { it =>
+        val g = bGids.value
+        val scratch = new LisaKernels.Scratch(numObs, 65536)
+        it.map { case (gid, nbrOpt) =>
+          val nbrSeq = nbrOpt.getOrElse(Seq.empty)
+          val idx = java.util.Arrays.binarySearch(g, gid)
+          require(idx >= 0, s"gid $gid not present in value table")
+          val nbrs = new Array[Int](nbrSeq.length)
+          var i = 0
+          nbrSeq.foreach { nb =>
+            val j = java.util.Arrays.binarySearch(g, nb)
+            require(j >= 0, s"neighbor gid $nb not present in value table")
+            nbrs(i) = j; i += 1
+          }
+          val t = kernel(idx, nbrs, scratch)
+          LisaOut(gid, t.stat, t.p, t.c)
+        }
+      }.toDF()
+  }
+
+  /** Local Moran's I → (gid, stat=I, p, c=cluster). */
+  def localMoran(values: DataFrame, weights: DataFrame, conf: Conf = Conf()): DataFrame = {
+    val (gids, vals) = gather(values)
+    Stat0.standardize(vals)
+    val z = vals
+    runKernel(weights, gids, (idx, nbrs, scratch) =>
+      LisaKernels.moran(idx, nbrs, z, conf.permutations, conf.seed,
+        conf.cutoff, scratch))
+  }
+
+  /** Getis-Ord G_i / G_i* → (gid, stat, p, c). */
+  def localG(values: DataFrame, weights: DataFrame, star: Boolean,
+             conf: Conf = Conf()): DataFrame = {
+    val (gids, x) = gather(values)
+    val s = new Stat0.ExactSum
+    x.foreach(s.add)
+    val sumAll = s.value
+    runKernel(weights, gids, (idx, nbrs, scratch) =>
+      if (star) LisaKernels.localGStar(idx, nbrs, x, sumAll,
+        conf.permutations, conf.seed, conf.cutoff, scratch)
+      else LisaKernels.localG(idx, nbrs, x, sumAll,
+        conf.permutations, conf.seed, conf.cutoff, scratch))
+  }
+
+  def localGeary(values: DataFrame, weights: DataFrame, conf: Conf = Conf()): DataFrame = {
+    val (gids, vals) = gather(values)
+    Stat0.standardize(vals)
+    val z = vals
+    runKernel(weights, gids, (idx, nbrs, scratch) =>
+      LisaKernels.geary(idx, nbrs, z, conf.permutations, conf.seed,
+        conf.cutoff, scratch))
+  }
+
+  /** Multivariate Geary over `vals: array<double>` column. */
+  def localMultiGeary(values: DataFrame, weights: DataFrame,
+                      conf: Conf = Conf()): DataFrame = {
+    val (gids, mat) = gatherMulti(values)
+    val zs = mat.map(v => Stat0.scale(v, conf.scaleMethod))
+    runKernel(weights, gids, (idx, nbrs, scratch) =>
+      LisaKernels.multiGeary(idx, nbrs, zs, conf.permutations, conf.seed,
+        conf.cutoff, scratch))
+  }
+
+  private def requireBinary(x: Array[Double], what: String): Unit = {
+    var i = 0
+    while (i < x.length) {
+      require(x(i) == 0.0 || x(i) == 1.0,
+        s"$what must be binary 0/1 (joincount.c semantics); found ${x(i)}")
+      i += 1
+    }
+  }
+
+  def localJoinCount(values: DataFrame, weights: DataFrame,
+                     conf: Conf = Conf()): DataFrame = {
+    val (gids, x) = gather(values)
+    requireBinary(x, "local_joincount variable")
+    runKernel(weights, gids, (idx, nbrs, scratch) =>
+      LisaKernels.joinCount(idx, nbrs, x, conf.permutations, conf.seed, scratch))
+  }
+
+  /** Bivariate join count; errors on co-location, replicating
+    * `postgeoda/src/joincount.c:193-197`.
+    */
+  def localBiJoinCount(values: DataFrame /* gid, value, value2 */,
+                       weights: DataFrame, conf: Conf = Conf()): DataFrame = {
+    val rows = values.select(col("gid").cast("long"),
+      col("value").cast("double"), col("value2").cast("double"))
+      .orderBy("gid").collect()
+    val n = rows.length
+    val gids = new Array[Long](n); val x1 = new Array[Double](n)
+    val x2 = new Array[Double](n)
+    var i = 0
+    rows.foreach { r =>
+      gids(i) = r.getLong(0); x1(i) = r.getDouble(1); x2(i) = r.getDouble(2)
+      i += 1
+    }
+    requireBinary(x1, "local_bijoincount first variable")
+    requireBinary(x2, "local_bijoincount second variable")
+    i = 0
+    while (i < n) {
+      require(!(x1(i) == 1.0 && x2(i) == 1.0),
+        "local_bijoincount requires no co-location: x1 and x2 both 1 at gid "
+          + gids(i) + " (joincount.c:193-197)")
+      i += 1
+    }
+    runKernel(weights, gids, (idx, nbrs, scratch) =>
+      LisaKernels.biJoinCount(idx, nbrs, x1, x2, conf.permutations,
+        conf.seed, scratch))
+  }
+
+  /** Co-location join count over `vals: array<double>` of binary vars. */
+  def localMultiJoinCount(values: DataFrame, weights: DataFrame,
+                          conf: Conf = Conf()): DataFrame = {
+    val (gids, mat) = gatherMulti(values)
+    mat.zipWithIndex.foreach { case (v, vi) =>
+      requireBinary(v, s"local_multijoincount variable $vi") }
+    val n = gids.length
+    val prods = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      var p = 1.0; var v = 0
+      while (v < mat.length) { p *= mat(v)(i); v += 1 }
+      prods(i) = p; i += 1
+    }
+    runKernel(weights, gids, (idx, nbrs, scratch) =>
+      LisaKernels.multiJoinCount(idx, nbrs, prods, conf.permutations,
+        conf.seed, scratch))
+  }
+
+  /** Quantile-bin membership indicator per GeoDa quantile classification:
+    * breaks at percentiles 100*i/k (i=1..k-1), bin = 1 + #{breaks <= x}.
+    */
+  def quantileIndicator(vals: Array[Double], k: Int, q: Int): Array[Double] = {
+    require(k >= 2 && q >= 1 && q <= k, s"quantile_lisa needs 1<=q<=k, k>=2")
+    val sorted = vals.clone(); java.util.Arrays.sort(sorted)
+    val breaks = (1 until k).map(i =>
+      Stat0.percentileSorted(100.0 * i / k, sorted)).toArray
+    vals.map { x =>
+      var bin = 1
+      var b = 0
+      while (b < breaks.length && x >= breaks(b)) { bin += 1; b += 1 }
+      if (bin == q) 1.0 else 0.0
+    }
+  }
+
+  /** Quantile LISA (`postgeoda/src/quantilelisa.c:37-140`): binarize by
+    * quantile-bin membership, then local join count.
+    */
+  def quantileLisa(k: Int, q: Int, values: DataFrame, weights: DataFrame,
+                   conf: Conf = Conf()): DataFrame = {
+    val (gids, vals) = gather(values)
+    val x = quantileIndicator(vals, k, q)
+    runKernel(weights, gids, (idx, nbrs, scratch) =>
+      LisaKernels.joinCount(idx, nbrs, x, conf.permutations, conf.seed, scratch))
+  }
+
+  /** Multivariate quantile LISA: AND of per-variable bin indicators, then
+    * join count (`quantilelisa.c:143-300` / proxy_quantilelisa.cpp:61-115).
+    */
+  def multiQuantileLisa(ks: Array[Int], qs: Array[Int], values: DataFrame,
+                        weights: DataFrame, conf: Conf = Conf()): DataFrame = {
+    val (gids, mat) = gatherMulti(values)
+    require(ks.length == mat.length && qs.length == mat.length,
+      "ks/qs/vars arity mismatch")
+    val n = gids.length
+    val ind = mat.zipWithIndex.map { case (v, i) =>
+      quantileIndicator(v, ks(i), qs(i)) }
+    val prods = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      var p = 1.0; var v = 0
+      while (v < ind.length) { p *= ind(v)(i); v += 1 }
+      prods(i) = p; i += 1
+    }
+    runKernel(weights, gids, (idx, nbrs, scratch) =>
+      LisaKernels.joinCount(idx, nbrs, prods, conf.permutations, conf.seed,
+        scratch))
+  }
+}
