@@ -277,6 +277,11 @@ object OracleSql {
            UNION ALL SELECT CAST(5 AS BIGINT), round(${pct("99.0")}, 4)) t
          ORDER BY bidx""",
 
+    "q61_codec_roundtrip" ->
+      s"""WITH $KNN4
+         SELECT gid, count(*) AS n_nbrs, min(nbr) AS nbr_min
+         FROM knn GROUP BY gid ORDER BY gid""",
+
     "q50_dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n
          FROM documents GROUP BY md5(text) ORDER BY h""",

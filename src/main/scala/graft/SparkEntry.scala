@@ -224,6 +224,51 @@ object SparkEntry {
       Lisa.localMultiGeary(v, knnWeights4(s, dir)).orderBy("gid")
     }),
 
+    // ---- regionalization (C1, C2) + neighbor match (L12) ----
+    "q40_skater" -> ((s, dir) => {
+      val g = SynthGeo.partPolygons(s, dir)
+      val w = ContiguityWeights.build(g, ContiguityWeights.Conf(queen = true))
+      val v = SynthGeo.table(s, dir, "part").select(
+        col("p_partkey").cast("long").as("gid"),
+        array(col("p_retailprice").cast("double"),
+          col("p_size").cast("double")).as("vals"))
+      graft.cluster.Regionalize.run(v, w,
+        graft.cluster.Regionalize.Conf(k = 6)).orderBy("gid")
+    }),
+    "q41_redcap_ward" -> ((s, dir) => {
+      // full-order linkage is O(N^2)-driver work — run on a bounded slice
+      val g = SynthGeo.partPolygons(s, dir).filter(col("gid") <= 150)
+      val w = ContiguityWeights.build(g, ContiguityWeights.Conf(queen = true))
+      val v = SynthGeo.table(s, dir, "part").filter(col("p_partkey") <= 150)
+        .select(col("p_partkey").cast("long").as("gid"),
+          array(col("p_retailprice").cast("double"),
+            col("p_size").cast("double")).as("vals"))
+      graft.cluster.Regionalize.run(v, w,
+        graft.cluster.Regionalize.Conf(k = 4,
+          method = "fullorder-wardlinkage")).orderBy("gid")
+    }),
+    "q42_neighbor_match" -> ((s, dir) => {
+      val v = SynthGeo.table(s, dir, "customer").select(
+        col("c_custkey").cast("long").as("gid"),
+        array(col("c_acctbal").cast("double"),
+          ((col("c_custkey") * 17) % 1000).cast("double")).as("vals"))
+      graft.stats.NeighborMatch.run(SynthGeo.customerPoints(s, dir), v,
+        k = 6, cellSize = Some(4.0)).orderBy("gid")
+    }),
+
+    // ---- weights serialization / codec parity (S1-S4, §1.3) ----
+    "q61_codec_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val w = knnWeights4(s, dir)
+      w.select(col("gid").cast("long"), col("nbrs"))
+        .as[(Long, Seq[Long])]
+        .map { case (g, nbrs) =>
+          val bytes = graft.weights.WeightsCodec.encodeRecord(g, nbrs.toArray, None)
+          val (g2, nbrs2, _) = graft.weights.WeightsCodec.decodeRecord(bytes)
+          (g2, nbrs2.length.toLong, nbrs2.min)
+        }.toDF("gid", "n_nbrs", "nbr_min").orderBy("gid")
+    }),
+
     // ---- documents / training-data ops ----
     "q50_dedup_exact" -> ((s, dir) => {
       SynthGeo.table(s, dir, "documents")
@@ -251,6 +296,71 @@ object SparkEntry {
           .cast("double") / length(col("text")).cast("double"), 6)
           .as("space_ratio"))
         .orderBy("doc_id")
+    }),
+
+    "q53_lang_id" -> ((s, dir) =>
+      graft.pipeline.TextAnalysis.languageId(
+        SynthGeo.table(s, dir, "documents")).orderBy("id")),
+    "q54_minhash_dedup" -> ((s, dir) =>
+      graft.pipeline.Dedup.minhashLsh(SynthGeo.table(s, dir, "documents"),
+        threshold = 0.5).orderBy("id_a", "id_b")),
+    "q55_simhash_dup" -> ((s, dir) =>
+      graft.pipeline.Dedup.simhashDup(SynthGeo.table(s, dir, "documents"),
+        maxHamming = 8).orderBy("id_a", "id_b")),
+    "q56_ngram_jaccard" -> ((s, dir) => {
+      val docs = SynthGeo.table(s, dir, "documents")
+      // candidate pairs: same source + adjacent ids (deterministic set)
+      val pairs = docs.select(col("doc_id").as("id_a"))
+        .withColumn("id_b", col("id_a") + 1)
+        .join(docs.select(col("doc_id").as("id_b")), Seq("id_b"))
+      graft.pipeline.Dedup.ngramJaccard(docs, pairs)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a")
+    }),
+    "q57_ann_brute" -> ((s, dir) => {
+      val emb = SynthGeo.table(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+      graft.pipeline.Similarity.bruteTopK(emb, queries, k = 10)
+        .select(col("qid"), col("id"), col("rk").cast("long").as("rk"))
+        .orderBy("qid", "rk")
+    }),
+    "q57b_ann_ivf" -> ((s, dir) => {
+      val emb = SynthGeo.table(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+      graft.pipeline.Similarity.ivfTopK(emb, queries, k = 10)
+        .select(col("qid"), col("id"), col("rk").cast("long").as("rk"))
+        .orderBy("qid", "rk")
+    }),
+    "q58_fingerprint" -> ((s, dir) =>
+      graft.pipeline.TextAnalysis.fingerprint(
+        SynthGeo.table(s, dir, "documents")).orderBy("id")),
+    "q58b_quality" -> ((s, dir) =>
+      graft.pipeline.TextAnalysis.qualityScore(
+        SynthGeo.table(s, dir, "documents"))
+        .select(col("id"), col("n_chars"), col("n_tokens"),
+          round(col("alpha_ratio"), 6).as("alpha_ratio"),
+          round(col("stopword_ratio"), 6).as("stopword_ratio"),
+          col("quality"))
+        .orderBy("id")),
+    "q59_multimodal_image" -> ((s, dir) => {
+      val media = SynthGeo.table(s, dir, "documents")
+        .select(col("doc_id").as("id"),
+          encode(col("text"), "UTF-8").cast("binary").as("bytes"))
+      graft.pipeline.Multimodal.imageFeatures(media)
+        .select(col("id"), col("width"), col("height"), col("channels"),
+          col("format"), round(col("pixel_mean"), 6).as("pixel_mean"))
+        .orderBy("id")
+    }),
+    "q62_webtext_moran" -> ((s, dir) => {
+      // north-rule pipeline, hermetic (no checkpoint dir): webpages →
+      // geocode → kNN weights → local Moran over text length
+      val pages = graft.pipeline.Webtext.synthWebpages(s, dir)
+      val geo = graft.pipeline.Webtext.geocode(pages).cache()
+      val w = KnnWeights.build(geo.select("gid", "x", "y"),
+        KnnWeights.Conf(k = 4, cellSize = Some(SynthGeo.CellW)))
+      val vals = geo.select(col("gid"),
+        length(col("text")).cast("double").as("value"))
+      Lisa.localMoran(vals, w).orderBy("gid")
     }),
 
     // ---- events: windowed aggregation (micro-batch equivalent of the

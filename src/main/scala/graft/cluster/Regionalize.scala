@@ -1,0 +1,347 @@
+package graft.cluster
+
+import graft.core.Stat0
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import scala.collection.mutable
+
+/** SKATER / REDCAP spatial regionalization
+  * (`postgeoda/src/skater.c:36-508`, `redcap.c:36-538`,
+  * `proxy_scc.cpp:19-144` → gda_redcap [public]).
+  *
+  * SKATER ≡ REDCAP "firstorder-singlelinkage" (`skater.c:156-157` routes
+  * through redcap with the default method). The algorithms are inherently
+  * sequential MST heuristics, so — exactly as SURVEY §7.5 prescribes —
+  * the graph is collected per connected component to the driver and
+  * solved exactly; Spark does the neighbor/value assembly. Disconnected
+  * weights raise an error, matching `proxy_scc.cpp:27-31`.
+  *
+  * Methods (`postgeoda/src/lisa.h:119-137`): firstorder-singlelinkage,
+  * fullorder-{single,complete,average,ward}linkage.
+  * Cluster ids are 1-based ordered by region size descending (ties by
+  * smallest member gid), GeoDa's flat_2dclusters convention.
+  */
+object Regionalize {
+
+  case class Conf(
+      k: Int,
+      method: String = "firstorder-singlelinkage",
+      scaleMethod: String = "standardize",
+      distType: String = "euclidean",
+      minRegionSize: Int = 0,
+      /** optional (boundVals(i), minBound) spatial-constraint pair */
+      minBound: Double = 0.0)
+
+  /** values: (gid, vals array<double>); weights: (gid, nbrs). */
+  def run(values: DataFrame, weights: DataFrame, conf: Conf,
+          boundValues: Option[DataFrame] = None): DataFrame = {
+    val spark = values.sparkSession
+    import spark.implicits._
+    val rows = values.select(col("gid").cast("long"), col("vals"))
+      .orderBy("gid").collect()
+    val n = rows.length
+    val gids = rows.map(_.getLong(0))
+    val gidIdx = gids.zipWithIndex.toMap
+    val nv = rows.head.getSeq[Double](1).length
+    val mat = Array.ofDim[Double](nv, n)
+    for (i <- 0 until n; v <- 0 until nv)
+      mat(v)(i) = rows(i).getSeq[Double](1)(v)
+    val scaled = mat.map(v => Stat0.scale(v, conf.scaleMethod))
+
+    val bounds: Array[Double] = boundValues match {
+      case Some(bv) =>
+        val m = bv.select(col("gid").cast("long"), col("value").cast("double"))
+          .as[(Long, Double)].collect().toMap
+        gids.map(m)
+      case None => Array.fill(n)(0.0)
+    }
+
+    val edges = weights.select(col("gid").cast("long"),
+        explode(col("nbrs")).as("nbr"))
+      .as[(Long, Long)].collect()
+      .map { case (a, b) => (gidIdx(a), gidIdx(b)) }
+      .filter { case (a, b) => a < b }.distinct
+
+    val labels = solve(n, scaled, edges, bounds, conf)
+    spark.createDataset(gids.zip(labels).toIndexedSeq)
+      .toDF("gid", "cluster")
+  }
+
+  @inline private def dist(scaled: Array[Array[Double]], i: Int, j: Int,
+                           manhattan: Boolean): Double = {
+    var s = 0.0; var v = 0
+    while (v < scaled.length) {
+      val d = scaled(v)(i) - scaled(v)(j)
+      s += (if (manhattan) math.abs(d) else d * d)
+      v += 1
+    }
+    if (manhattan) s else math.sqrt(s)
+  }
+
+  /** Exact driver-side solve over one connected graph. */
+  def solve(n: Int, scaled: Array[Array[Double]], edges: Array[(Int, Int)],
+            bounds: Array[Double], conf: Conf): Array[Int] = {
+    require(n > 0)
+    val manhattan = conf.distType == "manhattan"
+    // connectivity check (reference errors on disconnected weights)
+    val uf = new UnionFind(n)
+    edges.foreach { case (a, b) => uf.union(a, b) }
+    require((0 until n).map(uf.find).distinct.size == 1,
+      "The weights graph is disconnected (skater.c:165-168): regionalization requires one connected component")
+
+    val treeEdges: Array[(Int, Int)] = conf.method match {
+      case "firstorder-singlelinkage" =>
+        // MST over first-order edges = single-linkage constrained tree
+        val sorted = edges.map { case (a, b) =>
+          (dist(scaled, a, b, manhattan), a, b) }.sortBy(t => (t._1, t._2, t._3))
+        val u2 = new UnionFind(n)
+        val out = mutable.ArrayBuffer.empty[(Int, Int)]
+        sorted.foreach { case (_, a, b) =>
+          if (u2.find(a) != u2.find(b)) { u2.union(a, b); out += ((a, b)) }
+        }
+        out.toArray
+      case m if m.startsWith("fullorder-") =>
+        fullOrderTree(n, scaled, edges, m.stripPrefix("fullorder-"), manhattan)
+      case other => throw new IllegalArgumentException(
+        s"unknown regionalization method '$other' (lisa.h:119-137)")
+    }
+
+    partitionTree(n, scaled, treeEdges, bounds, conf)
+  }
+
+  /** Full-order REDCAP: contiguity-constrained agglomerative clustering;
+    * each merge contributes the cheapest first-order edge between the two
+    * merging clusters to the spanning tree [public REDCAP, Guo 2008].
+    */
+  private def fullOrderTree(n: Int, scaled: Array[Array[Double]],
+      edges: Array[(Int, Int)], linkage: String,
+      manhattan: Boolean): Array[(Int, Int)] = {
+    val uf = new UnionFind(n)
+    // cluster membership lists
+    val members = mutable.Map.empty[Int, mutable.ArrayBuffer[Int]]
+    (0 until n).foreach(i => members(i) = mutable.ArrayBuffer(i))
+    // contiguity between clusters: root pair -> first-order edges
+    val contig = mutable.Map.empty[(Int, Int), mutable.ArrayBuffer[(Int, Int)]]
+    def key(a: Int, b: Int) = if (a < b) (a, b) else (b, a)
+    edges.foreach { case (a, b) =>
+      contig.getOrElseUpdate(key(a, b), mutable.ArrayBuffer.empty) += ((a, b))
+    }
+    def linkDist(ra: Int, rb: Int): Double = {
+      val ma = members(ra); val mb = members(rb)
+      linkage match {
+        case "singlelinkage" =>
+          var best = Double.MaxValue
+          for (i <- ma; j <- mb) { val d = dist(scaled, i, j, manhattan); if (d < best) best = d }
+          best
+        case "completelinkage" =>
+          var worst = 0.0
+          for (i <- ma; j <- mb) { val d = dist(scaled, i, j, manhattan); if (d > worst) worst = d }
+          worst
+        case "averagelinkage" =>
+          var s = 0.0
+          for (i <- ma; j <- mb) s += dist(scaled, i, j, manhattan)
+          s / (ma.length.toLong * mb.length)
+        case "wardlinkage" =>
+          // ESS increase: |A||B|/(|A|+|B|) * ||centroid_A - centroid_B||^2
+          val nv = scaled.length
+          var ss = 0.0
+          var v = 0
+          while (v < nv) {
+            var ca = 0.0; var cb = 0.0
+            ma.foreach(i => ca += scaled(v)(i)); ca /= ma.length
+            mb.foreach(j => cb += scaled(v)(j)); cb /= mb.length
+            ss += (ca - cb) * (ca - cb)
+            v += 1
+          }
+          ma.length.toDouble * mb.length / (ma.length + mb.length) * ss
+        case other => throw new IllegalArgumentException(
+          s"unknown linkage '$other'")
+      }
+    }
+    val tree = mutable.ArrayBuffer.empty[(Int, Int)]
+    var nClusters = n
+    while (nClusters > 1) {
+      // find contiguous cluster pair with min linkage (tie: smaller roots)
+      var bestPair: (Int, Int) = null
+      var bestD = Double.MaxValue
+      contig.keys.foreach { case (a, b) =>
+        val ra = uf.find(a); val rb = uf.find(b)
+        if (ra != rb) {
+          val kk = key(ra, rb)
+          val d = linkDist(kk._1, kk._2)
+          if (d < bestD || (d == bestD && (bestPair == null ||
+              (kk._1 < bestPair._1 || (kk._1 == bestPair._1 && kk._2 < bestPair._2))))) {
+            bestD = d; bestPair = kk
+          }
+        }
+      }
+      val (ra, rb) = bestPair
+      // spanning-tree edge: cheapest first-order edge across the pair
+      var bestEdge: (Int, Int) = null
+      var bestED = Double.MaxValue
+      contig.foreach { case (_, es) =>
+        es.foreach { case (a, b) =>
+          if (key(uf.find(a), uf.find(b)) == bestPair) {
+            val d = dist(scaled, a, b, manhattan)
+            if (d < bestED) { bestED = d; bestEdge = (a, b) }
+          }
+        }
+      }
+      tree += bestEdge
+      val merged = members(ra) ++ members(rb)
+      uf.union(ra, rb)
+      val newRoot = uf.find(ra)
+      members(newRoot) = merged
+      nClusters -= 1
+    }
+    tree.toArray
+  }
+
+  /** SKATER tree-partitioning: k-1 best splits by SSD gain under
+    * min-size / min-bound constraints [public, Assunção 2006].
+    *
+    * Each sweep roots every current component and aggregates subtree
+    * (count, sum, sumsq, bound) in one post-order pass, so every edge's
+    * split gain is O(#vars) — O(N) total per split, not O(N·E).
+    */
+  private def partitionTree(n: Int, scaled: Array[Array[Double]],
+      treeEdges: Array[(Int, Int)], bounds: Array[Double],
+      conf: Conf): Array[Int] = {
+    val nv = scaled.length
+    val adj = Array.fill(n)(mutable.ArrayBuffer.empty[(Int, Int)])
+    treeEdges.zipWithIndex.foreach { case ((a, b), e) =>
+      adj(a) += ((b, e)); adj(b) += ((a, e))
+    }
+    val removed = Array.fill(treeEdges.length)(false)
+    val comp = new Array[Int](n)
+
+    def markComponents(): Int = {
+      java.util.Arrays.fill(comp, -1)
+      var c = 0
+      for (s <- 0 until n if comp(s) == -1) {
+        val stack = mutable.ArrayBuffer(s)
+        comp(s) = c
+        while (stack.nonEmpty) {
+          val u = stack.remove(stack.length - 1)
+          adj(u).foreach { case (w, e) =>
+            if (!removed(e) && comp(w) == -1) { comp(w) = c; stack += w }
+          }
+        }
+        c += 1
+      }
+      c
+    }
+
+    @inline def ssdFrom(cnt: Int, s: Array[Double], s2: Array[Double]): Double = {
+      var t = 0.0; var v = 0
+      while (v < nv) { t += s2(v) - s(v) * s(v) / cnt; v += 1 }
+      t
+    }
+
+    var cuts = 0
+    var continueSplitting = true
+    while (cuts < conf.k - 1 && continueSplitting) {
+      markComponents()
+      var bestGain = Double.NegativeInfinity
+      var bestEdge = -1
+      val visited = Array.fill(n)(false)
+      for (root <- 0 until n if !visited(root)) {
+        // iterative post-order over this component from `root`
+        val order = mutable.ArrayBuffer.empty[Int]
+        val parent = new Array[Int](n)
+        val parentEdge = mutable.HashMap.empty[Int, Int]
+        val stack = mutable.ArrayBuffer(root)
+        visited(root) = true; parent(root) = -1
+        while (stack.nonEmpty) {
+          val u = stack.remove(stack.length - 1)
+          order += u
+          adj(u).foreach { case (w, e) =>
+            if (!removed(e) && !visited(w)) {
+              visited(w) = true; parent(w) = u; parentEdge(w) = e
+              stack += w
+            }
+          }
+        }
+        val cnt = Array.fill(n)(0)
+        val sm = Array.ofDim[Double](nv, n)
+        val sq = Array.ofDim[Double](nv, n)
+        val bd = new Array[Double](n)
+        // component totals
+        var tc = 0
+        val ts = new Array[Double](nv); val tq = new Array[Double](nv)
+        var tb = 0.0
+        order.foreach { u =>
+          tc += 1; tb += bounds(u)
+          var v = 0
+          while (v < nv) {
+            val x = scaled(v)(u); ts(v) += x; tq(v) += x * x; v += 1
+          }
+        }
+        val compSsd = ssdFrom(tc, ts, tq)
+        // post-order accumulate (reverse of pre-order works for trees)
+        order.reverseIterator.foreach { u =>
+          cnt(u) += 1; bd(u) += bounds(u)
+          var v = 0
+          while (v < nv) {
+            val x = scaled(v)(u); sm(v)(u) += x; sq(v)(u) += x * x; v += 1
+          }
+          val p = parent(u)
+          if (p >= 0) {
+            cnt(p) += cnt(u); bd(p) += bd(u)
+            v = 0
+            while (v < nv) { sm(v)(p) += sm(v)(u); sq(v)(p) += sq(v)(u); v += 1 }
+          }
+        }
+        // evaluate every tree edge of this component: split = subtree(u) | rest
+        order.foreach { u =>
+          val p = parent(u)
+          if (p >= 0) {
+            val cA = cnt(u); val cB = tc - cA
+            val okSize = cA >= math.max(1, conf.minRegionSize) &&
+              cB >= math.max(1, conf.minRegionSize)
+            val okBound = conf.minBound <= 0.0 ||
+              (bd(u) >= conf.minBound && (tb - bd(u)) >= conf.minBound)
+            if (okSize && okBound && cA > 0 && cB > 0) {
+              val sA = new Array[Double](nv); val qA = new Array[Double](nv)
+              val sB = new Array[Double](nv); val qB = new Array[Double](nv)
+              var v = 0
+              while (v < nv) {
+                sA(v) = sm(v)(u); qA(v) = sq(v)(u)
+                sB(v) = ts(v) - sA(v); qB(v) = tq(v) - qA(v)
+                v += 1
+              }
+              val gain = compSsd - ssdFrom(cA, sA, qA) - ssdFrom(cB, sB, qB)
+              if (gain > bestGain) { bestGain = gain; bestEdge = parentEdge(u) }
+            }
+          }
+        }
+      }
+      if (bestEdge < 0) continueSplitting = false
+      else { removed(bestEdge) = true; cuts += 1 }
+    }
+    markComponents()
+    // 1-based labels by size desc, tie min gid position
+    val groups = (0 until n).groupBy(comp).values.toArray
+      .sortBy(g => (-g.length, g.min))
+    val label = new Array[Int](n)
+    groups.zipWithIndex.foreach { case (g, li) =>
+      g.foreach(i => label(i) = li + 1)
+    }
+    label
+  }
+
+  final class UnionFind(n: Int) {
+    private val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    def union(a: Int, b: Int): Unit = {
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+  }
+}

@@ -1,0 +1,108 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Baseline: brute-force cosine top-k — a broadcast of the (small) query
+  * set against the corpus, dot products via `zip_with`/`aggregate`
+  * higher-order functions (stays in Catalyst, no UDF), per-query window
+  * top-k.
+  *
+  * Scale path: IVF-style coarse quantization — k-means-ish centroid
+  * assignment with deterministic seeding; corpus bucketed by nearest
+  * centroid (the "inverted file"); queries probe `nprobe` nearest
+  * centroids; candidates scored exactly within probed buckets. All
+  * shuffles keyed by centroid id.
+  */
+object Similarity {
+
+  private def dot(a: String, b: String) =
+    aggregate(zip_with(col(a), col(b), (x, y) => x * y), lit(0.0),
+      (acc, v) => acc + v)
+
+  /** L2-normalize the vector column into `unit` (array<double>). */
+  def normalized(emb: DataFrame, idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame =
+    emb.select(col(idCol).cast("long").as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+      .withColumn("norm",
+        sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0),
+          (acc, x) => acc + x)))
+      .withColumn("unit",
+        when(col("norm") === 0.0, col("v"))
+          .otherwise(transform(col("v"), x => x / col("norm"))))
+      .select("id", "unit")
+
+  /** Brute-force cosine top-k: queries × corpus (queries broadcast).
+    * Returns (qid, id, cosine, rk).
+    */
+  def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = normalized(corpus)
+    val q = normalized(queries).select(col("id").as("qid"),
+      col("unit").as("qunit"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"), dot("unit", "qunit").as("cosine"))
+    scored.withColumn("rk", row_number().over(Window.partitionBy("qid")
+        .orderBy(col("cosine").desc, col("id"))))
+      .filter(col("rk") <= k)
+  }
+
+  /** Deterministic IVF centroids: pick nCentroids seeds by id order, one
+    * refinement sweep (mean of assigned vectors). Returns centroid DF
+    * (cid, cunit).
+    */
+  def ivfCentroids(corpus: DataFrame, nCentroids: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = normalized(corpus).cache()
+    val seeds = c.orderBy("id").limit(nCentroids)
+      .withColumn("cid", row_number().over(Window.orderBy("id")) - 1)
+      .select(col("cid"), col("unit").as("cunit"))
+    // one Lloyd sweep: assign to nearest seed, recompute means
+    val assigned = c.crossJoin(broadcast(seeds))
+      .select(col("id"), col("unit"), col("cid"),
+        dot("unit", "cunit").as("sim"))
+      .withColumn("rk", row_number().over(Window.partitionBy("id")
+        .orderBy(col("sim").desc, col("cid"))))
+      .filter(col("rk") === 1)
+    val dim = c.select(size(col("unit"))).head().getInt(0)
+    assigned.groupBy("cid")
+      .agg(array((0 until dim).map(i =>
+        avg(col("unit")(i))): _*).as("cunit"))
+  }
+
+  /** IVF ANN: bucket corpus by nearest centroid; queries probe the
+    * `nprobe` nearest centroids; exact scoring within probed buckets.
+    * Returns (qid, id, cosine, rk) — approximate top-k.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nCentroids: Int = 16, nprobe: Int = 4): DataFrame = {
+    val cents = ivfCentroids(corpus, nCentroids).cache()
+    val c = normalized(corpus)
+    val cBucketed = c.crossJoin(broadcast(cents))
+      .select(col("id"), col("unit"), col("cid"), dot("unit", "cunit").as("sim"))
+      .withColumn("rk", row_number().over(Window.partitionBy("id")
+        .orderBy(col("sim").desc, col("cid"))))
+      .filter(col("rk") === 1)
+      .select(col("id"), col("unit"), col("cid"))
+    val q = normalized(queries).select(col("id").as("qid"),
+      col("unit").as("qunit"))
+    val qProbes = q.crossJoin(broadcast(cents))
+      .select(col("qid"), col("qunit"), col("cid"),
+        dot("qunit", "cunit").as("sim"))
+      .withColumn("rk", row_number().over(Window.partitionBy("qid")
+        .orderBy(col("sim").desc, col("cid"))))
+      .filter(col("rk") <= nprobe)
+      .select(col("qid"), col("qunit"), col("cid"))
+    val scored = qProbes.join(cBucketed, "cid")
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"), dot("unit", "qunit").as("cosine"))
+    scored.withColumn("rk", row_number().over(Window.partitionBy("qid")
+        .orderBy(col("cosine").desc, col("id"))))
+      .filter(col("rk") <= k)
+  }
+}

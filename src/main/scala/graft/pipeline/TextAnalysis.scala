@@ -1,0 +1,124 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Text curation operators for web corpora: language ID, quality scoring,
+  * tokenization, fingerprinting. All per-row (embarrassingly parallel);
+  * typed map over the text column.
+  */
+object TextAnalysis {
+
+  /** Tiny trigram/stopword language-ID heuristic over a fixed profile set
+    * (en/de/fr/es/it) — deterministic scoring, ties alphabetical.
+    */
+  private val profiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq(" the ", " and ", " of ", " to ", " in ", " is ", " that "),
+    "de" -> Seq(" der ", " die ", " und ", " das ", " ist ", " nicht ", " ein "),
+    "fr" -> Seq(" le ", " la ", " et ", " les ", " des ", " est ", " une "),
+    "es" -> Seq(" el ", " la ", " de ", " que ", " los ", " es ", " una "),
+    "it" -> Seq(" il ", " di ", " che ", " la ", " per ", " con ", " del "))
+
+  def langOf(text: String): (String, Double) = {
+    val t = " " + text.toLowerCase.replaceAll("\\s+", " ") + " "
+    val scores = profiles.map { case (lang, markers) =>
+      var s = 0
+      markers.foreach { m =>
+        var idx = t.indexOf(m)
+        while (idx >= 0) { s += 1; idx = t.indexOf(m, idx + 1) }
+      }
+      (lang, s)
+    }
+    val total = scores.values.sum
+    if (total == 0) ("und", 0.0)
+    else {
+      val (lang, s) = scores.toSeq.sortBy { case (l, sc) => (-sc, l) }.head
+      (lang, s.toDouble / total)
+    }
+  }
+
+  /** (id, lang, confidence) language identification. */
+  def languageId(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("id"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        val (lang, conf) = langOf(if (t == null) "" else t)
+        (id, lang, conf)
+      }.toDF("id", "lang_pred", "confidence")
+  }
+
+  /** Quality signals: length, token count (BPE-ish regex), stopword
+    * ratio, punctuation ratio, mean word length, alpha ratio — the usual
+    * pretraining-filter features. Pure `functions._` (codegen'd).
+    */
+  def qualityScore(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val nChars = length(t).cast("double")
+    val tokens = size(split(t, "\\s+"))
+    val alpha = length(regexp_replace(t, "[^A-Za-z]", "")).cast("double")
+    val punct = length(regexp_replace(t, "[^.,;:!?]", "")).cast("double")
+    val stop = size(split(lower(t),
+      "\\b(the|and|of|to|in|is|that|a|for|it)\\b")) - 1
+    docs.select(col(idCol).cast("long").as("id"),
+      nChars.as("n_chars"),
+      tokens.cast("long").as("n_tokens"),
+      when(nChars > 0, alpha / nChars).otherwise(0.0).as("alpha_ratio"),
+      when(nChars > 0, punct / nChars).otherwise(0.0).as("punct_ratio"),
+      when(tokens > 0, stop.cast("double") / tokens).otherwise(0.0)
+        .as("stopword_ratio"),
+      when(tokens > 0, nChars / tokens).otherwise(0.0).as("mean_word_len"))
+      .withColumn("quality",
+        when(col("n_tokens") >= 10 && col("alpha_ratio") > 0.6 &&
+          col("stopword_ratio") > 0.05 && col("mean_word_len").between(3, 12),
+          1.0).otherwise(0.0))
+  }
+
+  /** Rolling Karp-Rabin document fingerprint: hash every `w`-char window,
+    * keep winnowed minima (robust to small edits) — (id, fingerprint).
+    */
+  def fingerprint(docs: DataFrame, window: Int = 16, keep: Int = 8,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("id"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, text0) =>
+        val text = if (text0 == null) "" else text0
+        val n = text.length
+        if (n < window) (id, Dedup.fnv1a(text, 7L))
+        else {
+          val base = 257L
+          var pow = 1L
+          var i = 0
+          while (i < window - 1) { pow *= base; i += 1 }
+          var h = 0L
+          i = 0
+          while (i < window) { h = h * base + text.charAt(i); i += 1 }
+          val minima = new Array[Long](keep)
+          java.util.Arrays.fill(minima, Long.MaxValue)
+          def offer(v: Long): Unit = {
+            var worst = 0
+            var w2 = 1
+            while (w2 < keep) { if (minima(w2) > minima(worst)) worst = w2; w2 += 1 }
+            if (v < minima(worst)) minima(worst) = v
+          }
+          offer(h)
+          i = window
+          while (i < n) {
+            h = (h - text.charAt(i - window) * pow) * base + text.charAt(i)
+            offer(h)
+            i += 1
+          }
+          // combine winnowed minima into one 64-bit fingerprint
+          java.util.Arrays.sort(minima)
+          var fp = 0xcbf29ce484222325L
+          minima.foreach { m => fp ^= m; fp *= 0x100000001b3L }
+          (id, fp)
+        }
+      }.toDF("id", "fingerprint")
+  }
+}

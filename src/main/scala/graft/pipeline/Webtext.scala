@@ -1,0 +1,101 @@
+package graft.pipeline
+
+import graft.core.Tiling
+import graft.stats.Lisa
+import graft.weights.KnnWeights
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The BASELINE.json north-rule pipeline over the Common-Crawl-style
+  * web-page table `(url, warc_ts, html, text, lang)`:
+  *
+  *   ingest → geocode (url → point) → tile encode → PIP spatial join
+  *   against a polygon layer → kNN weights → local Moran (999 perms,
+  *   seed 123456789), every stage checkpointed with per-partition
+  *   lineage so a killed run resumes mid-weights-build.
+  *
+  * Invariant (input_hint): `text` stays byte-identical per `url` end to
+  * end — geometry is carried in separate columns, the page payload is
+  * never rewritten; `verifyTextIdentity` proves it via full-column
+  * checksums.
+  */
+object Webtext {
+
+  /** Deterministic synthetic webpages from the documents table (no
+    * external data): url minted from doc_id, html wraps the text bytes,
+    * text passed through verbatim.
+    */
+  def synthWebpages(spark: SparkSession, dir: String): DataFrame = {
+    SynthGeo.table(spark, dir, "documents").select(
+      concat(lit("https://site-"), (col("doc_id") % 97).cast("string"),
+        lit(".example/page/"), col("doc_id").cast("string")).as("url"),
+      timestamp_seconds(lit(1704067200L) + col("doc_id") % 86400)
+        .as("warc_ts"),
+      encode(concat(lit("<html><body>"), col("text"), lit("</body></html>")),
+        "UTF-8").cast("binary").as("html"),
+      col("text"),
+      col("lang"))
+  }
+
+  /** Geocode urls to points: stable 64-bit url hash → uniform coords in
+    * the synthetic admin-layer domain. (gid, url, x, y, cell).
+    */
+  def geocode(pages: DataFrame, cellSize: Double = SynthGeo.CellW): DataFrame =
+    pages.select(col("url"), col("text"))
+      .withColumn("h", xxhash64(col("url")))
+      .withColumn("h2", xxhash64(col("url"), lit(1)))
+      .withColumn("gid", pmod(col("h"), lit(1000000000L)))
+      .withColumn("x", (pmod(col("h"), lit(18000L))).cast("double") / 100.0)
+      .withColumn("y", (pmod(col("h2"), lit(18000L))).cast("double") / 100.0)
+      .withColumn("cell", Tiling.cellIdCol(col("x"), col("y"), cellSize))
+      .select("gid", "url", "x", "y", "cell", "text")
+
+  case class Result(joined: DataFrame, weights: DataFrame, moran: DataFrame)
+
+  /** Full checkpointed pipeline. `ckptRoot` holds stage outputs; re-run
+    * with an existing root = resume (completed stages are read back, not
+    * recomputed).
+    */
+  def runAll(spark: SparkSession, dir: String, ckptRoot: String,
+             k: Int = 4, permutations: Int = 999): Result = {
+    val pages = Checkpoint.stage(spark, ckptRoot, "pages") {
+      synthWebpages(spark, dir)
+    }
+    val geocoded = Checkpoint.stage(spark, ckptRoot, "geocoded") {
+      geocode(pages)
+    }
+    val polys = Checkpoint.stage(spark, ckptRoot, "polygons") {
+      SynthGeo.partPolygons(spark, dir).withColumnRenamed("gid", "pid")
+    }
+    val joined = Checkpoint.stage(spark, ckptRoot, "joined") {
+      SpatialJoin.pip(geocoded, polys, SynthGeo.CellW)
+        .join(geocoded, Seq("gid"))
+        .select("gid", "url", "pid", "cell", "text")
+    }
+    val weights = Checkpoint.stage(spark, ckptRoot, "weights") {
+      KnnWeights.build(geocoded, KnnWeights.Conf(k = k,
+        cellSize = Some(SynthGeo.CellW)))
+    }
+    val moran = Checkpoint.stage(spark, ckptRoot, "moran") {
+      // analysis variable: deterministic page statistic (text length)
+      val vals = geocoded.select(col("gid"),
+        length(col("text")).cast("double").as("value"))
+      Lisa.localMoran(vals, weights,
+        Lisa.Conf(permutations = permutations, seed = 123456789))
+    }
+    Result(joined, weights, moran)
+  }
+
+  /** Byte-identity invariant: per-url text checksums agree between input
+    * pages and the joined output (input_hint requirement).
+    */
+  def verifyTextIdentity(pages: DataFrame, joined: DataFrame): Boolean = {
+    // joined is a subset of pages (points outside every polygon drop);
+    // identity must hold on the subset: join back and compare text bytes
+    val mismatch = joined.select("url", "text").distinct()
+      .join(pages.select(col("url"), col("text").as("t_in")), "url")
+      .filter(col("text") =!= col("t_in") || col("text").isNull =!= col("t_in").isNull)
+      .limit(1).count()
+    mismatch == 0
+  }
+}

@@ -1,0 +1,134 @@
+package graft.pipeline
+
+import graft.SparkFixture
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = SparkFixture.spark
+  val dir = "/root/testdata/sf0.001"
+
+  test("exact dedup finds planted duplicates") {
+    import spark.implicits._
+    val docs = Seq((1L, "hello world"), (2L, "hello world"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val r = Dedup.exact(docs).as[(String, Long, Long)].collect()
+      .map(t => (t._2, t._3)).toMap
+    assert(r(1L) == 2L && r(3L) == 1L)
+  }
+
+  test("minhash LSH finds near-duplicates, skips dissimilar") {
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"word$i").mkString(" ")
+    val nearDup = (1 to 60).map(i => if (i == 30) "CHANGED" else s"word$i")
+      .mkString(" ")
+    val different = (1 to 60).map(i => s"other$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, different))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashLsh(docs, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash near-dup: hamming small for near-identical docs") {
+    import spark.implicits._
+    val base = (1 to 80).map(i => s"tok$i").mkString(" ")
+    val nearDup = base + " extra"
+    val docs = Seq((1L, base), (2L, nearDup),
+      (3L, (1 to 80).map(i => s"zzz$i").mkString(" "))).toDF("doc_id", "text")
+    val pairs = Dedup.simhashDup(docs, maxHamming = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)))
+  }
+
+  test("ngram jaccard exact values") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "x y z w v"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val r = Dedup.ngramJaccard(docs, pairs)
+      .as[(Long, Long, Double)].collect().map(t => ((t._1, t._2), t._3)).toMap
+    assert(r((1L, 2L)) == 1.0)
+    assert(r((1L, 3L)) == 0.0)
+  }
+
+  test("brute-force ANN self-similarity sanity + IVF recall") {
+    val emb = SynthGeo.table(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 3)
+    val brute = Similarity.bruteTopK(emb, queries, k = 5)
+    val rows = brute.collect()
+    assert(rows.length == 15)
+    // cosine sorted descending per query
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val cs = rs.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+    val ivf = Similarity.ivfTopK(emb, queries, k = 5, nCentroids = 8,
+      nprobe = 4).collect()
+    val bruteSet = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfSet = ivf.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // recall of the approximate path against exact top-5
+    val recall = ivfSet.intersect(bruteSet).size.toDouble / bruteSet.size
+    assert(recall >= 0.5, s"IVF recall $recall")
+  }
+
+  test("language id picks the stopword-matching profile") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat and the dog sat in the garden and that is that"),
+      (2L, "der Hund und die Katze sind nicht in das Haus und der Garten"),
+      (3L, "zzzz qqqq")).toDF("doc_id", "text")
+    val r = TextAnalysis.languageId(docs).as[(Long, String, Double)]
+      .collect().map(t => t._1 -> t._2).toMap
+    assert(r(1L) == "en" && r(2L) == "de" && r(3L) == "und")
+  }
+
+  test("fingerprint stable and edit-robust-ish") {
+    import spark.implicits._
+    val t = (1 to 50).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, t), (2L, t)).toDF("doc_id", "text")
+    val r = TextAnalysis.fingerprint(docs).as[(Long, Long)].collect().toMap
+    assert(r(1L) == r(2L))
+  }
+
+  test("multimodal fake decode: deterministic schema + batch shape") {
+    import spark.implicits._
+    val media = Seq((1L, "abc".getBytes("UTF-8")), (2L, "xyzw".getBytes("UTF-8")))
+      .toDF("id", "bytes")
+    val f = Multimodal.imageFeatures(media).orderBy("id").collect()
+    assert(f.length == 2)
+    assert(f(0).getInt(1) == 8 && f(0).getInt(2) == 8)
+    val again = Multimodal.imageFeatures(media.repartition(3)).orderBy("id").collect()
+    assert(f.sameElements(again))
+    val frames = Multimodal.frameSample(media).collect()
+    assert(frames.nonEmpty)
+  }
+
+  test("webtext pipeline: checkpoint, resume, text byte-identity") {
+    val root = Files.createTempDirectory("graft-ckpt").toString
+    val t0 = System.nanoTime()
+    val r1 = Webtext.runAll(spark, dir, root, permutations = 99)
+    val moran1 = r1.moran.orderBy("gid").collect()
+    assert(moran1.nonEmpty)
+    // text invariant on join output
+    val pages = Webtext.synthWebpages(spark, dir)
+    assert(Webtext.verifyTextIdentity(pages, r1.joined))
+    // all stages have lineage rows with counts
+    val lin = Checkpoint.lineage(spark, root).get
+    val stages = lin.select("stage").distinct().collect().map(_.getString(0)).toSet
+    assert(stages == Set("pages", "geocoded", "polygons", "joined",
+      "weights", "moran"))
+    assert(lin.agg(sum("row_count")).head().getLong(0) > 0)
+    // resume: delete only the final stage, re-run — earlier stages reused
+    // (their outputs unchanged on disk), final recomputed identically
+    val moranDir = new java.io.File(Checkpoint.stagePath(root, "moran"))
+    moranDir.listFiles().foreach(_.delete()); moranDir.delete()
+    val r2 = Webtext.runAll(spark, dir, root, permutations = 99)
+    val moran2 = r2.moran.orderBy("gid").collect()
+    assert(moran1.sameElements(moran2))
+    val _ = t0
+  }
+}
