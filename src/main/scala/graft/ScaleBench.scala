@@ -1,0 +1,72 @@
+package graft
+
+import graft.stats.Lisa
+import graft.weights.KnnWeights
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Throughput benchmark at reference-comparable row counts
+  * (BASELINE.md: knn(10) build 1M rows = 23.1s ≈ 43k rows/s;
+  * local_moran 10M ≈ 43k rows/s; local_joincount 1M = 45.4s).
+  *
+  * Synthesizes N uniform points via spark.range + xxhash64 (no data
+  * files — generation is part of the measured pipeline's input stage,
+  * excluded from stage timings), then times:
+  *   knn10 build → local_moran(999 perms, seed 123456789) →
+  *   local_joincount — each fully materialized.
+  *
+  * Env: SPARK_GRAFT_SCALE_N (default 1,000,000), SPARK_GRAFT_CPUS.
+  * Prints one JSON line with seconds + rows/s per stage.
+  */
+object ScaleBench {
+  def main(args: Array[String]): Unit = {
+    val n = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "1000000").toLong
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-scalebench")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val side = 1000.0 // domain side → ~n/1e6 pts per unit cell at n=1M
+      val points = spark.range(n).select(
+          col("id").as("gid"),
+          (pmod(xxhash64(col("id")), lit(1000000L)).cast("double") / 1e6 * side).as("x"),
+          (pmod(xxhash64(col("id"), lit(1)), lit(1000000L)).cast("double") / 1e6 * side).as("y"))
+        .cache()
+      points.count() // materialize input outside the timed stages
+
+      def time[A](f: => A): (A, Double) = {
+        val t0 = System.nanoTime()
+        val r = f
+        (r, (System.nanoTime() - t0) / 1e9)
+      }
+
+      val k = 10
+      val cell = side / math.sqrt(n.toDouble / k) // ~k pts per cell
+      val (w, tKnn) = time {
+        val wdf = KnnWeights.build(points,
+          KnnWeights.Conf(k = k, cellSize = Some(cell))).cache()
+        wdf.count()
+        wdf
+      }
+      val vals = points.select(col("gid"),
+        pmod(xxhash64(col("gid"), lit(2)), lit(1000L)).cast("double").as("value"))
+      val (_, tMoran) = time {
+        Lisa.localMoran(vals, w).agg(sum("stat")).head()
+      }
+      val binVals = points.select(col("gid"),
+        (pmod(xxhash64(col("gid"), lit(3)), lit(2L))).cast("double").as("value"))
+      val (_, tJc) = time {
+        Lisa.localJoinCount(binVals, w).agg(sum("stat")).head()
+      }
+      val rate = (t: Double) => math.round(n / t)
+      println(
+        s"""{"metric":"scale_pipeline","n":$n,"cpus":"$cpus","unit":"sec","knn10_sec":$tKnn,"knn10_rows_per_sec":${rate(tKnn)},"moran_sec":$tMoran,"moran_rows_per_sec":${rate(tMoran)},"joincount_sec":$tJc,"joincount_rows_per_sec":${rate(tJc)}}""")
+    } finally spark.stop()
+  }
+}

@@ -29,9 +29,16 @@ object SparkEntry {
     Lisa.localMoran(vals, w).join(joined, Seq("gid"), "left")
   }
 
+  /** The reference persists weights once and reuses them for every
+    * statistic (`postgeoda/notes.md:104-141`); the Bench/Verify analogue
+    * is a per-dir memoized cached weights table shared by all LISA
+    * queries in the session.
+    */
+  private val knnCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private def knnWeights4(s: SparkSession, dir: String): DataFrame =
-    KnnWeights.build(SynthGeo.customerPoints(s, dir),
-      KnnWeights.Conf(k = 4, cellSize = Some(4.0)))
+    knnCache.computeIfAbsent(dir, _ =>
+      KnnWeights.build(SynthGeo.customerPoints(s, dir),
+        KnnWeights.Conf(k = 4, cellSize = Some(4.0))).cache())
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- relational plumbing (scan/filter/agg/join/window/sort/top-k) ----

@@ -1,0 +1,94 @@
+package graft.catalyst
+
+import graft.core.{Rng, Tiling}
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.graftshim.ColumnShim
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+
+/** Native Catalyst expressions with whole-stage codegen for the two pure
+  * functions on the engine's hot paths (SURVEY §4.2): grid cell-id
+  * encoding and the reference's ThomasWangHashDouble
+  * (`postgeoda/src/proxy.cpp:339-348`). Both generate straight-line Java
+  * — no virtual calls, no boxing — so tiling stays inside the same
+  * codegen stage as the parquet scan.
+  */
+
+/** cell_id(x, y, cellSize) → long; same formula as Tiling.cellIdCol. */
+case class CellIdExpr(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, DoubleType, DoubleType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(x: Any, y: Any, s: Any): Any = {
+    val cs = s.asInstanceOf[Double]
+    Tiling.cellId(x.asInstanceOf[Double], y.asInstanceOf[Double], cs)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y, s) => {
+      s"""
+         |${ev.value} = ((long) Math.floor($x / $s) + ${Tiling.Off}L) * ${Tiling.Mul}L
+         |  + ((long) Math.floor($y / $s) + ${Tiling.Off}L);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression = copy(f, s, t)
+}
+
+/** tw_hash(key) → double in [0,1); bit-exact reference RNG stream. */
+case class TwHashExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType)
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(key: Any): Any =
+    Rng.thomasWangHashDouble(key.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, k => s"graft.core.Rng.thomasWangHashDouble($k)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(c)
+}
+
+object GraftFunctions {
+  def cell_id(x: Column, y: Column, cellSize: Double): Column =
+    ColumnShim.column(CellIdExpr(ColumnShim.expression(x),
+      ColumnShim.expression(y),
+      org.apache.spark.sql.catalyst.expressions.Literal(cellSize)))
+  def tw_hash(key: Column): Column =
+    ColumnShim.column(TwHashExpr(ColumnShim.expression(key)))
+
+  /** Register `cell_id` / `tw_hash` for SQL use on a live session. */
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cell_id", exprs => CellIdExpr(exprs(0), exprs(1), exprs(2)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "tw_hash", exprs => TwHashExpr(exprs.head), "built-in")
+  }
+}
+
+/** spark.sql.extensions entry point:
+  * `.config("spark.sql.extensions", "graft.catalyst.GraftExtensions")`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("cell_id"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[CellIdExpr].getName, "cell_id"),
+        (exprs: Seq[Expression]) => CellIdExpr(exprs(0), exprs(1), exprs(2))))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("tw_hash"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[TwHashExpr].getName, "tw_hash"),
+        (exprs: Seq[Expression]) => TwHashExpr(exprs.head)))
+  }
+}

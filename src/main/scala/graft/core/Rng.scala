@@ -73,19 +73,41 @@ object Rng {
     */
   def drawDistinct(seedStart: Int, numObs: Int, selfIdx: Int, nDraw: Int,
                    work: IntSet, out: Array[Int]): Int = {
-    val maxRand = numObs - 1
-    var seed = seedStart
-    var got = 0
-    while (got < nDraw) {
-      val rng = thomasWangHashDouble(seed.toLong) * maxRand
-      seed += 1
-      val cand = roundHalfAway(rng)
-      if (cand != selfIdx && !work.belongs(cand)) {
-        work.push(cand)
-        got += 1
+    if (nDraw <= 32) {
+      // duplicate check by linear scan of the drawn-so-far array: the
+      // same accept/reject sequence as GeoDaSet membership, without the
+      // O(numObs) flags array (whose random access is a guaranteed cache
+      // miss per draw at web scale)
+      val maxRand = numObs - 1
+      var seed = seedStart
+      var got = 0
+      while (got < nDraw) {
+        val rng = thomasWangHashDouble(seed.toLong) * maxRand
+        seed += 1
+        val cand = roundHalfAway(rng)
+        if (cand != selfIdx) {
+          var dup = false
+          var j = 0
+          while (j < got) { if (out(j) == cand) { dup = true; j = got } else j += 1 }
+          if (!dup) { out(got) = cand; got += 1 }
+        }
       }
+      seed
+    } else {
+      val maxRand = numObs - 1
+      var seed = seedStart
+      var got = 0
+      while (got < nDraw) {
+        val rng = thomasWangHashDouble(seed.toLong) * maxRand
+        seed += 1
+        val cand = roundHalfAway(rng)
+        if (cand != selfIdx && !work.belongs(cand)) {
+          work.push(cand)
+          got += 1
+        }
+      }
+      work.drainTo(out)
+      seed
     }
-    work.drainTo(out)
-    seed
   }
 }

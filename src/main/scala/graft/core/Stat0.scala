@@ -25,19 +25,23 @@ object Stat0 {
     def raw: java.math.BigDecimal = acc
   }
 
-  /** mean + sample sd from exact sums. sd = sqrt(sum((x-mean)^2)/(n-1)). */
+  /** mean + sample sd, sequential accumulation in array order —
+    * deterministic because callers pass gid-sorted vectors, and
+    * bit-matching the reference's GenUtils double accumulation.
+    * sd = sqrt(sum((x-mean)^2)/(n-1)).
+    */
   def meanSd(xs: Array[Double]): (Double, Double) = {
     val n = xs.length
     if (n == 0) return (0.0, 0.0)
-    val s = new ExactSum
+    var s = 0.0
     var i = 0
-    while (i < n) { s.add(xs(i)); i += 1 }
-    val mean = s.value / n
+    while (i < n) { s += xs(i); i += 1 }
+    val mean = s / n
     if (n == 1) return (mean, 0.0)
-    val s2 = new ExactSum
+    var s2 = 0.0
     i = 0
-    while (i < n) { val d = xs(i) - mean; s2.add(d * d); i += 1 }
-    (mean, math.sqrt(s2.value / (n - 1)))
+    while (i < n) { val d = xs(i) - mean; s2 += d * d; i += 1 }
+    (mean, math.sqrt(s2 / (n - 1)))
   }
 
   /** In-place z-standardize (GeoDa semantics; sd==0 leaves deviations). */

@@ -44,7 +44,7 @@ object Webtext {
     pages.select(col("url"), col("text"))
       .withColumn("h", xxhash64(col("url")))
       .withColumn("h2", xxhash64(col("url"), lit(1)))
-      .withColumn("gid", pmod(col("h"), lit(1000000000L)))
+      .withColumn("gid", col("h")) // full 64-bit: collision-free in practice
       .withColumn("x", (pmod(col("h"), lit(18000L))).cast("double") / 100.0)
       .withColumn("y", (pmod(col("h2"), lit(18000L))).cast("double") / 100.0)
       .withColumn("cell", Tiling.cellIdCol(col("x"), col("y"), cellSize))

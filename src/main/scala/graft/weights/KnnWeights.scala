@@ -9,20 +9,24 @@ import org.apache.spark.sql.functions._
   *
   * Reference behavior: `knn_weights(gid, geom, k [, power, is_inverse,
   * is_arc, is_mile])` (`postgeoda/src/weights_knn.c:58-202`,
-  * `postgeoda/src/proxy.cpp:130-139`) — a kd-tree per-node build. Here the
-  * kd-tree is replaced by a grid-cell equi-join with ring expansion
-  * (SURVEY §7.4): every point joins candidates from the Chebyshev-radius-r
-  * block of grid cells around it; a point's top-k is provably complete
-  * once its k-th neighbor distance is `< r*cellSize`. Points failing the
-  * guard re-run at doubled radius; the loop ends with a broadcast
-  * brute-force pass for stragglers. All relational steps are native
-  * Catalyst ops (explode / equi-join / window top-k) so the shuffle is
-  * keyed by cell and AQE handles skewed cells; the `knn_weights_sub`
-  * manual-sharding device of the reference (`weights_knn.c:213-369`) is
-  * obsolete under this partitioning.
+  * `postgeoda/src/proxy.cpp:130-139`) — a single-node kd-tree build.
   *
-  * Determinism: neighbor order is (distance, gid) ascending — ties broken
-  * by gid, so output is independent of partitioning.
+  * Spark shape (SURVEY §7.4): grid cells sized for ~k points per
+  * Chebyshev-1 block; every point is SHIPPED to the 9 cells of its block
+  * (one shuffle keyed by cell), then a per-cell `flatMapGroups` computes
+  * each home point's top-k with a bounded max-heap — no global sort, no
+  * second aggregation shuffle: the group pass emits finished neighbor
+  * arrays. A point's top-k is provably complete when its kth-neighbor
+  * distance < cellSize (anything outside the block is ≥ cellSize away);
+  * the rare uncertified points re-run through an expanding-radius
+  * join (they are <<1% for any sane cell size), ending in a broadcast
+  * brute-force pass. Deterministic: neighbor order (distance, gid) asc.
+  *
+  * Scale notes: shuffle volume is 9×|points| fixed-width rows; skewed
+  * (dense) cells only grow the in-memory candidate buffer of their one
+  * group — for pathological density add a salt level to the tiling, but
+  * AQE already splits the *shuffle* partitions. The reference's manual
+  * `knn_weights_sub` sharding (`weights_knn.c:213-369`) is obsolete here.
   */
 object KnnWeights {
 
@@ -37,18 +41,7 @@ object KnnWeights {
       useKernelDiagonals: Boolean = false,
       cellSize: Option[Double] = None)
 
-  private def distCol(conf: Conf)(ax: Column, ay: Column, bx: Column, by: Column): Column =
-    if (conf.isArc) {
-      // haversine in SQL functions (codegen'd); unit by isMile
-      val r = lit(if (conf.isMile) Dist.EarthMiles else Dist.EarthKm)
-      val la1 = radians(ay); val la2 = radians(by)
-      val dLa = la2 - la1
-      val dLo = radians(bx - ax)
-      val a = pow(sin(dLa / 2), 2) + cos(la1) * cos(la2) * pow(sin(dLo / 2), 2)
-      lit(2.0) * r * asin(least(lit(1.0), sqrt(a)))
-    } else sqrt((ax - bx) * (ax - bx) + (ay - by) * (ay - by))
-
-  /** Auto cell size targeting ~k points per cell. */
+  /** Auto cell size targeting ~k candidates per 3x3 block. */
   def autoCellSize(points: DataFrame, k: Int): Double = {
     val row = points.agg(min("x"), max("x"), min("y"), max("y"),
       count(lit(1))).head()
@@ -58,104 +51,204 @@ object KnnWeights {
     math.max(math.sqrt(w * h * math.max(1, k) / math.max(1L, n)), 1e-9)
   }
 
-  /** Exploded neighbor pairs `(gid, nbr, dist, rk)` with rk in 1..k by
-    * (dist, nbr) ascending. This is the join-ready long form; `build`
-    * folds it to per-row neighbor lists.
+  @inline private def distOf(conf: Conf)(ax: Double, ay: Double,
+                                         bx: Double, by: Double): Double =
+    if (conf.isArc) Dist.arc(ax, ay, bx, by, conf.isMile)
+    else Dist.euclidean(ax, ay, bx, by)
+
+  /** Bounded max-heap of (dist, gid), capacity k, with deterministic
+    * (dist, gid) ordering.
     */
-  def pairs(points: DataFrame, conf: Conf): DataFrame = {
+  private final class TopK(k: Int) {
+    val ds = new Array[Double](k)
+    val gs = new Array[Long](k)
+    var size = 0
+    @inline private def worse(i: Int, j: Int): Boolean =
+      ds(i) > ds(j) || (ds(i) == ds(j) && gs(i) > gs(j))
+    @inline private def swap(i: Int, j: Int): Unit = {
+      val d = ds(i); ds(i) = ds(j); ds(j) = d
+      val g = gs(i); gs(i) = gs(j); gs(j) = g
+    }
+    def offer(d: Double, g: Long): Unit = {
+      if (size < k) {
+        ds(size) = d; gs(size) = g; size += 1
+        var i = size - 1
+        // sift up: root must hold the WORST (largest) kept entry
+        while (i > 0 && worse(i, (i - 1) / 2)) { swap((i - 1) / 2, i); i = (i - 1) / 2 }
+      } else if (d < ds(0) || (d == ds(0) && g < gs(0))) {
+        ds(0) = d; gs(0) = g
+        var i = 0
+        var go = true
+        while (go) {
+          val l = 2 * i + 1; val r = 2 * i + 2
+          var m = i
+          if (l < size && worse(l, m)) m = l
+          if (r < size && worse(r, m)) m = r
+          if (m == i) go = false else { swap(i, m); i = m }
+        }
+      }
+    }
+    /** kth (largest kept) distance, or +inf when under-filled. */
+    def kth: Double = if (size == 0) Double.PositiveInfinity else ds(0)
+    /** drain into (nbrs, dists) sorted by (dist, gid) asc. */
+    def sortedOut(): (Array[Long], Array[Double]) = {
+      val idx = (0 until size).sortBy(i => (ds(i), gs(i)))
+      (idx.map(gs).toArray, idx.map(ds).toArray)
+    }
+  }
+
+  /** Complete per-point result: (gid, x, y, nbrs sorted, dists sorted). */
+  def knnRows(points: DataFrame, conf: Conf): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
     val s = conf.cellSize.getOrElse(autoCellSize(points, conf.k))
-    val pts = points.select(col("gid"), col("x"), col("y"))
+    val k = conf.k
+    val cfg = conf
+
+    val pts = points.select(col("gid").cast("long"), col("x"), col("y"))
       .withColumn("cell", Tiling.cellIdCol(col("x"), col("y"), s))
-      .cache()
+
+    // ship every point to its 9-cell block; home flagged by delta==0.
+    // Grouping is done by hash-repartition + in-partition sort on the
+    // cell key — this stays in Tungsten binary rows through the whole
+    // exchange (a Dataset groupByKey here deserializes all 9N rows into
+    // JVM tuples before the shuffle and costs ~3x the entire kNN math).
+    val deltas = (for (dx <- -1 to 1; dy <- -1 to 1)
+      yield dx.toLong * Tiling.Mul + dy).toArray
+    val shipped = pts
+      .withColumn("__delta", explode(typedLit(deltas)))
+      .select((col("cell") + col("__delta")).as("tcell"), col("gid"),
+        col("x"), col("y"), (col("__delta") === 0L).as("home"))
+      // explicit partition count: the group pass is compute-bound (heap
+      // evals), so we want ~4 waves of tasks per core for balance; an
+      // AQE-coalesced exchange would target 64MB IO-sized partitions and
+      // under-parallelize the math
+      .repartition(4 * points.sparkSession.sessionState.conf.numShufflePartitions,
+        col("tcell"))
+      .sortWithinPartitions("tcell")
+      .as[(Long, Long, Double, Double, Boolean)]
+
+    // one pass per cell-run: bounded-heap top-k for each home point
+    val round1 = shipped.mapPartitions { it =>
+      val bit = it.buffered
+      val buf = new scala.collection.mutable.ArrayBuffer[(Long, Long, Double, Double, Boolean)](64)
+      new Iterator[(Long, Double, Double, Array[Long], Array[Double], Boolean)] {
+        private var pending: Iterator[(Long, Double, Double, Array[Long], Array[Double], Boolean)] =
+          Iterator.empty
+        private def advance(): Unit = {
+          while (!pending.hasNext && bit.hasNext) {
+            val cell = bit.head._1
+            buf.clear()
+            while (bit.hasNext && bit.head._1 == cell) buf += bit.next()
+            val all = buf
+            pending = all.iterator.filter(_._5).map { case (_, gid, x, y, _) =>
+              val heap = new TopK(k)
+              var i = 0
+              while (i < all.length) {
+                val c = all(i)
+                if (c._2 != gid) heap.offer(distOf(cfg)(x, y, c._3, c._4), c._2)
+                i += 1
+              }
+              val (nbrs, dists) = heap.sortedOut()
+              val certified = heap.size == k && heap.kth < s
+              (gid, x, y, nbrs, dists, certified)
+            }.toArray.iterator // materialize before buf is reused
+          }
+        }
+        def hasNext: Boolean = { advance(); pending.hasNext }
+        def next(): (Long, Double, Double, Array[Long], Array[Double], Boolean) = {
+          advance(); pending.next()
+        }
+      }
+    }.toDF("gid", "x", "y", "nbrs", "dists", "certified").cache()
+
+    val resolved = round1.filter(col("certified"))
+      .select("gid", "x", "y", "nbrs", "dists")
+
+    val unresolvedPts = round1.filter(!col("certified"))
+      .select("gid", "x", "y")
+      .withColumn("cell", Tiling.cellIdCol(col("x"), col("y"), s))
+
+    // expanding-radius completion for the stragglers (normally <<1%)
+    var done = resolved
+    var unresolved = unresolvedPts
+    var r = 2
+    var exhausted = false
+    var remaining = unresolved.limit(1).count() > 0
     val ptsB = pts.select(col("gid").as("bgid"), col("x").as("bx"),
       col("y").as("by"), col("cell").as("bcell"))
-
-    def blockDeltas(r: Int): Array[Long] =
-      (for (dx <- -r to r; dy <- -r to r)
-        yield dx.toLong * Tiling.Mul + dy).toArray
-
-    def topkOf(cand: DataFrame): DataFrame =
-      cand
-        .withColumn("dist", distCol(conf)(col("x"), col("y"), col("bx"), col("by")))
-        .withColumn("rk", row_number().over(Window.partitionBy("gid")
-          .orderBy(col("dist"), col("bgid"))))
-        .filter(col("rk") <= conf.k)
-        .select(col("gid"), col("bgid").as("nbr"), col("dist"), col("rk"))
-
-    var r = 1
-    var unresolved = pts
-    var done: DataFrame = null
-    var exhausted = false
-    // expansion loop: each pass fully resolves points whose kth-neighbor
-    // distance certifies completeness; typically 1-2 passes resolve >99.9%
-    while (unresolved != null) {
+    while (remaining) {
       val cand =
         if (!exhausted) {
+          val blockDeltas = (for (dx <- -r to r; dy <- -r to r)
+            yield dx.toLong * Tiling.Mul + dy).toArray
           unresolved
-            .withColumn("__delta", explode(typedLit(blockDeltas(r))))
+            .withColumn("__delta", explode(typedLit(blockDeltas)))
             .withColumn("__ccell", col("cell") + col("__delta"))
             .join(ptsB, col("__ccell") === col("bcell"))
             .filter(col("gid") =!= col("bgid"))
         } else {
-          // stragglers: brute force — unresolved side is tiny, broadcast it
           broadcast(unresolved).crossJoin(ptsB)
             .filter(col("gid") =!= col("bgid"))
         }
-      val tk = topkOf(cand)
-      if (exhausted) {
-        done = if (done == null) tk else done.unionByName(tk)
-        unresolved = null
-      } else {
-        // certify completeness per point with window aggs (reuses the
-        // row_number exchange; no extra shuffle, nothing broadcast)
-        val wAll = Window.partitionBy("gid")
-        val stats = tk
-          .withColumn("__cnt", count(lit(1)).over(wAll))
-          .withColumn("__kth", max("dist").over(wAll))
-        val okCond = col("__cnt") === conf.k && col("__kth") < lit(r * s)
-        val resolved = stats.filter(okCond)
-          .select(col("gid"), col("nbr"), col("dist"), col("rk"))
-        done = if (done == null) resolved else done.unionByName(resolved)
-        val okGids = stats.filter(okCond).select("gid").distinct()
-        val next = unresolved.join(okGids, Seq("gid"), "left_anti")
-        val remaining = next.limit(1).count()
-        if (remaining == 0) unresolved = null
-        else {
-          unresolved = next.cache()
-          r *= 2
-          if (r > 64) exhausted = true // fall back to broadcast brute force
-        }
+      val rr = r; val ex = exhausted
+      val topk = cand.select(col("gid"), col("x"), col("y"),
+          col("bgid"), col("bx"), col("by"))
+        .as[(Long, Double, Double, Long, Double, Double)]
+        .groupByKey(_._1)
+        .mapGroups { (gid, it) =>
+          val heap = new TopK(k)
+          var x = 0.0; var y = 0.0
+          it.foreach { c =>
+            x = c._2; y = c._3
+            heap.offer(distOf(cfg)(x, y, c._5, c._6), c._4)
+          }
+          val (nbrs, dists) = heap.sortedOut()
+          val certified = ex || (heap.size == k && heap.kth < rr * s)
+          (gid, x, y, nbrs, dists, certified)
+        }.toDF("gid", "x", "y", "nbrs", "dists", "certified").cache()
+      done = done.unionByName(topk.filter(col("certified"))
+        .select("gid", "x", "y", "nbrs", "dists"))
+      if (exhausted) remaining = false
+      else {
+        // anti-join, NOT topk.filter(!certified): a point with zero
+        // candidates in this radius is absent from topk entirely but
+        // must stay unresolved
+        unresolved = unresolved.join(
+          topk.filter(col("certified")).select("gid"), Seq("gid"), "left_anti")
+        remaining = unresolved.limit(1).count() > 0
+        r *= 2
+        if (r > 64) exhausted = true
       }
     }
     done
   }
 
+  /** Exploded `(gid, nbr, dist, rk)` pairs, rk 1..k by (dist, nbr) asc. */
+  def pairs(points: DataFrame, conf: Conf): DataFrame =
+    knnRows(points, conf)
+      .select(col("gid"), posexplode(arrays_zip(col("nbrs"), col("dists"))))
+      .select(col("gid"), col("col.nbrs").as("nbr"),
+        col("col.dists").as("dist"), (col("pos") + 1).cast("int").as("rk"))
+
   /** Per-row weights `(gid, nbrs array<long>, wts array<double>)`;
-    * `wts` is null for plain binary kNN (GAL-type), populated for
-    * inverse-distance / kernel variants (GWT-type).
+    * `wts` null for plain binary kNN (GAL), populated for inverse-
+    * distance / kernel variants (GWT). No extra shuffle — the arrays come
+    * finished from the group pass.
     */
   def build(points: DataFrame, conf: Conf): DataFrame = {
-    val p = pairs(points, conf)
+    val rows = knnRows(points, conf)
     val valued = conf.kernel.isDefined || conf.isInverse || conf.power != 1.0
-    if (!valued) {
-      p.groupBy("gid").agg(
-        sort_array(collect_list(struct(col("rk"), col("nbr")))).as("__s"))
-        .select(col("gid"), col("__s.nbr").as("nbrs"),
-          lit(null).cast("array<double>").as("wts"))
-    } else {
-      val withW = conf.kernel match {
-        case Some(kname) =>
-          // bandwidth: adaptive → per-obs kth distance; fixed → global max
-          // kth distance (`postgeoda/src/weights_knn.c:381-554` semantics)
-          val bwCol =
-            if (conf.adaptiveBandwidth)
-              max(col("dist")).over(Window.partitionBy("gid"))
-            else {
-              val gmax = p.agg(max("dist")).head().getDouble(0)
-              lit(gmax)
-            }
-          val u = col("dist") / bwCol
-          val kv = kname match {
+    if (!valued)
+      rows.select(col("gid"), col("nbrs"),
+        lit(null).cast("array<double>").as("wts"))
+    else conf.kernel match {
+      case Some(kname) =>
+        val bw =
+          if (conf.adaptiveBandwidth) element_at(col("dists"), -1)
+          else lit(rows.agg(max(element_at(col("dists"), -1))).head().getDouble(0))
+        val kv: Column => Column = { u =>
+          kname match {
             case "triangular"   => when(u >= 1, 0.0).otherwise(lit(1.0) - u)
             case "uniform"      => when(u >= 1, 0.0).otherwise(lit(0.5))
             case "epanechnikov" => when(u >= 1, 0.0).otherwise(lit(0.75) * (lit(1.0) - u * u))
@@ -163,15 +256,17 @@ object KnnWeights {
             case "gaussian"     => exp(lit(-0.5) * u * u) / math.sqrt(2.0 * math.Pi)
             case other          => throw new IllegalArgumentException(s"kernel $other")
           }
-          p.withColumn("w", kv)
-        case None =>
-          val pw = if (conf.power == 1.0) col("dist") else pow(col("dist"), conf.power)
-          p.withColumn("w",
-            if (conf.isInverse) when(pw === 0.0, 0.0).otherwise(lit(1.0) / pw) else pw)
-      }
-      withW.groupBy("gid").agg(
-        sort_array(collect_list(struct(col("rk"), col("nbr"), col("w")))).as("__s"))
-        .select(col("gid"), col("__s.nbr").as("nbrs"), col("__s.w").as("wts"))
+        }
+        rows.select(col("gid"), col("nbrs"),
+          transform(col("dists"), d => kv(d / bw)).as("wts"))
+      case None =>
+        val wv: Column => Column = { d =>
+          val p = if (conf.power == 1.0) d else pow(d, conf.power)
+          if (conf.isInverse) when(p === 0.0, 0.0).otherwise(lit(1.0) / p)
+          else p
+        }
+        rows.select(col("gid"), col("nbrs"),
+          transform(col("dists"), wv).as("wts"))
     }
   }
 }

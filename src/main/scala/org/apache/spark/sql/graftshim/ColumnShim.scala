@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Spark 4 moved Column↔Expression conversion behind `private[sql]`
+  * (`org.apache.spark.sql.classic.ExpressionUtils`). This shim lives in
+  * an `org.apache.spark.sql` subpackage purely to re-export the two
+  * conversions our Catalyst expressions need — the blessed pattern for
+  * third-party expression libraries on Spark 4.
+  */
+object ColumnShim {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,57 @@
+package graft.catalyst
+
+import graft.SparkFixture
+import graft.core.{Rng, Tiling}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CatalystSpec extends AnyFunSuite {
+  lazy val spark = SparkFixture.spark
+
+  test("cell_id expression equals Tiling.cellId, in codegen") {
+    import spark.implicits._
+    val df = Seq((0.0, 0.0), (13.0, -9.0), (-0.1, 0.1), (179.99, 55.5))
+      .toDF("x", "y")
+    val got = df.select(GraftFunctions.cell_id(col("x"), col("y"), 4.0))
+      .as[Long].collect()
+    val want = Seq((0.0, 0.0), (13.0, -9.0), (-0.1, 0.1), (179.99, 55.5))
+      .map { case (x, y) => Tiling.cellId(x, y, 4.0) }
+    assert(got.toSeq == want)
+    // matches the pure-functions_ column formula too
+    val viaCols = df.select(Tiling.cellIdCol(col("x"), col("y"), 4.0))
+      .as[Long].collect()
+    assert(got.sameElements(viaCols))
+  }
+
+  test("tw_hash expression is the bit-exact reference stream") {
+    import spark.implicits._
+    val got = Seq(0L, 1L, 42L, 123456789L, -1L).toDF("k")
+      .select(GraftFunctions.tw_hash(col("k"))).as[Double].collect()
+    assert(got(0) == Rng.thomasWangHashDouble(0L))
+    assert(got(3) == 8.98909580344706582e-01)
+    assert(got(4) == 1.23186137119371542e-01)
+  }
+
+  test("SQL registration works") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT cell_id(CAST(13.0 AS DOUBLE), CAST(-9.0 AS DOUBLE),
+        |               CAST(4.0 AS DOUBLE)) AS c,
+        |       tw_hash(CAST(42 AS BIGINT)) AS h""".stripMargin).head()
+    assert(r.getLong(0) == Tiling.cellId(13.0, -9.0, 4.0))
+    assert(r.getDouble(1) == Rng.thomasWangHashDouble(42L))
+  }
+
+  test("expressions stay inside WholeStageCodegen (no fallback)") {
+    import spark.implicits._
+    val df = spark.range(100).select(
+      GraftFunctions.cell_id(col("id").cast("double"),
+        col("id").cast("double"), 2.0).as("c"),
+      GraftFunctions.tw_hash(col("id")).as("h"))
+    val plan = df.queryExecution.executedPlan.toString
+    // the *(n) marker denotes WholeStageCodegen stages in simpleString
+    assert(plan.contains("*(1)"), plan)
+    // evaluation works under codegen
+    assert(df.agg(sum("h")).head().getDouble(0) > 0)
+  }
+}
