@@ -282,6 +282,47 @@ object OracleSql {
          SELECT gid, count(*) AS n_nbrs, min(nbr) AS nbr_min
          FROM knn GROUP BY gid ORDER BY gid""",
 
+    "q63_weights_astext" ->
+      s"""WITH $KNN4
+         SELECT gid, CAST(gid AS VARCHAR) || ':[' ||
+           string_agg(CAST(nbr AS VARCHAR), ',' ORDER BY rk) || ']' AS txt
+         FROM knn GROUP BY gid ORDER BY gid""",
+
+    "q64_rasterize" ->
+      s"""WITH $PTS,
+         r AS (SELECT (CAST(floor(x / 4.0) AS BIGINT) + 1048576) * 2097152 +
+                      (CAST(floor(y / 4.0) AS BIGINT) + 1048576) AS cell,
+                      x FROM pts)
+         SELECT cell, count(*) AS n, round(sum(x), 4) AS sum_val,
+                round(avg(x), 4) AS avg_val
+         FROM r GROUP BY cell ORDER BY cell""",
+
+    "q65_vectorize" ->
+      s"""WITH $PTS,
+         r AS (SELECT DISTINCT
+                 (CAST(floor(x / 4.0) AS BIGINT) + 1048576) * 2097152 +
+                 (CAST(floor(y / 4.0) AS BIGINT) + 1048576) AS cell FROM pts)
+         SELECT cell,
+           CAST((cell - (cell % 2097152)) / 2097152 - 1048576 AS DOUBLE) * 4.0 AS x0,
+           CAST((cell % 2097152) - 1048576 AS DOUBLE) * 4.0 AS y0
+         FROM r ORDER BY cell""",
+
+    "q66_zonal_stats" ->
+      s"""WITH $PTS, $CELLS,
+         praster AS (
+           SELECT (CAST(floor(x / 4.0) AS BIGINT) + 1048576) * 2097152 +
+                  (CAST(floor(y / 4.0) AS BIGINT) + 1048576) AS cell,
+                  count(*) AS n
+           FROM pts GROUP BY 1),
+         zone AS (
+           SELECT gid AS pid,
+                  (cx + 1048576) * 2097152 + (cy + 1048576) AS cell
+           FROM cells)
+         SELECT z.pid AS pid, CAST(sum(p.n) AS BIGINT) AS n_points,
+                count(*) AS n_cells
+         FROM zone z JOIN praster p ON z.cell = p.cell
+         GROUP BY z.pid ORDER BY pid""",
+
     "q50_dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n
          FROM documents GROUP BY md5(text) ORDER BY h""",

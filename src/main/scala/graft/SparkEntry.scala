@@ -276,6 +276,33 @@ object SparkEntry {
         }.toDF("gid", "n_nbrs", "nbr_min").orderBy("gid")
     }),
 
+    "q63_weights_astext" -> ((s, dir) => {
+      graft.weights.WeightsCodec.asText(knnWeights4(s, dir))
+        .orderBy("gid")
+    }),
+
+    // ---- raster <-> vector (north-rule surface) ----
+    "q64_rasterize" -> ((s, dir) => {
+      graft.pipeline.Raster.rasterizePoints(
+          SynthGeo.customerPoints(s, dir), 4.0, Some("x"))
+        .select(col("cell"), col("n"), round(col("sum_val"), 4).as("sum_val"),
+          round(col("avg_val"), 4).as("avg_val"))
+        .orderBy("cell")
+    }),
+    "q65_vectorize" -> ((s, dir) => {
+      val raster = graft.pipeline.Raster.rasterizePoints(
+        SynthGeo.customerPoints(s, dir), 4.0)
+      graft.pipeline.Raster.vectorize(raster, 4.0)
+        .select("cell", "x0", "y0").orderBy("cell")
+    }),
+    "q66_zonal_stats" -> ((s, dir) => {
+      val raster = graft.pipeline.Raster.rasterizePoints(
+        SynthGeo.customerPoints(s, dir), 4.0)
+      graft.pipeline.Raster.zonalStats(raster,
+          SynthGeo.partPolygons(s, dir).withColumnRenamed("gid", "pid"), 4.0)
+        .orderBy("pid")
+    }),
+
     // ---- documents / training-data ops ----
     "q50_dedup_exact" -> ((s, dir) => {
       SynthGeo.table(s, dir, "documents")

@@ -133,6 +133,23 @@ object Lisa {
       }.toDF()
   }
 
+  /** `local_moran_fast` parity (`postgeoda/src/localmoran.c:149-221`,
+    * `proxy.cpp:350-458`): the statistic + p for ONE observation given
+    * the full value vector — the reference's only distribution-ready
+    * operator, and the per-row kernel the distributed path runs. Values
+    * must be the complete vector in gid order.
+    */
+  def localMoranFast(idx: Int, nbrIdxs: Array[Int], values: Array[Double],
+                     conf: Conf = Conf()): (Double, Double) = {
+    val z = values.clone()
+    Stat0.standardize(z)
+    val scratch = new LisaKernels.Scratch(z.length,
+      math.max(1, nbrIdxs.length))
+    val t = LisaKernels.moran(idx, nbrIdxs, z, conf.permutations, conf.seed,
+      conf.cutoff, scratch)
+    (t.stat, t.p)
+  }
+
   /** Local Moran's I → (gid, stat=I, p, c=cluster). */
   def localMoran(values: DataFrame, weights: DataFrame, conf: Conf = Conf()): DataFrame = {
     val (gids, vals) = gather(values)

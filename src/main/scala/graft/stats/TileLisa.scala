@@ -1,0 +1,72 @@
+package graft.stats
+
+import graft.core.{Stat0, Tiling}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Per-tile LISA — the 10^12-row execution mode (SURVEY §7.5 option i).
+  *
+  * Broadcast-mode LISA needs the full z-vector on every executor, which
+  * caps out around ~10^8 rows. Beyond that the engine partitions space
+  * into super-tiles and runs the statistic independently per tile with
+  * the reference's own window-trim semantics (`binweight.cpp:128-207`,
+  * SURVEY §1.4): LISA over a sub-window DROPS neighbors outside the
+  * window, RENUMBERS observations to window positions 0..N-1, and
+  * standardizes over the window — so per-tile output is reference-defined
+  * behavior (each tile IS a window), not an approximation of the global
+  * statistic.
+  *
+  * Shape: one shuffle keyed by tile; within each tile group the same
+  * LisaKernels run as in broadcast mode. Tiles are independent → no
+  * broadcast, no global state, arbitrarily many tiles.
+  */
+object TileLisa {
+
+  /** Local Moran per tile.
+    * points:  (gid, x, y) — tile assignment source
+    * values:  (gid, value)
+    * weights: (gid, nbrs)
+    * tileSize: super-tile edge length (in coordinate units).
+    * Output: (gid, tile, stat, p, c).
+    */
+  def localMoran(points: DataFrame, values: DataFrame, weights: DataFrame,
+                 tileSize: Double, conf: Lisa.Conf = Lisa.Conf()): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val tiles = points.select(col("gid").cast("long"),
+      Tiling.cellIdCol(col("x"), col("y"), tileSize).as("tile"))
+    val joined = tiles
+      .join(values.select(col("gid").cast("long"),
+        col("value").cast("double")), Seq("gid"))
+      .join(weights.select(col("gid").cast("long"), col("nbrs")), Seq("gid"))
+      .select(col("tile"), col("gid"), col("value"), col("nbrs"))
+      .as[(Long, Long, Double, Option[Seq[Long]])]
+
+    val permutations = conf.permutations
+    val seed = conf.seed
+    val cutoff = conf.cutoff
+
+    joined.groupByKey(_._1).flatMapGroups { (tile, it) =>
+      // materialize the tile window, sorted by gid (window order)
+      val rows = it.toArray.sortBy(_._2)
+      val n = rows.length
+      val gids = new Array[Long](n)
+      val z = new Array[Double](n)
+      var i = 0
+      while (i < n) { gids(i) = rows(i)._2; z(i) = rows(i)._3; i += 1 }
+      // window standardization (reference: whole-window z)
+      Stat0.standardize(z)
+      val scratch = new LisaKernels.Scratch(n, 65536)
+      rows.iterator.zipWithIndex.map { case ((_, gid, _, nbrOpt), idx) =>
+        // window-trim: drop neighbors not present in this tile
+        // (binweight.cpp:153-183 semantics), remap to window positions
+        val nbrs = nbrOpt.getOrElse(Seq.empty).iterator
+          .map(nb => java.util.Arrays.binarySearch(gids, nb))
+          .filter(_ >= 0).toArray
+        val t = LisaKernels.moran(idx, nbrs, z, permutations, seed,
+          cutoff, scratch)
+        (gid, tile, t.stat, t.p, t.c)
+      }
+    }.toDF("gid", "tile", "stat", "p", "c")
+  }
+}

@@ -115,7 +115,7 @@ object KnnWeights {
     // JVM tuples before the shuffle and costs ~3x the entire kNN math).
     val deltas = (for (dx <- -1 to 1; dy <- -1 to 1)
       yield dx.toLong * Tiling.Mul + dy).toArray
-    val shipped = pts
+    val shippedDf = pts
       .withColumn("__delta", explode(typedLit(deltas)))
       .select((col("cell") + col("__delta")).as("tcell"), col("gid"),
         col("x"), col("y"), (col("__delta") === 0L).as("home"))
@@ -126,41 +126,91 @@ object KnnWeights {
       .repartition(4 * points.sparkSession.sessionState.conf.numShufflePartitions,
         col("tcell"))
       .sortWithinPartitions("tcell")
-      .as[(Long, Long, Double, Double, Boolean)]
 
-    // one pass per cell-run: bounded-heap top-k for each home point
-    val round1 = shipped.mapPartitions { it =>
-      val bit = it.buffered
-      val buf = new scala.collection.mutable.ArrayBuffer[(Long, Long, Double, Double, Boolean)](64)
-      new Iterator[(Long, Double, Double, Array[Long], Array[Double], Boolean)] {
-        private var pending: Iterator[(Long, Double, Double, Array[Long], Array[Double], Boolean)] =
-          Iterator.empty
-        private def advance(): Unit = {
-          while (!pending.hasNext && bit.hasNext) {
-            val cell = bit.head._1
-            buf.clear()
-            while (bit.hasNext && bit.head._1 == cell) buf += bit.next()
-            val all = buf
-            pending = all.iterator.filter(_._5).map { case (_, gid, x, y, _) =>
-              val heap = new TopK(k)
-              var i = 0
-              while (i < all.length) {
-                val c = all(i)
-                if (c._2 != gid) heap.offer(distOf(cfg)(x, y, c._3, c._4), c._2)
-                i += 1
-              }
-              val (nbrs, dists) = heap.sortedOut()
-              val certified = heap.size == k && heap.kth < s
-              (gid, x, y, nbrs, dists, certified)
-            }.toArray.iterator // materialize before buf is reused
+    // one pass per cell-run over raw InternalRows: bounded-heap top-k per
+    // home point. Fields read straight out of UnsafeRows into primitive
+    // buffers — zero boxing for the 9N shipped rows, which keeps the hot
+    // stage allocation-free (only the 2M output rows allocate).
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types._
+    val outSchema = StructType(Seq(
+      StructField("gid", LongType, nullable = false),
+      StructField("x", DoubleType, nullable = false),
+      StructField("y", DoubleType, nullable = false),
+      StructField("nbrs", ArrayType(LongType, containsNull = false)),
+      StructField("dists", ArrayType(DoubleType, containsNull = false)),
+      StructField("certified", BooleanType, nullable = false)))
+    val outRdd = org.apache.spark.sql.graftshim.ColumnShim
+      .toInternalRdd(shippedDf)
+      .mapPartitions { it =>
+        new Iterator[InternalRow] {
+          private var gBuf = new Array[Long](256)
+          private var xBuf = new Array[Double](256)
+          private var yBuf = new Array[Double](256)
+          private var hBuf = new Array[Boolean](256)
+          private var n = 0
+          private var nextRow: InternalRow = if (it.hasNext) it.next() else null
+          private var pendingIdx = 0 // index into buffered homes
+          private def grow(): Unit = {
+            val cap = gBuf.length * 2
+            gBuf = java.util.Arrays.copyOf(gBuf, cap)
+            xBuf = java.util.Arrays.copyOf(xBuf, cap)
+            yBuf = java.util.Arrays.copyOf(yBuf, cap)
+            hBuf = java.util.Arrays.copyOf(hBuf, cap)
+          }
+          private def loadRun(): Unit = {
+            n = 0
+            pendingIdx = 0
+            if (nextRow == null) return
+            val cell = nextRow.getLong(0)
+            var go = true
+            while (go) {
+              if (n == gBuf.length) grow()
+              gBuf(n) = nextRow.getLong(1)
+              xBuf(n) = nextRow.getDouble(2)
+              yBuf(n) = nextRow.getDouble(3)
+              hBuf(n) = nextRow.getBoolean(4)
+              n += 1
+              if (it.hasNext) {
+                nextRow = it.next()
+                go = nextRow.getLong(0) == cell
+              } else { nextRow = null; go = false }
+            }
+          }
+          private def seekHome(): Boolean = {
+            while (true) {
+              while (pendingIdx < n && !hBuf(pendingIdx)) pendingIdx += 1
+              if (pendingIdx < n) return true
+              if (nextRow == null) return false
+              loadRun()
+            }
+            false
+          }
+          def hasNext: Boolean = seekHome()
+          def next(): InternalRow = {
+            if (!seekHome()) throw new NoSuchElementException
+            val i0 = pendingIdx
+            pendingIdx += 1
+            val gid = gBuf(i0); val x = xBuf(i0); val y = yBuf(i0)
+            val heap = new TopK(k)
+            var i = 0
+            while (i < n) {
+              if (gBuf(i) != gid)
+                heap.offer(distOf(cfg)(x, y, xBuf(i), yBuf(i)), gBuf(i))
+              i += 1
+            }
+            val (nbrs, dists) = heap.sortedOut()
+            val certified = heap.size == k && heap.kth < s
+            new GenericInternalRow(Array[Any](gid, x, y,
+              ArrayData.toArrayData(nbrs), ArrayData.toArrayData(dists),
+              certified))
           }
         }
-        def hasNext: Boolean = { advance(); pending.hasNext }
-        def next(): (Long, Double, Double, Array[Long], Array[Double], Boolean) = {
-          advance(); pending.next()
-        }
       }
-    }.toDF("gid", "x", "y", "nbrs", "dists", "certified").cache()
+    val round1 = org.apache.spark.sql.graftshim.ColumnShim
+      .internalDf(spark, outRdd, outSchema).cache()
 
     val resolved = round1.filter(col("certified"))
       .select("gid", "x", "y", "nbrs", "dists")
@@ -223,6 +273,18 @@ object KnnWeights {
     }
     done
   }
+
+  /** `knn_weights_sub(gid, geom, k, start, end)` parity
+    * (`postgeoda/src/weights_knn.c:213-369`): kNN for gids in
+    * [startGid, endGid) only — the reference's manual sharding device.
+    * Under Spark this is just a receiver-side filter (all points remain
+    * candidates); it exists for API parity and for partition-pruned
+    * incremental rebuilds.
+    */
+  def buildSub(points: DataFrame, conf: Conf, startGid: Long,
+               endGid: Long): DataFrame =
+    build(points, conf)
+      .filter(col("gid") >= startGid && col("gid") < endGid)
 
   /** Exploded `(gid, nbr, dist, rk)` pairs, rk 1..k by (dist, nbr) asc. */
   def pairs(points: DataFrame, conf: Conf): DataFrame =

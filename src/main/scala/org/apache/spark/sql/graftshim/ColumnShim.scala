@@ -13,4 +13,18 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnShim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Re-export of SparkSession.internalCreateDataFrame for zero-copy
+    * InternalRow kernels (private[sql] upstream).
+    */
+  def internalDf(spark: org.apache.spark.sql.SparkSession,
+                 rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+                 schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema)
+
+  /** The analyzed physical RDD of a DataFrame (private[sql] upstream). */
+  def toInternalRdd(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] =
+    df.queryExecution.toRdd
 }

@@ -1,0 +1,56 @@
+package graft.stats
+
+import graft.SparkFixture
+import graft.weights.KnnWeights
+import org.scalatest.funsuite.AnyFunSuite
+
+class TileLisaSpec extends AnyFunSuite {
+  lazy val spark = SparkFixture.spark
+
+  private def points(n: Int) = {
+    import spark.implicits._
+    (1 to n).map { i =>
+      (i.toLong, (i * 193 % 997) * 0.13, (i * 499 % 991) * 0.17)
+    }.toDF("gid", "x", "y")
+  }
+  private def values(n: Int) = {
+    import spark.implicits._
+    (1 to n).map(i => (i.toLong, (i * 37 % 101).toDouble)).toDF("gid", "value")
+  }
+
+  test("single giant tile equals broadcast-mode localMoran") {
+    import spark.implicits._
+    val pts = points(120)
+    val w = KnnWeights.build(pts, KnnWeights.Conf(k = 4, cellSize = Some(4.0)))
+    val v = values(120)
+    val broadcastMode = Lisa.localMoran(v, w).orderBy("gid")
+      .as[(Long, Double, Double, Double)].collect()
+    // tile size covering the whole domain → one window == global window
+    val tiled = TileLisa.localMoran(pts, v, w, tileSize = 1e6)
+      .orderBy("gid")
+      .select("gid", "stat", "p", "c")
+      .as[(Long, Double, Double, Double)].collect()
+    assert(tiled.sameElements(broadcastMode))
+  }
+
+  test("per-tile mode: window-trim drops cross-tile neighbors") {
+    import spark.implicits._
+    val pts = points(200)
+    val w = KnnWeights.build(pts, KnnWeights.Conf(k = 4, cellSize = Some(4.0)))
+    val v = values(200)
+    val tiled = TileLisa.localMoran(pts, v, w, tileSize = 40.0)
+      .as[(Long, Long, Double, Double, Double)].collect()
+    assert(tiled.length == 200)
+    // multiple tiles actually exist
+    assert(tiled.map(_._2).distinct.length > 1)
+    // rows with all neighbors trimmed are Neighborless (c=5), p=0
+    tiled.filter(_._5 == 5.0).foreach { r =>
+      assert(r._3 == 0.0 && r._4 == 0.0)
+    }
+    // deterministic under repartitioning
+    val again = TileLisa.localMoran(pts.repartition(7), v.repartition(3),
+      w.repartition(5), tileSize = 40.0)
+      .as[(Long, Long, Double, Double, Double)].collect()
+    assert(tiled.sortBy(_._1).sameElements(again.sortBy(_._1)))
+  }
+}
