@@ -62,7 +62,7 @@ object ContiguityWeights {
               out
             case _ => Nil
           }
-        }.toDF("gid", "kx", "ky")
+        }.toDF("gid", "kx", "ky").cache() // both sides of the self-join
         verts.as("a").join(verts.as("b"),
             $"a.kx" === $"b.kx" && $"a.ky" === $"b.ky" &&
               $"a.gid" =!= $"b.gid")
@@ -93,7 +93,7 @@ object ContiguityWeights {
               out.distinct
             case _ => Nil
           }
-        }.toDF("gid", "ax", "ay", "bx", "by")
+        }.toDF("gid", "ax", "ay", "bx", "by").cache()
         edges.as("a").join(edges.as("b"),
             $"a.ax" === $"b.ax" && $"a.ay" === $"b.ay" &&
               $"a.bx" === $"b.bx" && $"a.by" === $"b.by" &&
