@@ -42,6 +42,24 @@ class CatalystSpec extends AnyFunSuite {
     assert(r.getDouble(1) == Rng.thomasWangHashDouble(42L))
   }
 
+  test("ExactSumAgg: order-independent exact sum under any partitioning") {
+    import spark.implicits._
+    // naive double summation loses the small terms next to 1e16
+    val xs = Seq(1e16, 1.0, 1.0, 1.0, -1e16, 1.0, 1.0)
+    val udaf = org.apache.spark.sql.functions.udaf(ExactSumAgg)
+    spark.udf.register("exact_sum", udaf)
+    for (parts <- Seq(1, 3, 7)) {
+      val got = xs.toDF("v").repartition(parts)
+        .agg(udaf(col("v"))).head().getDouble(0)
+      assert(got == 5.0, s"parts=$parts")
+    }
+    val viaSql = {
+      xs.toDF("v").createOrReplaceTempView("xs_exact")
+      spark.sql("SELECT exact_sum(v) FROM xs_exact").head().getDouble(0)
+    }
+    assert(viaSql == 5.0)
+  }
+
   test("expressions stay inside WholeStageCodegen (no fallback)") {
     import spark.implicits._
     val df = spark.range(100).select(
