@@ -385,6 +385,14 @@ object SparkEntry {
           col("format"), round(col("pixel_mean"), 6).as("pixel_mean"))
         .orderBy("id")
     }),
+    "q67_tile_moran" -> ((s, dir) => {
+      // per-tile LISA (beyond-broadcast scale mode, window-trim semantics)
+      val pts = SynthGeo.customerPoints(s, dir)
+      graft.stats.TileLisa.run(graft.stats.TileLisa.Moran, pts,
+          SynthGeo.customerValues(s, dir), knnWeights4(s, dir),
+          tileSize = 40.0)
+        .orderBy("gid")
+    }),
     "q62_webtext_moran" -> ((s, dir) => {
       // north-rule pipeline, hermetic (no checkpoint dir): webpages →
       // geocode → kNN weights → local Moran over text length

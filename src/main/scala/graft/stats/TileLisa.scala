@@ -22,15 +22,23 @@ import org.apache.spark.sql.functions._
   */
 object TileLisa {
 
-  /** Local Moran per tile.
+  sealed trait Stat
+  case object Moran extends Stat
+  case object G extends Stat
+  case object GStar extends Stat
+  case object Geary extends Stat
+  case object JoinCount extends Stat
+
+  /** Per-tile LISA for any univariate statistic.
     * points:  (gid, x, y) — tile assignment source
     * values:  (gid, value)
     * weights: (gid, nbrs)
     * tileSize: super-tile edge length (in coordinate units).
     * Output: (gid, tile, stat, p, c).
     */
-  def localMoran(points: DataFrame, values: DataFrame, weights: DataFrame,
-                 tileSize: Double, conf: Lisa.Conf = Lisa.Conf()): DataFrame = {
+  def run(stat: Stat, points: DataFrame, values: DataFrame,
+          weights: DataFrame, tileSize: Double,
+          conf: Lisa.Conf = Lisa.Conf()): DataFrame = {
     val spark = points.sparkSession
     import spark.implicits._
     val tiles = points.select(col("gid").cast("long"),
@@ -45,17 +53,21 @@ object TileLisa {
     val permutations = conf.permutations
     val seed = conf.seed
     val cutoff = conf.cutoff
+    val which = stat
 
     joined.groupByKey(_._1).flatMapGroups { (tile, it) =>
       // materialize the tile window, sorted by gid (window order)
       val rows = it.toArray.sortBy(_._2)
       val n = rows.length
       val gids = new Array[Long](n)
-      val z = new Array[Double](n)
+      val x = new Array[Double](n)
       var i = 0
-      while (i < n) { gids(i) = rows(i)._2; z(i) = rows(i)._3; i += 1 }
-      // window standardization (reference: whole-window z)
+      while (i < n) { gids(i) = rows(i)._2; x(i) = rows(i)._3; i += 1 }
+      // window standardization / moments (reference: whole-window stats)
+      val z = x.clone()
       Stat0.standardize(z)
+      var sumAll = 0.0
+      x.foreach(sumAll += _)
       val scratch = new LisaKernels.Scratch(n, 65536)
       rows.iterator.zipWithIndex.map { case ((_, gid, _, nbrOpt), idx) =>
         // window-trim: drop neighbors not present in this tile
@@ -63,10 +75,25 @@ object TileLisa {
         val nbrs = nbrOpt.getOrElse(Seq.empty).iterator
           .map(nb => java.util.Arrays.binarySearch(gids, nb))
           .filter(_ >= 0).toArray
-        val t = LisaKernels.moran(idx, nbrs, z, permutations, seed,
-          cutoff, scratch)
+        val t = which match {
+          case Moran => LisaKernels.moran(idx, nbrs, z, permutations,
+            seed, cutoff, scratch)
+          case G => LisaKernels.localG(idx, nbrs, x, sumAll, permutations,
+            seed, cutoff, scratch)
+          case GStar => LisaKernels.localGStar(idx, nbrs, x, sumAll,
+            permutations, seed, cutoff, scratch)
+          case Geary => LisaKernels.geary(idx, nbrs, z, permutations,
+            seed, cutoff, scratch)
+          case JoinCount => LisaKernels.joinCount(idx, nbrs, x,
+            permutations, seed, scratch)
+        }
         (gid, tile, t.stat, t.p, t.c)
       }
     }.toDF("gid", "tile", "stat", "p", "c")
   }
+
+  /** Local Moran per tile (back-compat entry point). */
+  def localMoran(points: DataFrame, values: DataFrame, weights: DataFrame,
+                 tileSize: Double, conf: Lisa.Conf = Lisa.Conf()): DataFrame =
+    run(Moran, points, values, weights, tileSize, conf)
 }

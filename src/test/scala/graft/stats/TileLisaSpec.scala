@@ -33,6 +33,33 @@ class TileLisaSpec extends AnyFunSuite {
     assert(tiled.sameElements(broadcastMode))
   }
 
+  test("single tile equals broadcast mode for G*, Geary, join count") {
+    import spark.implicits._
+    val pts = points(100)
+    val w = KnnWeights.build(pts, KnnWeights.Conf(k = 4, cellSize = Some(4.0)))
+    val v = values(100)
+    val gsB = Lisa.localG(v, w, star = true).orderBy("gid")
+      .as[(Long, Double, Double, Double)].collect()
+    val gsT = TileLisa.run(TileLisa.GStar, pts, v, w, tileSize = 1e6)
+      .orderBy("gid").select("gid", "stat", "p", "c")
+      .as[(Long, Double, Double, Double)].collect()
+    assert(gsT.sameElements(gsB))
+    val geB = Lisa.localGeary(v, w).orderBy("gid")
+      .as[(Long, Double, Double, Double)].collect()
+    val geT = TileLisa.run(TileLisa.Geary, pts, v, w, tileSize = 1e6)
+      .orderBy("gid").select("gid", "stat", "p", "c")
+      .as[(Long, Double, Double, Double)].collect()
+    assert(geT.sameElements(geB))
+    val bin = (1 to 100).map(i =>
+      (i.toLong, if ((i * 13) % 7 < 3) 1.0 else 0.0)).toDF("gid", "value")
+    val jcB = Lisa.localJoinCount(bin, w).orderBy("gid")
+      .as[(Long, Double, Double, Double)].collect()
+    val jcT = TileLisa.run(TileLisa.JoinCount, pts, bin, w, tileSize = 1e6)
+      .orderBy("gid").select("gid", "stat", "p", "c")
+      .as[(Long, Double, Double, Double)].collect()
+    assert(jcT.sameElements(jcB))
+  }
+
   test("per-tile mode: window-trim drops cross-tile neighbors") {
     import spark.implicits._
     val pts = points(200)
