@@ -33,7 +33,17 @@ object Lisa {
       seed: Int = 123456789,
       cutoff: Double = 0.05,
       /** scale method for multivariate stats (lisa.h:139-159) */
-      scaleMethod: String = "standardize")
+      scaleMethod: String = "standardize",
+      /** 'complete' (per-row stream, bit-reproducible parity default) or
+        * 'lookup' (shared draw table — the reference's own default,
+        * `proxy.cpp:315-316`; ~numObs× less RNG work, statistically
+        * equivalent p-values). Both are deterministic and
+        * partitioning-invariant.
+        */
+      permMethod: String = "complete") {
+    require(permMethod == "complete" || permMethod == "lookup",
+      "Permutation method has to be one of: complete, lookup (lisa.h:216-263)")
+  }
 
   val outSchema: StructType = StructType(Seq(
     StructField("gid", LongType), StructField("stat", DoubleType),
@@ -83,20 +93,47 @@ object Lisa {
     (gids, vals)
   }
 
+  /** Multivariate gather: same executor-side primitive packing as
+    * `gather` (no driver-side Row boxing/sort), one column-major matrix
+    * per variable in gid-sorted order.
+    */
   private def gatherMulti(values: DataFrame): (Array[Long], Array[Array[Double]]) = {
-    val rows = values.select(col("gid").cast("long"), col("vals"))
-      .orderBy("gid").collect()
-    val n = rows.length
-    val gids = new Array[Long](n)
-    val first = rows.head.getSeq[Double](1)
-    val nv = first.length
-    val mat = Array.ofDim[Double](nv, n)
+    val spark = values.sparkSession
+    import spark.implicits._
+    val parts = values.select(col("gid").cast("long"), col("vals"))
+      .as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        val gs = Array.newBuilder[Long]
+        val vs = Array.newBuilder[Array[Double]]
+        it.foreach { case (g, v) => gs += g; vs += v.toArray }
+        Iterator.single((gs.result(), vs.result()))
+      }.collect()
+    val n = parts.iterator.map(_._1.length).sum
+    require(n > 0, "gatherMulti over empty value table")
+    val rawG = new Array[Long](n)
+    val rawV = new Array[Array[Double]](n)
     var i = 0
-    rows.foreach { r =>
-      gids(i) = r.getLong(0)
-      val s = r.getSeq[Double](1)
+    parts.foreach { case (gs, vs) =>
+      System.arraycopy(gs, 0, rawG, i, gs.length)
+      System.arraycopy(vs, 0, rawV, i, vs.length)
+      i += gs.length
+    }
+    val gids = rawG.clone()
+    java.util.Arrays.sort(gids)
+    i = 1
+    while (i < n) {
+      require(gids(i) != gids(i - 1), s"duplicate gid ${gids(i)} in value table")
+      i += 1
+    }
+    val nv = rawV(0).length
+    val mat = Array.ofDim[Double](nv, n)
+    i = 0
+    while (i < n) {
+      val pos = java.util.Arrays.binarySearch(gids, rawG(i))
+      val row = rawV(i)
+      require(row.length == nv, s"ragged vals array at gid ${rawG(i)}")
       var v = 0
-      while (v < nv) { mat(v)(i) = s(v); v += 1 }
+      while (v < nv) { mat(v)(pos) = row(v); v += 1 }
       i += 1
     }
     (gids, mat)
@@ -104,18 +141,39 @@ object Lisa {
 
   /** Run a kernel over weights rows with a broadcast context.
     * `weights`: (gid, nbrs array<long>); output (gid, stat, p, c).
+    *
+    * In 'lookup' mode the shared draw table must be sized by the GLOBAL
+    * max neighbor count (the stream consumed per permutation depends on
+    * it), so one cheap agg precomputes it — then every partition rebuilds
+    * the identical table locally from (seed, numObs, maxK): ~permutations
+    * × maxK draws once per task, no broadcast needed, still
+    * partitioning-invariant.
     */
   private def runKernel(weights: DataFrame, gids: Array[Long],
+      conf: Conf,
       kernel: (Int, Array[Int], LisaKernels.Scratch) => LisaKernels.Triple): DataFrame = {
     val spark = weights.sparkSession
     import spark.implicits._
     val bGids = spark.sparkContext.broadcast(gids)
     val numObs = gids.length
+    val lookupK: Int =
+      if (conf.permMethod != "lookup") -1
+      else {
+        val mk = weights.agg(max(size(col("nbrs")))).head().getInt(0)
+        // the shared-table shift trick needs maxK < numObs-1; beyond that
+        // (pathologically dense weights) fall back to 'complete'
+        if (mk > 0 && mk < numObs - 1) mk else -1
+      }
+    val permutations = conf.permutations
+    val seed = conf.seed
     weights.select(col("gid").cast("long"), col("nbrs"))
       .as[(Long, Option[Seq[Long]])]
       .mapPartitions { it =>
         val g = bGids.value
-        val scratch = new LisaKernels.Scratch(numObs, 65536)
+        val lt = if (lookupK > 0)
+          new LisaKernels.LookupTable(numObs, lookupK, permutations, seed)
+        else null
+        val scratch = new LisaKernels.Scratch(numObs, 65536, lt)
         it.map { case (gid, nbrOpt) =>
           val nbrSeq = nbrOpt.getOrElse(Seq.empty)
           val idx = java.util.Arrays.binarySearch(g, gid)
@@ -155,7 +213,7 @@ object Lisa {
     val (gids, vals) = gather(values)
     Stat0.standardize(vals)
     val z = vals
-    runKernel(weights, gids, (idx, nbrs, scratch) =>
+    runKernel(weights, gids, conf, (idx, nbrs, scratch) =>
       LisaKernels.moran(idx, nbrs, z, conf.permutations, conf.seed,
         conf.cutoff, scratch))
   }
@@ -166,7 +224,7 @@ object Lisa {
     val (gids, x) = gather(values)
     var sumAll = 0.0
     x.foreach(sumAll += _) // gid-sorted order → deterministic
-    runKernel(weights, gids, (idx, nbrs, scratch) =>
+    runKernel(weights, gids, conf, (idx, nbrs, scratch) =>
       if (star) LisaKernels.localGStar(idx, nbrs, x, sumAll,
         conf.permutations, conf.seed, conf.cutoff, scratch)
       else LisaKernels.localG(idx, nbrs, x, sumAll,
@@ -177,7 +235,7 @@ object Lisa {
     val (gids, vals) = gather(values)
     Stat0.standardize(vals)
     val z = vals
-    runKernel(weights, gids, (idx, nbrs, scratch) =>
+    runKernel(weights, gids, conf, (idx, nbrs, scratch) =>
       LisaKernels.geary(idx, nbrs, z, conf.permutations, conf.seed,
         conf.cutoff, scratch))
   }
@@ -187,7 +245,7 @@ object Lisa {
                       conf: Conf = Conf()): DataFrame = {
     val (gids, mat) = gatherMulti(values)
     val zs = mat.map(v => Stat0.scale(v, conf.scaleMethod))
-    runKernel(weights, gids, (idx, nbrs, scratch) =>
+    runKernel(weights, gids, conf, (idx, nbrs, scratch) =>
       LisaKernels.multiGeary(idx, nbrs, zs, conf.permutations, conf.seed,
         conf.cutoff, scratch))
   }
@@ -205,7 +263,7 @@ object Lisa {
                      conf: Conf = Conf()): DataFrame = {
     val (gids, x) = gather(values)
     requireBinary(x, "local_joincount variable")
-    runKernel(weights, gids, (idx, nbrs, scratch) =>
+    runKernel(weights, gids, conf, (idx, nbrs, scratch) =>
       LisaKernels.joinCount(idx, nbrs, x, conf.permutations, conf.seed, scratch))
   }
 
@@ -214,27 +272,27 @@ object Lisa {
     */
   def localBiJoinCount(values: DataFrame /* gid, value, value2 */,
                        weights: DataFrame, conf: Conf = Conf()): DataFrame = {
-    val rows = values.select(col("gid").cast("long"),
-      col("value").cast("double"), col("value2").cast("double"))
-      .orderBy("gid").collect()
-    val n = rows.length
-    val gids = new Array[Long](n); val x1 = new Array[Double](n)
-    val x2 = new Array[Double](n)
+    // reuse the multivariate primitive gather (executor-side packing)
+    val (gids, mat) = gatherMulti(
+      values.select(col("gid"),
+        array(col("value").cast("double"),
+          col("value2").cast("double")).as("vals")))
+    val n = gids.length
+    val x1 = mat(0); val x2 = mat(1)
     var i = 0
-    rows.foreach { r =>
-      gids(i) = r.getLong(0); x1(i) = r.getDouble(1); x2(i) = r.getDouble(2)
-      i += 1
-    }
     requireBinary(x1, "local_bijoincount first variable")
     requireBinary(x2, "local_bijoincount second variable")
     i = 0
     while (i < n) {
-      require(!(x1(i) == 1.0 && x2(i) == 1.0),
-        "local_bijoincount requires no co-location: x1 and x2 both 1 at gid "
-          + gids(i) + " (joincount.c:193-197)")
+      // strict reference parity: joincount.c:193-197 errors whenever
+      // r1[i] == r2[i] — including both-zero, not just co-located ones
+      require(x1(i) != x2(i),
+        "local bivariate join count works only when two events cannot " +
+          "happen in the same location (joincount.c:193-197); x1 == x2 at " +
+          "gid " + gids(i))
       i += 1
     }
-    runKernel(weights, gids, (idx, nbrs, scratch) =>
+    runKernel(weights, gids, conf, (idx, nbrs, scratch) =>
       LisaKernels.biJoinCount(idx, nbrs, x1, x2, conf.permutations,
         conf.seed, scratch))
   }
@@ -253,7 +311,7 @@ object Lisa {
       while (v < mat.length) { p *= mat(v)(i); v += 1 }
       prods(i) = p; i += 1
     }
-    runKernel(weights, gids, (idx, nbrs, scratch) =>
+    runKernel(weights, gids, conf, (idx, nbrs, scratch) =>
       LisaKernels.multiJoinCount(idx, nbrs, prods, conf.permutations,
         conf.seed, scratch))
   }
@@ -281,7 +339,7 @@ object Lisa {
                    conf: Conf = Conf()): DataFrame = {
     val (gids, vals) = gather(values)
     val x = quantileIndicator(vals, k, q)
-    runKernel(weights, gids, (idx, nbrs, scratch) =>
+    runKernel(weights, gids, conf, (idx, nbrs, scratch) =>
       LisaKernels.joinCount(idx, nbrs, x, conf.permutations, conf.seed, scratch))
   }
 
@@ -303,7 +361,7 @@ object Lisa {
       while (v < ind.length) { p *= ind(v)(i); v += 1 }
       prods(i) = p; i += 1
     }
-    runKernel(weights, gids, (idx, nbrs, scratch) =>
+    runKernel(weights, gids, conf, (idx, nbrs, scratch) =>
       LisaKernels.joinCount(idx, nbrs, prods, conf.permutations, conf.seed,
         scratch))
   }

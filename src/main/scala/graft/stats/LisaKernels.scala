@@ -28,28 +28,97 @@ object LisaKernels {
 
   final case class Triple(stat: Double, p: Double, c: Double)
 
-  /** Reusable per-thread scratch to avoid per-row allocation. */
-  final class Scratch(numObs: Int, maxNbrs: Int) {
+  /** Reusable per-thread scratch to avoid per-row allocation.
+    * `permMean` is set by `permutationP` to the mean of the permuted
+    * statistics of the LAST call — the empirical expectation some cluster
+    * rules compare against (local Geary's positive/negative split).
+    * `lookup` optionally holds a shared draw table (perf mode).
+    */
+  final class Scratch(numObs: Int, maxNbrs: Int,
+                      val lookup: LookupTable = null) {
     val work = new Rng.IntSet(numObs)
     val drawn = new Array[Int](math.max(1, maxNbrs))
+    var permMean: Double = 0.0
+  }
+
+  /** Shared permutation draw table — the reference's default 'lookup'
+    * perm_method (`postgeoda/src/proxy.cpp:315-316`, parsed in
+    * `lisa.h:216-263`; scheme from libgeoda's lookup-table design
+    * [public]): ONE table of `permutations × maxK` distinct indices in
+    * [0, numObs-2] is drawn up front and shared by every observation;
+    * each row adapts it with a self-skip shift (candidate >= selfIdx →
+    * +1), which preserves distinctness and avoids self without any
+    * per-row rejection sampling. This amortizes the RNG ~numObs×.
+    * Statistically equivalent to 'complete' (same ThomasWang stream, same
+    * two-sided fold); NOT bit-identical to it — 'complete' remains the
+    * parity default.
+    */
+  final class LookupTable(numObs: Int, maxK: Int, permutations: Int, seed: Int) {
+    require(numObs >= 2 && maxK > 0 && maxK < numObs - 1,
+      s"lookup table needs maxK < numObs-1 (maxK=$maxK, numObs=$numObs)")
+    val k: Int = maxK
+    val perms: Int = permutations
+    /** row-major: table(perm * maxK + j) in [0, numObs-2]. */
+    val table: Array[Int] = {
+      val t = new Array[Int](permutations * maxK)
+      val tmp = new Array[Int](maxK)
+      val work = new Rng.IntSet(math.max(1, numObs - 1))
+      var seedStart = seed
+      var p = 0
+      while (p < permutations) {
+        // draw maxK distinct ids in [0, numObs-2]; selfIdx = -1 (no self
+        // in this reduced domain — the shift handles self per row)
+        seedStart = Rng.drawDistinct(seedStart, numObs - 1, -1, maxK, work, tmp)
+        System.arraycopy(tmp, 0, t, p * maxK, maxK)
+        p += 1
+      }
+      t
+    }
   }
 
   /** Generic conditional-permutation p-value.
     * `statOfDrawn(drawn, n)` computes the permuted statistic from the
-    * drawn substitute neighbor indices.
+    * drawn substitute neighbor indices. Also records the mean permuted
+    * statistic in `scratch.permMean`. When `scratch.lookup` is set, draws
+    * come from the shared table (self-skip shifted) instead of the
+    * per-row 'complete' stream.
     */
   def permutationP(idx: Int, nNbrs: Int, numObs: Int, observed: Double,
                    permutations: Int, seed: Int, scratch: Scratch,
                    statOfDrawn: (Array[Int], Int) => Double): Double = {
-    var seedStart = seed + idx
     var countLarger = 0L
-    var perm = 0
-    while (perm < permutations) {
-      seedStart = Rng.drawDistinct(seedStart, numObs, idx, nNbrs,
-        scratch.work, scratch.drawn)
-      if (statOfDrawn(scratch.drawn, nNbrs) >= observed) countLarger += 1
-      perm += 1
+    var sum = 0.0
+    if (scratch.lookup != null) {
+      val lt = scratch.lookup
+      val t = lt.table
+      val k = lt.k
+      var perm = 0
+      while (perm < permutations) {
+        val base = perm * k
+        var j = 0
+        while (j < nNbrs) {
+          val cand = t(base + j)
+          scratch.drawn(j) = if (cand >= idx) cand + 1 else cand
+          j += 1
+        }
+        val s = statOfDrawn(scratch.drawn, nNbrs)
+        sum += s
+        if (s >= observed) countLarger += 1
+        perm += 1
+      }
+    } else {
+      var seedStart = seed + idx
+      var perm = 0
+      while (perm < permutations) {
+        seedStart = Rng.drawDistinct(seedStart, numObs, idx, nNbrs,
+          scratch.work, scratch.drawn)
+        val s = statOfDrawn(scratch.drawn, nNbrs)
+        sum += s
+        if (s >= observed) countLarger += 1
+        perm += 1
+      }
     }
+    scratch.permMean = sum / permutations
     if (permutations - countLarger <= countLarger)
       countLarger = permutations - countLarger
     (countLarger + 1.0) / (permutations + 1.0)
@@ -142,15 +211,16 @@ object LisaKernels {
     val p = permutationP(idx, n, z.length, obs, permutations, seed, scratch,
       (d, m) => stat(d, m))
     val lag = meanAt(z, nbrs, n)
-    // positive association when c_i below its permutation median — approx
-    // via obs vs 2*(1 - sample corr) proxy: use sign of (zi*lag) instead,
-    // the GeoDa quadrant rule [public]
+    // GeoDa cluster rule (libgeoda UniGeary [public]): association sign
+    // comes from comparing c_i to its expectation under permutation —
+    // c_i above the permutation mean = negative association (4); below
+    // it, the quadrant splits HH (1) / LL (2) / Other Positive (3, the
+    // mixed-sign positive-association case).
     val cluster =
       if (p > cutoff) 0.0
+      else if (obs > scratch.permMean) 4.0
       else if (zi > 0 && lag > 0) 1.0
       else if (zi < 0 && lag < 0) 2.0
-      else if (zi * lag > 0) 3.0
-      else if (zi * lag < 0) 4.0
       else 3.0
     Triple(obs, p, cluster)
   }

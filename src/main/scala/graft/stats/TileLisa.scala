@@ -63,6 +63,16 @@ object TileLisa {
       val x = new Array[Double](n)
       var i = 0
       while (i < n) { gids(i) = rows(i)._2; x(i) = rows(i)._3; i += 1 }
+      if (which == JoinCount) {
+        // same 0/1 validation broadcast-mode Lisa.localJoinCount enforces
+        i = 0
+        while (i < n) {
+          require(x(i) == 0.0 || x(i) == 1.0,
+            s"tile join count variable must be binary 0/1 (joincount.c " +
+              s"semantics); found ${x(i)} at gid ${gids(i)}")
+          i += 1
+        }
+      }
       // window standardization / moments (reference: whole-window stats)
       val z = x.clone()
       Stat0.standardize(z)

@@ -40,41 +40,90 @@ object DistanceWeights {
     lit(2.0) * r * asin(least(lit(1.0), sqrt(a)))
   }
 
-  /** Exploded `(gid, nbr, dist)` pairs within threshold. For arc
-    * distance the cell grid runs over degrees; the planar cell size is
-    * derived from the arc threshold at the worst-case (equator) degree
-    * length so the candidate block still covers the band.
+  /** Exploded `(gid, nbr, dist)` pairs within threshold.
+    *
+    * Arc mode: the cell grid runs over degrees, with the cell edge sized
+    * from the LATITUDE degree length (constant on the sphere). Latitude
+    * coverage therefore needs only the fixed Chebyshev-2 block, but one
+    * degree of LONGITUDE shrinks by cos(lat), so the longitudinal
+    * candidate radius is widened per row by 1/cos(φ_worst) (φ_worst =
+    * |lat| + the band's own latitude extent, clamped below the pole), and
+    * candidate columns wrap across the antimeridian modulo the number of
+    * longitude cells. Near-pole rows (cos → 0) degenerate to probing the
+    * full longitude ring — correct, and cheap because such rings hold few
+    * points.
     */
   def pairs(points: DataFrame, conf: Conf): DataFrame = {
-    val cellSize =
-      if (!conf.isArc) conf.threshold
-      else {
-        val degLen = (if (conf.isMile) Dist.EarthMiles else Dist.EarthKm) *
-          math.Pi / 180.0 // one degree of latitude
-        math.max(conf.threshold / degLen, 1e-9)
-      }
-    val pts = points.select(col("gid"), col("x"), col("y"))
-      .withColumn("cell", Tiling.cellIdCol(col("x"), col("y"), cellSize))
-    val deltas = (for (dx <- -2 to 2; dy <- -2 to 2)
-      yield dx.toLong * Tiling.Mul + dy).toArray
-    val d =
-      if (conf.isArc) arcDist(conf.isMile)(col("x"), col("y"), col("bx"), col("by"))
-      else planarDist(col("x"), col("y"), col("bx"), col("by"))
-    pts
-      .withColumn("__delta", explode(typedLit(deltas)))
-      .withColumn("__ccell", col("cell") + col("__delta"))
-      .join(pts.select(col("gid").as("bgid"), col("x").as("bx"),
-        col("y").as("by"), col("cell").as("bcell")),
-        col("__ccell") === col("bcell"))
-      .filter(col("gid") =!= col("bgid"))
-      .withColumn("dist", d)
-      .filter(col("dist") <= conf.threshold)
-      .select(col("gid"), col("bgid").as("nbr"), col("dist"))
+    if (!conf.isArc) {
+      val cellSize = conf.threshold
+      val pts = points.select(col("gid"), col("x"), col("y"))
+        .withColumn("cell", Tiling.cellIdCol(col("x"), col("y"), cellSize))
+      val deltas = (for (dx <- -2 to 2; dy <- -2 to 2)
+        yield dx.toLong * Tiling.Mul + dy).toArray
+      pts
+        .withColumn("__delta", explode(typedLit(deltas)))
+        .withColumn("__ccell", col("cell") + col("__delta"))
+        .join(pts.select(col("gid").as("bgid"), col("x").as("bx"),
+          col("y").as("by"), col("cell").as("bcell")),
+          col("__ccell") === col("bcell"))
+        .filter(col("gid") =!= col("bgid"))
+        .withColumn("dist",
+          planarDist(col("x"), col("y"), col("bx"), col("by")))
+        .filter(col("dist") <= conf.threshold)
+        .select(col("gid"), col("bgid").as("nbr"), col("dist"))
+    } else {
+      val degLen = (if (conf.isMile) Dist.EarthMiles else Dist.EarthKm) *
+        math.Pi / 180.0 // one degree of latitude (or of a great circle)
+      val cellSize = math.max(conf.threshold / degLen, 1e-9)
+      // number of longitude cells in the full ring (antimeridian wrap)
+      val nLonCells = math.max(1L, math.ceil(360.0 / cellSize).toLong)
+      val latExtent = cellSize // the band spans ≤ cellSize degrees of lat
+      val pts = points.select(col("gid"), col("x"), col("y"))
+        .withColumn("cx", floor(col("x") / cellSize).cast("long"))
+        .withColumn("cy", floor(col("y") / cellSize).cast("long"))
+      // per-row longitudinal radius: ceil(1/cos(φ_worst)) + 1 cells,
+      // capped at the half-ring (beyond that the wrap covers everything)
+      val phiWorst = least(radians(abs(col("y")) + lit(2.0 * latExtent)),
+        lit(math.Pi / 2 - 1e-6))
+      val dxMax = least(
+        (ceil(lit(1.0) / cos(phiWorst)) + lit(1.0)).cast("long"),
+        lit(nLonCells / 2 + 1L))
+      val cand = pts
+        .withColumn("__dy", explode(typedLit((-2L to 2L).toArray)))
+        .withColumn("__dx",
+          explode(sequence(-dxMax, dxMax)))
+        // wrap the candidate column index into [0, nLonCells)
+        .withColumn("__ccx",
+          pmod(col("cx") + col("__dx"), lit(nLonCells)))
+        .withColumn("__ccy", col("cy") + col("__dy"))
+      val ptsB = pts.select(col("gid").as("bgid"), col("x").as("bx"),
+          col("y").as("by"),
+          pmod(col("cx"), lit(nLonCells)).as("bcx"), col("cy").as("bcy"))
+      cand
+        .join(ptsB, col("__ccx") === col("bcx") && col("__ccy") === col("bcy"))
+        .filter(col("gid") =!= col("bgid"))
+        .withColumn("dist",
+          arcDist(conf.isMile)(col("x"), col("y"), col("bx"), col("by")))
+        .filter(col("dist") <= conf.threshold)
+        .select(col("gid"), col("bgid").as("nbr"), col("dist"))
+        .distinct() // a neighbor can enter via two wrapped columns
+    }
   }
 
-  /** Per-row weights; binary (wts null) unless inverse/power/kernel. */
+  /** Per-row weights; binary (wts null) unless inverse/power/kernel.
+    * Kernel variants include the diagonal (self) entry — weight kernel(0)
+    * when `useKernelDiagonals`, else 1.0 (`proxy.cpp:167-188`
+    * use_kernel_diagonal semantics).
+    */
   def build(points: DataFrame, conf: Conf): DataFrame = {
-    val p = pairs(points, conf)
+    val p0 = pairs(points, conf)
+    val p = conf.kernel match {
+      case Some(_) =>
+        // self entry at distance 0 → sorts first within each gid group
+        p0.unionByName(points.select(col("gid"), col("gid").as("nbr"),
+          lit(0.0).as("dist")))
+      case None => p0
+    }
     val valued = conf.kernel.isDefined || conf.isInverse || conf.power != 1.0
     if (!valued) {
       p.groupBy("gid").agg(sort_array(collect_list(col("nbr"))).as("nbrs"))
@@ -84,7 +133,7 @@ object DistanceWeights {
       val w = conf.kernel match {
         case Some(kname) =>
           val u = col("dist") / conf.threshold
-          kname match {
+          val kv = kname match {
             case "triangular"   => when(u >= 1, 0.0).otherwise(lit(1.0) - u)
             case "uniform"      => when(u >= 1, 0.0).otherwise(lit(0.5))
             case "epanechnikov" => when(u >= 1, 0.0).otherwise(lit(0.75) * (lit(1.0) - u * u))
@@ -92,6 +141,9 @@ object DistanceWeights {
             case "gaussian"     => exp(lit(-0.5) * u * u) / math.sqrt(2.0 * math.Pi)
             case other          => throw new IllegalArgumentException(s"kernel $other")
           }
+          // diagonal: kernel(0) if useKernelDiagonals, else flat 1.0
+          if (conf.useKernelDiagonals) kv
+          else when(col("nbr") === col("gid"), 1.0).otherwise(kv)
         case None =>
           val pw = if (conf.power == 1.0) col("dist") else pow(col("dist"), conf.power)
           if (conf.isInverse) when(pw === 0.0, 0.0).otherwise(lit(1.0) / pw) else pw

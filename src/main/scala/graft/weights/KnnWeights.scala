@@ -56,6 +56,27 @@ object KnnWeights {
     if (conf.isArc) Dist.arc(ax, ay, bx, by, conf.isMile)
     else Dist.euclidean(ax, ay, bx, by)
 
+  /** Certification bound: the minimum possible distance to any point
+    * OUTSIDE the ±`cells` Chebyshev block of a home point at latitude
+    * `y`, in the same units as `distOf`. Planar: cells × cellSize. Arc:
+    * the block guarantees ≥ cells×cellSize degrees of separation in lat
+    * or lon; lat degrees are worth degLen, lon degrees shrink by cos at
+    * the worst latitude the un-excluded band can reach (|y| + extent),
+    * so the bound uses that cos — the unit fix for the old
+    * kth(miles) < cellSize(degrees) comparison.
+    */
+  @inline private def certBound(conf: Conf, cellSizeDeg: Double,
+                                cells: Int, y: Double): Double = {
+    val span = cells * cellSizeDeg
+    if (!conf.isArc) span
+    else {
+      val degLen = (if (conf.isMile) Dist.EarthMiles else Dist.EarthKm) *
+        math.Pi / 180.0
+      val phi = math.min(math.abs(y) + span, 89.999)
+      span * degLen * math.cos(math.toRadians(phi))
+    }
+  }
+
   /** Bounded max-heap of (dist, gid), capacity k, with deterministic
     * (dist, gid) ordering.
     */
@@ -97,8 +118,14 @@ object KnnWeights {
     }
   }
 
-  /** Complete per-point result: (gid, x, y, nbrs sorted, dists sorted). */
-  def knnRows(points: DataFrame, conf: Conf): DataFrame = {
+  /** Complete per-point result: (gid, x, y, nbrs sorted, dists sorted).
+    * `homeFilter` restricts which points get RESULTS (all points remain
+    * candidates) — the engine-side analogue of `knn_weights_sub`'s
+    * [start, end) sharding: the group pass skips non-matching homes, so
+    * compute is pruned to the requested slice, not post-filtered.
+    */
+  def knnRows(points: DataFrame, conf: Conf,
+              homeFilter: Option[Column] = None): DataFrame = {
     val spark = points.sparkSession
     import spark.implicits._
     val s = conf.cellSize.getOrElse(autoCellSize(points, conf.k))
@@ -115,10 +142,12 @@ object KnnWeights {
     // JVM tuples before the shuffle and costs ~3x the entire kNN math).
     val deltas = (for (dx <- -1 to 1; dy <- -1 to 1)
       yield dx.toLong * Tiling.Mul + dy).toArray
+    val homePred = homeFilter.getOrElse(lit(true))
     val shippedDf = pts
       .withColumn("__delta", explode(typedLit(deltas)))
       .select((col("cell") + col("__delta")).as("tcell"), col("gid"),
-        col("x"), col("y"), (col("__delta") === 0L).as("home"))
+        col("x"), col("y"),
+        ((col("__delta") === 0L) && homePred).as("home"))
       // explicit partition count: the group pass is compute-bound (heap
       // evals), so we want ~4 waves of tasks per core for balance; an
       // AQE-coalesced exchange would target 64MB IO-sized partitions and
@@ -202,7 +231,8 @@ object KnnWeights {
               i += 1
             }
             val (nbrs, dists) = heap.sortedOut()
-            val certified = heap.size == k && heap.kth < s
+            val certified = heap.size == k &&
+              heap.kth < certBound(cfg, s, 1, y)
             new GenericInternalRow(Array[Any](gid, x, y,
               ArrayData.toArrayData(nbrs), ArrayData.toArrayData(dists),
               certified))
@@ -254,7 +284,8 @@ object KnnWeights {
             heap.offer(distOf(cfg)(x, y, c._5, c._6), c._4)
           }
           val (nbrs, dists) = heap.sortedOut()
-          val certified = ex || (heap.size == k && heap.kth < rr * s)
+          val certified = ex ||
+            (heap.size == k && heap.kth < certBound(cfg, s, rr, y))
           (gid, x, y, nbrs, dists, certified)
         }.toDF("gid", "x", "y", "nbrs", "dists", "certified").cache()
       done = done.unionByName(topk.filter(col("certified"))
@@ -277,14 +308,14 @@ object KnnWeights {
   /** `knn_weights_sub(gid, geom, k, start, end)` parity
     * (`postgeoda/src/weights_knn.c:213-369`): kNN for gids in
     * [startGid, endGid) only — the reference's manual sharding device.
-    * Under Spark this is just a receiver-side filter (all points remain
-    * candidates); it exists for API parity and for partition-pruned
-    * incremental rebuilds.
+    * All points remain CANDIDATES but only the slice gets computed
+    * (home-side pruning inside the group pass), so a 1% slice costs ~1%
+    * of the heap work plus the fixed candidate shuffle.
     */
   def buildSub(points: DataFrame, conf: Conf, startGid: Long,
                endGid: Long): DataFrame =
-    build(points, conf)
-      .filter(col("gid") >= startGid && col("gid") < endGid)
+    build(points, conf,
+      Some(col("gid") >= startGid && col("gid") < endGid))
 
   /** Exploded `(gid, nbr, dist, rk)` pairs, rk 1..k by (dist, nbr) asc. */
   def pairs(points: DataFrame, conf: Conf): DataFrame =
@@ -298,8 +329,9 @@ object KnnWeights {
     * distance / kernel variants (GWT). No extra shuffle — the arrays come
     * finished from the group pass.
     */
-  def build(points: DataFrame, conf: Conf): DataFrame = {
-    val rows = knnRows(points, conf)
+  def build(points: DataFrame, conf: Conf,
+            homeFilter: Option[Column] = None): DataFrame = {
+    val rows = knnRows(points, conf, homeFilter)
     val valued = conf.kernel.isDefined || conf.isInverse || conf.power != 1.0
     if (!valued)
       rows.select(col("gid"), col("nbrs"),
@@ -319,8 +351,17 @@ object KnnWeights {
             case other          => throw new IllegalArgumentException(s"kernel $other")
           }
         }
-        rows.select(col("gid"), col("nbrs"),
-          transform(col("dists"), d => kv(d / bw)).as("wts"))
+        // kernel weights include the diagonal (self) entry, matching the
+        // reference's kernel handling (`sql/weights_knn.sql:40-46`,
+        // `proxy.cpp:156-161` use_kernel_diagonal): self weight is
+        // kernel(0) when useKernelDiagonals, else 1.0. Self sits first
+        // (distance 0 precedes every neighbor in the sorted order).
+        val diagW: Column =
+          if (conf.useKernelDiagonals) kv(lit(0.0)) else lit(1.0)
+        rows.select(col("gid"),
+          concat(array(col("gid")), col("nbrs")).as("nbrs"),
+          concat(array(diagW),
+            transform(col("dists"), d => kv(d / bw))).as("wts"))
       case None =>
         val wv: Column => Column = { d =>
           val p = if (conf.power == 1.0) d else pow(d, conf.power)

@@ -93,4 +93,45 @@ class LisaKernelsSpec extends AnyFunSuite {
     val b = LisaKernels.moran(5, nb, z, 999, 42, 0.05, s2)
     assert(a == b)
   }
+
+  test("geary cluster rule: permutation-mean split makes all labels reachable") {
+    // mixed-sign positive association → Other Positive (3): zi=0.1 sits
+    // close to its (negative) neighbors, everything else is far away, so
+    // c_i << E_perm[c_i] while the quadrant is mixed-sign
+    val z1 = Array(0.1, -0.05, -0.05) ++
+      Array.tabulate(17)(i => if (i % 2 == 0) 2.0 else -2.0)
+    val r3 = LisaKernels.geary(0, Array(1, 2), z1, 999, 123456789, 0.05,
+      scratch(z1.length))
+    assert(r3.p <= 0.05 && r3.c == 3.0, s"got $r3")
+    // negative association (4): zi far from its neighbors relative to the
+    // permutation distribution → c_i > E_perm[c_i]
+    val z2 = Array(3.0, -3.0, -3.0) ++ Array.tabulate(17)(i => (i % 5) * 0.01)
+    val r4 = LisaKernels.geary(0, Array(1, 2), z2, 999, 123456789, 0.05,
+      scratch(z2.length))
+    assert(r4.p <= 0.05 && r4.c == 4.0, s"got $r4")
+    // HH (1): positive z tightly matched by positive neighbors
+    val z3 = Array(2.0, 2.01, 1.99) ++
+      Array.tabulate(17)(i => if (i % 2 == 0) -2.0 else 0.5)
+    val r1 = LisaKernels.geary(0, Array(1, 2), z3, 999, 123456789, 0.05,
+      scratch(z3.length))
+    assert(r1.p <= 0.05 && r1.c == 1.0, s"got $r1")
+  }
+
+  test("lookup table: deterministic, distinct, self-skipped draws") {
+    val lt = new LisaKernels.LookupTable(100, 8, 99, 123456789)
+    val lt2 = new LisaKernels.LookupTable(100, 8, 99, 123456789)
+    assert(lt.table.sameElements(lt2.table))
+    // each permutation's k entries are distinct and within [0, numObs-2]
+    for (p <- 0 until 99) {
+      val row = lt.table.slice(p * 8, p * 8 + 8)
+      assert(row.distinct.length == 8)
+      assert(row.forall(v => v >= 0 && v <= 98))
+    }
+    // self-skip shift (>= idx → +1) keeps draws distinct and never self:
+    // verified through a kernel run with lookup scratch
+    val z = Array.tabulate(100)(i => math.cos(i.toDouble))
+    val s = new LisaKernels.Scratch(100, 16, lt)
+    val r = LisaKernels.moran(50, Array(49, 51), z, 99, 123456789, 0.05, s)
+    assert(!r.p.isNaN && r.p > 0)
+  }
 }

@@ -72,7 +72,15 @@ class LisaSpec extends AnyFunSuite {
     val ex = intercept[Exception] {
       Lisa.localBiJoinCount(bad, w).collect()
     }
-    assert(ex.getMessage.contains("co-location"))
+    assert(ex.getMessage.contains("same location"))
+    // strict parity (joincount.c:193-197): both-ZERO is rejected too
+    val bothZero = (1 to 20).map(i =>
+      (i.toLong, if (i % 2 == 0) 1.0 else 0.0, if (i % 2 == 0) 0.0 else 0.0))
+      .toDF("gid", "value", "value2") // gid 1: x1=0, x2=0 → equal
+    val ex2 = intercept[Exception] {
+      Lisa.localBiJoinCount(bothZero, w).collect()
+    }
+    assert(ex2.getMessage.contains("same location"))
   }
 
   test("join count validates binary input") {
@@ -110,5 +118,33 @@ class LisaSpec extends AnyFunSuite {
     val diag = SpatialLag.lag(v, w, includeDiagonal = true).orderBy("gid")
       .as[(Long, Double)].collect()
     assert(diag.toSeq == Seq((1L, 20.0), (2L, 20.0), (3L, 20.0)))
+  }
+
+  test("lookup permutation mode: same stats, agreeing significance calls") {
+    import spark.implicits._
+    val pts = points(200)
+    val w = KnnWeights.build(pts, KnnWeights.Conf(k = 4, cellSize = Some(4.0)))
+    val v = values(200)
+    val comp = Lisa.localMoran(v, w).orderBy("gid")
+      .as[(Long, Double, Double, Double)].collect()
+    val look = Lisa.localMoran(v, w, Lisa.Conf(permMethod = "lookup"))
+      .orderBy("gid").as[(Long, Double, Double, Double)].collect()
+    assert(comp.length == look.length)
+    // the observed statistic is permutation-free → bit-identical
+    comp.zip(look).foreach { case ((g1, s1, _, _), (g2, s2, _, _)) =>
+      assert(g1 == g2 && s1 == s2)
+    }
+    // significance calls at 0.05 agree except borderline rows (both are
+    // valid 999-draw estimates of the same p)
+    val agree = comp.zip(look).count { case ((_, _, p1, _), (_, _, p2, _)) =>
+      (p1 <= 0.05) == (p2 <= 0.05)
+    }
+    assert(agree >= (comp.length * 0.95).toInt,
+      s"significance agreement $agree/${comp.length}")
+    // lookup mode is partitioning-invariant too
+    val look2 = Lisa.localMoran(v.repartition(7), w.repartition(3),
+      Lisa.Conf(permMethod = "lookup")).orderBy("gid")
+      .as[(Long, Double, Double, Double)].collect()
+    assert(look.sameElements(look2))
   }
 }

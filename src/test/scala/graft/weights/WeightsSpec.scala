@@ -91,11 +91,23 @@ class WeightsSpec extends AnyFunSuite {
     val rows = w.select("gid", "nbrs", "wts")
       .as[(Long, Seq[Long], Seq[Double])].collect()
     assert(rows.length == 50)
-    rows.foreach { case (_, nbrs, wts) =>
-      assert(nbrs.length == 3 && wts.length == 3)
+    rows.foreach { case (gid, nbrs, wts) =>
+      // kernel weights include the diagonal (self first, distance 0);
+      // default (useKernelDiagonals=false) self weight is 1.0
+      assert(nbrs.length == 4 && wts.length == 4)
+      assert(nbrs.head == gid && wts.head == 1.0)
       // triangular: farthest (bandwidth) neighbor → weight 0; others > 0
       assert(wts.last == 0.0)
-      assert(wts.init.forall(v => v > 0.0 && v < 1.0))
+      assert(wts.tail.init.forall(v => v > 0.0 && v < 1.0))
+    }
+    // use_kernel_diagonals=true → self weight = kernel(0) (gaussian:
+    // 1/sqrt(2π)), matching proxy.cpp:156-161 semantics
+    val wg = KnnWeights.build(df, KnnWeights.Conf(k = 3, cellSize = Some(4.0),
+      kernel = Some("gaussian"), useKernelDiagonals = true))
+      .select("gid", "nbrs", "wts").as[(Long, Seq[Long], Seq[Double])].collect()
+    wg.foreach { case (gid, nbrs, wts) =>
+      assert(nbrs.head == gid)
+      assert(math.abs(wts.head - 1.0 / math.sqrt(2 * math.Pi)) < 1e-12)
     }
   }
 
