@@ -41,11 +41,41 @@ object OracleSql {
                sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) AS dist
         FROM pts a JOIN pts b ON a.gid <> b.gid),
       knn AS (
-        SELECT gid, nbr, rk FROM (
+        SELECT gid, nbr, dist, rk FROM (
           SELECT gid, nbr, dist,
                  row_number() OVER (PARTITION BY gid ORDER BY dist, nbr) AS rk
           FROM allpairs) t
         WHERE rk <= 4)"""
+
+  /** kNN(6) variant (neighbor-match geometry side). */
+  private val KNN6 =
+    s"""$PTS,
+      allpairs AS (
+        SELECT a.gid AS gid, b.gid AS nbr,
+               sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) AS dist
+        FROM pts a JOIN pts b ON a.gid <> b.gid),
+      knn6 AS (
+        SELECT gid, nbr FROM (
+          SELECT gid, nbr, dist,
+                 row_number() OVER (PARTITION BY gid ORDER BY dist, nbr) AS rk
+          FROM allpairs) t
+        WHERE rk <= 6)"""
+
+  /** binary indicator var used by the join-count queries — mirrors
+    * SparkEntry.binaryVar bit-for-bit (integer modulo).
+    */
+  private val BINVAR =
+    """bin AS (
+      SELECT CAST(c_custkey AS BIGINT) AS gid,
+             CASE WHEN (c_custkey * 13) % 7 < 3 THEN 1.0 ELSE 0.0 END AS x
+      FROM customer)"""
+
+  /** standardized value vector (GeoDa sample-sd convention). */
+  private val ZVALS =
+    """z AS (
+      SELECT gid,
+             (value - avg(value) OVER ()) / stddev_samp(value) OVER () AS z
+      FROM vals)"""
 
   private val CELLS =
     """cells AS (
@@ -55,17 +85,19 @@ object OracleSql {
       FROM part)"""
 
   /** GeoDa percentile (plotting positions + linear interpolation) over
-    * CTEs `s(val, rk)` and `n(cnt)`; `pctExpr` is a SQL double expr.
+    * CTEs `sT(val, rk)` and `nT(cnt)`; `pctExpr` is a SQL double expr.
     */
-  private def pct(pctExpr: String): String =
+  private def pctT(pctExpr: String, sT: String, nT: String): String =
     s"""(SELECT CASE
-          WHEN $pctExpr <= 100.0/cnt*0.5 THEN (SELECT val FROM s WHERE rk = 0)
-          WHEN $pctExpr >= 100.0/cnt*(cnt-0.5) THEN (SELECT val FROM s WHERE rk = CAST(cnt AS BIGINT)-1)
+          WHEN $pctExpr <= 100.0/cnt*0.5 THEN (SELECT val FROM $sT WHERE rk = 0)
+          WHEN $pctExpr >= 100.0/cnt*(cnt-0.5) THEN (SELECT val FROM $sT WHERE rk = CAST(cnt AS BIGINT)-1)
           ELSE (SELECT s1.val + ($pctExpr*cnt/100.0 - 0.5 - floor($pctExpr*cnt/100.0 - 0.5)) * (s2.val - s1.val)
-                FROM s s1, s s2
+                FROM $sT s1, $sT s2
                 WHERE s1.rk = CAST(floor($pctExpr*cnt/100.0 - 0.5) AS BIGINT)
                   AND s2.rk = CAST(least(floor($pctExpr*cnt/100.0 - 0.5)+1, cnt-1) AS BIGINT))
-        END FROM n)"""
+        END FROM $nT)"""
+
+  private def pct(pctExpr: String): String = pctT(pctExpr, "s", "n")
 
   private val SORTED_VALS =
     """t AS (SELECT CAST(c_acctbal AS DOUBLE) AS val FROM customer),
@@ -348,6 +380,417 @@ object OracleSql {
       """SELECT event_type,
            CAST(floor(epoch(ts) / 3600.0) AS BIGINT) AS hr,
            count(*) AS n, round(sum(value), 4) AS sum_val
-         FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // ---- LISA statistic oracles (kernel lag/sum/indicator algebra) ----
+    "q30_local_moran" ->
+      s"""WITH $KNN4, $VALS, $ZVALS,
+         lagt AS (SELECT k.gid, avg(z2.z) AS lag
+                  FROM knn k JOIN z z2 ON k.nbr = z2.gid GROUP BY k.gid)
+         SELECT z.gid AS gid, round(z.z * lagt.lag, 4) AS moran_i
+         FROM z JOIN lagt ON z.gid = lagt.gid ORDER BY gid""",
+
+    "q31_local_g" ->
+      s"""WITH $KNN4, $VALS,
+         tot AS (SELECT sum(value) AS sall FROM vals),
+         num AS (SELECT k.gid, sum(v2.value) AS sn
+                 FROM knn k JOIN vals v2 ON k.nbr = v2.gid GROUP BY k.gid)
+         SELECT v.gid AS gid, round(num.sn / (tot.sall - v.value), 8) AS g
+         FROM vals v JOIN num ON v.gid = num.gid, tot ORDER BY gid""",
+
+    "q32_local_gstar" ->
+      s"""WITH $KNN4, $VALS,
+         tot AS (SELECT sum(value) AS sall FROM vals),
+         num AS (SELECT k.gid, sum(v2.value) AS sn
+                 FROM knn k JOIN vals v2 ON k.nbr = v2.gid GROUP BY k.gid)
+         SELECT v.gid AS gid, round((num.sn + v.value) / tot.sall, 8) AS gstar
+         FROM vals v JOIN num ON v.gid = num.gid, tot ORDER BY gid""",
+
+    "q33_local_geary" ->
+      s"""WITH $KNN4, $VALS, $ZVALS,
+         g AS (SELECT k.gid, avg((za.z - zb.z) * (za.z - zb.z)) AS c
+               FROM knn k JOIN z za ON k.gid = za.gid
+                          JOIN z zb ON k.nbr = zb.gid
+               GROUP BY k.gid)
+         SELECT gid, round(c, 4) AS geary FROM g ORDER BY gid""",
+
+    "q34_local_joincount" ->
+      s"""WITH $KNN4, $BINVAR,
+         s AS (SELECT k.gid, sum(b2.x) AS snbr, count(*) AS nn
+               FROM knn k JOIN bin b2 ON k.nbr = b2.gid GROUP BY k.gid)
+         SELECT b.gid AS gid, CAST(b.x * s.snbr AS BIGINT) AS jc,
+                CAST(s.nn AS BIGINT) AS nn,
+                CAST(CASE WHEN b.x = 1.0 AND b.x * s.snbr > 0 THEN 1 ELSE 0
+                     END AS BIGINT) AS sig_def
+         FROM bin b JOIN s ON b.gid = s.gid ORDER BY gid""",
+
+    "q35_local_bijoincount" ->
+      s"""WITH $KNN4, $BINVAR,
+         b2t AS (SELECT gid, x AS x1, 1.0 - x AS x2 FROM bin),
+         s AS (SELECT k.gid, sum(n2.x2) AS snbr, count(*) AS nn
+               FROM knn k JOIN b2t n2 ON k.nbr = n2.gid GROUP BY k.gid)
+         SELECT b.gid AS gid, CAST(b.x1 * s.snbr AS BIGINT) AS bjc,
+                CAST(s.nn AS BIGINT) AS nn,
+                CAST(CASE WHEN b.x1 = 1.0 AND b.x1 * s.snbr > 0 THEN 1 ELSE 0
+                     END AS BIGINT) AS sig_def
+         FROM b2t b JOIN s ON b.gid = s.gid ORDER BY gid""",
+
+    "q36_local_multijoincount" ->
+      s"""WITH $KNN4,
+         mv AS (SELECT CAST(c_custkey AS BIGINT) AS gid,
+                  (CASE WHEN (c_custkey * 13) % 7 < 3 THEN 1.0 ELSE 0.0 END) *
+                  (CASE WHEN (c_custkey * 11) % 5 < 2 THEN 1.0 ELSE 0.0 END)
+                    AS prod
+                FROM customer),
+         s AS (SELECT k.gid, sum(m2.prod) AS snbr, count(*) AS nn
+               FROM knn k JOIN mv m2 ON k.nbr = m2.gid GROUP BY k.gid)
+         SELECT m.gid AS gid, CAST(m.prod * s.snbr AS BIGINT) AS mjc,
+                CAST(s.nn AS BIGINT) AS nn,
+                CAST(CASE WHEN m.prod = 1.0 AND m.prod * s.snbr > 0 THEN 1
+                     ELSE 0 END AS BIGINT) AS sig_def
+         FROM mv m JOIN s ON m.gid = s.gid ORDER BY gid""",
+
+    "q37_quantile_lisa" ->
+      s"""WITH $KNN4, $SORTED_VALS,
+         ind AS (SELECT CAST(c_custkey AS BIGINT) AS gid,
+                   CASE WHEN
+                     (CASE WHEN CAST(c_acctbal AS DOUBLE) >= ${pct("20.0")} THEN 1 ELSE 0 END) +
+                     (CASE WHEN CAST(c_acctbal AS DOUBLE) >= ${pct("40.0")} THEN 1 ELSE 0 END) +
+                     (CASE WHEN CAST(c_acctbal AS DOUBLE) >= ${pct("60.0")} THEN 1 ELSE 0 END) +
+                     (CASE WHEN CAST(c_acctbal AS DOUBLE) >= ${pct("80.0")} THEN 1 ELSE 0 END)
+                     = 4 THEN 1.0 ELSE 0.0 END AS x
+                 FROM customer),
+         s2 AS (SELECT k.gid, sum(i2.x) AS snbr
+                FROM knn k JOIN ind i2 ON k.nbr = i2.gid GROUP BY k.gid)
+         SELECT i.gid AS gid, CAST(i.x * s2.snbr AS BIGINT) AS qjc,
+                CAST(CASE WHEN i.x = 1.0 AND i.x * s2.snbr > 0 THEN 1 ELSE 0
+                     END AS BIGINT) AS sig_def
+         FROM ind i JOIN s2 ON i.gid = s2.gid ORDER BY gid""",
+
+    "q38_multiquantile_lisa" ->
+      s"""WITH $KNN4,
+         t1 AS (SELECT CAST(c_acctbal AS DOUBLE) AS val FROM customer),
+         sa AS (SELECT val, row_number() OVER (ORDER BY val) - 1 AS rk FROM t1),
+         na AS (SELECT CAST(count(*) AS DOUBLE) AS cnt FROM t1),
+         t2 AS (SELECT CAST((c_custkey * 17) % 1000 AS DOUBLE) AS val FROM customer),
+         sb AS (SELECT val, row_number() OVER (ORDER BY val) - 1 AS rk FROM t2),
+         nb AS (SELECT CAST(count(*) AS DOUBLE) AS cnt FROM t2),
+         ind AS (SELECT CAST(c_custkey AS BIGINT) AS gid,
+                   (CASE WHEN CAST(c_acctbal AS DOUBLE) >= ${pctT("75.0", "sa", "na")}
+                    THEN 1.0 ELSE 0.0 END) *
+                   (CASE WHEN CAST((c_custkey * 17) % 1000 AS DOUBLE) < ${pctT("25.0", "sb", "nb")}
+                    THEN 1.0 ELSE 0.0 END) AS x
+                 FROM customer),
+         s2 AS (SELECT k.gid, sum(i2.x) AS snbr
+                FROM knn k JOIN ind i2 ON k.nbr = i2.gid GROUP BY k.gid)
+         SELECT i.gid AS gid, CAST(i.x * s2.snbr AS BIGINT) AS mqjc,
+                CAST(CASE WHEN i.x = 1.0 AND i.x * s2.snbr > 0 THEN 1 ELSE 0
+                     END AS BIGINT) AS sig_def
+         FROM ind i JOIN s2 ON i.gid = s2.gid ORDER BY gid""",
+
+    "q39_local_multigeary" ->
+      s"""WITH $KNN4,
+         mv AS (SELECT CAST(c_custkey AS BIGINT) AS gid,
+                       CAST(c_acctbal AS DOUBLE) AS v1,
+                       CAST((c_custkey * 17) % 1000 AS DOUBLE) AS v2
+                FROM customer),
+         z2 AS (SELECT gid,
+                  (v1 - avg(v1) OVER ()) / stddev_samp(v1) OVER () AS z1,
+                  (v2 - avg(v2) OVER ()) / stddev_samp(v2) OVER () AS z2
+                FROM mv),
+         g AS (SELECT k.gid,
+                 (avg((za.z1 - zb.z1) * (za.z1 - zb.z1)) +
+                  avg((za.z2 - zb.z2) * (za.z2 - zb.z2))) / 2.0 AS c
+               FROM knn k JOIN z2 za ON k.gid = za.gid
+                          JOIN z2 zb ON k.nbr = zb.gid
+               GROUP BY k.gid)
+         SELECT gid, round(c, 4) AS mgeary FROM g ORDER BY gid""",
+
+    // ---- neighbor match: two kNNs + exact hypergeometric tail ----
+    "q42_neighbor_match" ->
+      s"""WITH $KNN6,
+         av AS (SELECT CAST(c_custkey AS BIGINT) AS gid,
+                       CAST(c_acctbal AS DOUBLE) AS a1,
+                       CAST((c_custkey * 17) % 1000 AS DOUBLE) AS a2
+                FROM customer),
+         apairs AS (SELECT a.gid AS gid, b.gid AS anbr,
+                      sqrt((a.a1-b.a1)*(a.a1-b.a1) + (a.a2-b.a2)*(a.a2-b.a2))
+                        AS adist
+                    FROM av a JOIN av b ON a.gid <> b.gid),
+         aknn AS (SELECT gid, anbr FROM (
+                    SELECT gid, anbr, adist,
+                      row_number() OVER (PARTITION BY gid
+                        ORDER BY adist, anbr) AS rk
+                    FROM apairs) t WHERE rk <= 6),
+         cardt AS (SELECT g.gid, count(*) AS c
+                   FROM knn6 g JOIN aknn a
+                     ON g.gid = a.gid AND g.nbr = a.anbr
+                   GROUP BY g.gid),
+         nn AS (SELECT CAST(count(*) AS DOUBLE) - 1.0 AS bn FROM customer),
+         hyp AS (SELECT tv.v,
+                   CASE WHEN tv.v <= 0 THEN 1.0
+                        ELSE least(1.0, sum(CASE WHEN tx.x >= tv.v THEN exp(
+                          (lgamma(7.0) - lgamma(CAST(tx.x AS DOUBLE) + 1.0)
+                             - lgamma(7.0 - CAST(tx.x AS DOUBLE)))
+                          + (lgamma(bn - 5.0) - lgamma(7.0 - CAST(tx.x AS DOUBLE))
+                             - lgamma(bn - 11.0 + CAST(tx.x AS DOUBLE)))
+                          - (lgamma(bn + 1.0) - lgamma(7.0) - lgamma(bn - 5.0))
+                        ) END)) END AS p
+                 FROM generate_series(0, 6) tv(v)
+                 CROSS JOIN generate_series(1, 6) tx(x) CROSS JOIN nn
+                 GROUP BY tv.v)
+         SELECT a.gid AS gid, CAST(coalesce(cardt.c, 0) AS BIGINT) AS card,
+                round(hyp.p, 8) AS p
+         FROM av a LEFT JOIN cardt ON a.gid = cardt.gid
+         JOIN hyp ON hyp.v = coalesce(cardt.c, 0)
+         ORDER BY gid""",
+
+    // ---- weights variants ----
+    "q11k_kernel_knn" ->
+      s"""WITH $KNN4,
+         bw AS (SELECT gid, max(dist) AS bw FROM knn GROUP BY gid),
+         w AS (SELECT k.gid, k.nbr,
+                 round(CASE WHEN k.dist / b.bw >= 1 THEN 0.0
+                       ELSE 1.0 - k.dist / b.bw END, 9) AS w
+               FROM knn k JOIN bw b ON k.gid = b.gid
+               UNION ALL SELECT gid, gid AS nbr, 1.0 AS w FROM pts)
+         SELECT gid, nbr, w FROM w ORDER BY gid, nbr""",
+
+    "q12k_kernel_distband" ->
+      s"""WITH $PTS,
+         prs AS (SELECT * FROM (
+                   SELECT a.gid AS gid, b.gid AS nbr,
+                     sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) AS dist
+                   FROM pts a JOIN pts b ON a.gid <> b.gid) t
+                 WHERE dist <= 8.0),
+         w AS (SELECT gid, nbr,
+                 round(CASE WHEN dist / 8.0 >= 1 THEN 0.0
+                       ELSE 0.75 * (1.0 - (dist/8.0) * (dist/8.0)) END, 9) AS w
+               FROM prs
+               UNION ALL SELECT gid, gid AS nbr, 1.0 AS w FROM pts)
+         SELECT gid, nbr, w FROM w ORDER BY gid, nbr""",
+
+    "q43_knn_sub" ->
+      s"""WITH $KNN4
+         SELECT gid, nbr, CAST(rk AS BIGINT) AS rk FROM knn
+         WHERE gid >= 100 AND gid < 200 ORDER BY gid, rk""",
+
+    "q44_weights_fids" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS gid FROM customer
+         ORDER BY gid""",
+
+    "q45_weights_json" ->
+      s"""WITH $KNN4,
+         rows_ AS (SELECT gid,
+                     '"' || CAST(gid AS VARCHAR) || '":[[' ||
+                     string_agg(CAST(nbr AS VARCHAR), ',' ORDER BY rk) ||
+                     '],[' || string_agg('1.0', ',' ORDER BY rk) || ']]' AS r
+                   FROM knn GROUP BY gid)
+         SELECT '{' || string_agg(r, ',' ORDER BY gid) || '}' AS js
+         FROM rows_""",
+
+    "q63b_weights_astext_gwt" ->
+      s"""WITH $KNN4
+         SELECT gid, CAST(gid AS VARCHAR) || ':[' ||
+           string_agg(CAST(nbr AS VARCHAR), ',' ORDER BY rk) || ']:[' ||
+           string_agg(CAST(round(1.0/dist, 4) AS VARCHAR), ',' ORDER BY rk)
+           || ']' AS txt
+         FROM knn GROUP BY gid ORDER BY gid""",
+
+    // ---- tile-windowed LISA (window-trim semantics) ----
+    "q67_tile_moran" ->
+      s"""WITH $KNN4, $VALS,
+         tiles AS (SELECT gid,
+                     (CAST(floor(x / 40.0) AS BIGINT) + 1048576) * 2097152 +
+                     (CAST(floor(y / 40.0) AS BIGINT) + 1048576) AS tile
+                   FROM pts),
+         tv AS (SELECT t.gid, t.tile, v.value
+                FROM tiles t JOIN vals v ON t.gid = v.gid),
+         tmom AS (SELECT tile, avg(value) AS m, stddev_samp(value) AS sd,
+                         count(*) AS cnt
+                  FROM tv GROUP BY tile),
+         zt AS (SELECT tv.gid, tv.tile,
+                  CASE WHEN m2.cnt <= 1 THEN tv.value
+                       WHEN m2.sd = 0 OR m2.sd IS NULL THEN tv.value - m2.m
+                       ELSE (tv.value - m2.m) / m2.sd END AS z
+                FROM tv JOIN tmom m2 ON tv.tile = m2.tile),
+         tn AS (SELECT k.gid, k.nbr FROM knn k
+                JOIN zt a ON k.gid = a.gid
+                JOIN zt b ON k.nbr = b.gid AND a.tile = b.tile),
+         lagt AS (SELECT tn.gid, avg(zb.z) AS lag
+                  FROM tn JOIN zt zb ON tn.nbr = zb.gid GROUP BY tn.gid)
+         SELECT zt.gid AS gid, zt.tile AS tile,
+                round(coalesce(zt.z * lagt.lag, 0.0), 4) AS stat
+         FROM zt LEFT JOIN lagt ON zt.gid = lagt.gid ORDER BY gid""",
+
+    "q69_tile_joincount" ->
+      s"""WITH $KNN4, $BINVAR,
+         tiles AS (SELECT gid,
+                     (CAST(floor(x / 40.0) AS BIGINT) + 1048576) * 2097152 +
+                     (CAST(floor(y / 40.0) AS BIGINT) + 1048576) AS tile
+                   FROM pts),
+         tb AS (SELECT t.gid, t.tile, b.x
+                FROM tiles t JOIN bin b ON t.gid = b.gid),
+         tn AS (SELECT k.gid, k.nbr FROM knn k
+                JOIN tb a ON k.gid = a.gid
+                JOIN tb b ON k.nbr = b.gid AND a.tile = b.tile),
+         s AS (SELECT tn.gid, sum(nb.x) AS snbr, count(*) AS nn
+               FROM tn JOIN tb nb ON tn.nbr = nb.gid GROUP BY tn.gid)
+         SELECT t.gid AS gid, t.tile AS tile,
+                CAST(t.x * coalesce(s.snbr, 0) AS BIGINT) AS jc,
+                CAST(coalesce(s.nn, 0) AS BIGINT) AS nn,
+                CAST(CASE WHEN coalesce(s.nn, 0) > 0 AND t.x = 1.0
+                          AND t.x * coalesce(s.snbr, 0) > 0
+                     THEN 1 ELSE 0 END AS BIGINT) AS sig_def
+         FROM tb t LEFT JOIN s ON t.gid = s.gid ORDER BY gid""",
+
+    // ---- webtext north-rule chain (md5 geocode replayed in SQL) ----
+    "q62_webtext_moran" ->
+      s"""WITH pages AS (
+           SELECT 'https://site-' || CAST(doc_id % 97 AS VARCHAR) ||
+                  '.example/page/' || CAST(doc_id AS VARCHAR) AS url,
+                  text
+           FROM documents),
+         geo AS (
+           SELECT CAST(('0x' || substr(md5(url), 17, 15)) AS BIGINT) AS gid,
+                  CAST(CAST(('0x' || substr(md5(url), 1, 8)) AS BIGINT)
+                    % 18000 AS DOUBLE) / 100.0 AS x,
+                  CAST(CAST(('0x' || substr(md5(url), 9, 8)) AS BIGINT)
+                    % 18000 AS DOUBLE) / 100.0 AS y,
+                  CAST(length(text) AS DOUBLE) AS value
+           FROM pages),
+         allp AS (SELECT a.gid AS gid, b.gid AS nbr,
+                    sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) AS dist
+                  FROM geo a JOIN geo b ON a.gid <> b.gid),
+         wknn AS (SELECT gid, nbr FROM (
+                    SELECT gid, nbr, dist,
+                      row_number() OVER (PARTITION BY gid
+                        ORDER BY dist, nbr) AS rk
+                    FROM allp) t WHERE rk <= 4),
+         zw AS (SELECT gid,
+                  (value - avg(value) OVER ()) / stddev_samp(value) OVER ()
+                    AS z
+                FROM geo),
+         lagw AS (SELECT k.gid, avg(z2.z) AS lag
+                  FROM wknn k JOIN zw z2 ON k.nbr = z2.gid GROUP BY k.gid)
+         SELECT zw.gid AS gid, round(zw.z * lagw.lag, 4) AS moran_i
+         FROM zw JOIN lagw ON zw.gid = lagw.gid ORDER BY gid""",
+
+    // ---- LLM-data ops ----
+    "q53_lang_id" ->
+      """WITH words AS (
+           SELECT doc_id, unnest(list_filter(
+             string_split_regex(lower(text), '\s+'), w -> w <> '')) AS w
+           FROM documents),
+         profiles AS (SELECT * FROM (VALUES
+           ('en','the'),('en','and'),('en','of'),('en','to'),('en','in'),
+           ('en','is'),('en','that'),
+           ('de','der'),('de','die'),('de','und'),('de','das'),('de','ist'),
+           ('de','nicht'),('de','ein'),
+           ('fr','le'),('fr','la'),('fr','et'),('fr','les'),('fr','des'),
+           ('fr','est'),('fr','une'),
+           ('es','el'),('es','la'),('es','de'),('es','que'),('es','los'),
+           ('es','es'),('es','una'),
+           ('it','il'),('it','di'),('it','che'),('it','la'),('it','per'),
+           ('it','con'),('it','del')) t(lang, w)),
+         sc AS (SELECT w.doc_id, p.lang, count(*) AS s
+                FROM words w JOIN profiles p ON w.w = p.w GROUP BY 1, 2),
+         tot AS (SELECT doc_id, sum(s) AS t FROM sc GROUP BY 1),
+         best AS (SELECT doc_id, lang, s,
+                    row_number() OVER (PARTITION BY doc_id
+                      ORDER BY s DESC, lang) AS rn
+                  FROM sc)
+         SELECT d.doc_id AS id,
+                coalesce(b.lang, 'und') AS lang_pred,
+                coalesce(round(CAST(b.s AS DOUBLE) / t.t, 6), 0.0)
+                  AS confidence
+         FROM documents d
+         LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.doc_id = b.doc_id
+         LEFT JOIN tot t ON d.doc_id = t.doc_id
+         ORDER BY id""",
+
+    "q56_ngram_jaccard" ->
+      """WITH ws AS (
+           SELECT doc_id, list_filter(
+             string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+           FROM documents),
+         sh AS (
+           SELECT doc_id, unnest(list_distinct(CASE
+             WHEN len(w) = 0 THEN CAST([] AS VARCHAR[])
+             WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+             ELSE list_transform(range(1, len(w) - 1),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+           END)) AS s
+           FROM ws),
+         cnt AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY 1),
+         prs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM documents a JOIN documents b
+                   ON b.doc_id = a.doc_id + 1),
+         inter AS (SELECT p.id_a, p.id_b, count(*) AS ni
+                   FROM prs p
+                   JOIN sh sa ON sa.doc_id = p.id_a
+                   JOIN sh sb ON sb.doc_id = p.id_b AND sa.s = sb.s
+                   GROUP BY 1, 2)
+         SELECT p.id_a AS id_a, p.id_b AS id_b,
+                round(CAST(coalesce(i.ni, 0) AS DOUBLE) /
+                  (ca.nsh + cb.nsh - coalesce(i.ni, 0)), 6) AS jaccard
+         FROM prs p
+         LEFT JOIN inter i ON p.id_a = i.id_a AND p.id_b = i.id_b
+         JOIN cnt ca ON ca.doc_id = p.id_a
+         JOIN cnt cb ON cb.doc_id = p.id_b
+         ORDER BY id_a""",
+
+    "q57_ann_brute" ->
+      """WITH nrm AS (
+           SELECT vec_id AS id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         u AS (
+           SELECT id, CASE WHEN nr = 0 THEN v
+                      ELSE list_transform(v, x -> x / nr) END AS unit
+           FROM (SELECT id, v,
+                   sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum'))
+                     AS nr
+                 FROM nrm) t),
+         scored AS (
+           SELECT q.qid, c.id,
+             list_aggregate(list_transform(range(1, len(c.unit) + 1),
+               i -> c.unit[i] * q.qunit[i]), 'sum') AS cosine
+           FROM u c
+           CROSS JOIN (SELECT id AS qid, unit AS qunit FROM u WHERE id < 5) q
+           WHERE c.id <> q.qid),
+         ranked AS (SELECT qid, id, cosine,
+                      row_number() OVER (PARTITION BY qid
+                        ORDER BY cosine DESC, id) AS rk
+                    FROM scored)
+         SELECT qid, id, CAST(rk AS BIGINT) AS rk, round(cosine, 6) AS cosine
+         FROM ranked WHERE rk <= 10 ORDER BY qid, rk""",
+
+    "q58b_quality" ->
+      """WITH f AS (
+           SELECT doc_id AS id,
+                  CAST(length(text) AS DOUBLE) AS n_chars,
+                  len(string_split_regex(text, '\s+')) AS tokens,
+                  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                    AS DOUBLE) AS alpha,
+                  len(string_split_regex(lower(text),
+                    '\b(the|and|of|to|in|is|that|a|for|it)\b')) - 1 AS stop
+           FROM documents),
+         g AS (
+           SELECT id, n_chars, CAST(tokens AS BIGINT) AS n_tokens,
+                  CASE WHEN n_chars > 0 THEN alpha / n_chars ELSE 0.0 END
+                    AS alpha_ratio,
+                  CASE WHEN tokens > 0 THEN CAST(stop AS DOUBLE) / tokens
+                       ELSE 0.0 END AS stopword_ratio,
+                  CASE WHEN tokens > 0 THEN n_chars / tokens ELSE 0.0 END
+                    AS mwl
+           FROM f)
+         SELECT id, n_chars, n_tokens,
+                round(alpha_ratio, 6) AS alpha_ratio,
+                round(stopword_ratio, 6) AS stopword_ratio,
+                CASE WHEN n_tokens >= 10 AND alpha_ratio > 0.6
+                       AND stopword_ratio > 0.05 AND mwl BETWEEN 3 AND 12
+                     THEN 1.0 ELSE 0.0 END AS quality
+         FROM g ORDER BY id"""
   )
 }

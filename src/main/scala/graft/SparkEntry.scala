@@ -144,6 +144,38 @@ object SparkEntry {
           ContiguityWeights.Conf(queen = true, order = 2))
         .orderBy("gid", "nbr")
     }),
+    "q11k_kernel_knn" -> ((s, dir) => {
+      // W5 kernel kNN (triangular, adaptive bandwidth = kth distance),
+      // incl. the diagonal self entry (weight 1.0 by default)
+      KnnWeights.build(SynthGeo.customerPoints(s, dir),
+          KnnWeights.Conf(k = 4, cellSize = Some(4.0),
+            kernel = Some("triangular")))
+        .select(col("gid"), posexplode(arrays_zip(col("nbrs"), col("wts"))))
+        .select(col("gid"), col("col.nbrs").as("nbr"),
+          round(col("col.wts"), 9).as("w"))
+        .orderBy("gid", "nbr")
+    }),
+    "q12k_kernel_distband" -> ((s, dir) => {
+      // W7 kernel distance-band (epanechnikov), diagonal included
+      graft.weights.DistanceWeights.build(SynthGeo.customerPoints(s, dir),
+          graft.weights.DistanceWeights.Conf(threshold = 8.0,
+            kernel = Some("epanechnikov")))
+        .select(col("gid"), posexplode(arrays_zip(col("nbrs"), col("wts"))))
+        .select(col("gid"), col("col.nbrs").as("nbr"),
+          round(col("col.wts"), 9).as("w"))
+        .orderBy("gid", "nbr")
+    }),
+    "q43_knn_sub" -> ((s, dir) => {
+      // W4 knn_weights_sub: results for the gid slice only, all points
+      // candidates (weights_knn.c:213-369 sharding semantics)
+      KnnWeights.buildSub(SynthGeo.customerPoints(s, dir),
+          KnnWeights.Conf(k = 4, cellSize = Some(4.0)),
+          startGid = 100L, endGid = 200L)
+        .select(col("gid"), posexplode(col("nbrs")))
+        .select(col("gid"), col("col").as("nbr"),
+          (col("pos") + 1).cast("long").as("rk"))
+        .orderBy("gid", "rk")
+    }),
     "q19_pip_join" -> ((s, dir) => {
       SpatialJoin.pip(SynthGeo.customerPoints(s, dir),
           SynthGeo.partPolygons(s, dir).withColumnRenamed("gid", "pid"),
@@ -184,43 +216,71 @@ object SparkEntry {
     "q27_natural_breaks" -> ((s, dir) => breaksDf(s,
       Breaks.naturalBreaks(SynthGeo.customerValues(s, dir), 5))),
 
-    // ---- LISA with permutations (L1-L11; deterministic, oracle-free) ----
+    // ---- LISA (L1-L11). Each statistic is lag/sum/indicator algebra →
+    // DuckDB-expressible, so the kernel's stat path is oracle-verified;
+    // permutation p-values/cluster labels are covered by the C-pinned
+    // kernel specs + q30f's full output (rows-only + determinism probe).
     "q30_local_moran" -> ((s, dir) =>
+      Lisa.localMoran(SynthGeo.customerValues(s, dir), knnWeights4(s, dir))
+        .select(col("gid"), round(col("stat"), 4).as("moran_i"))
+        .orderBy("gid")),
+    "q30f_local_moran_full" -> ((s, dir) =>
       Lisa.localMoran(SynthGeo.customerValues(s, dir), knnWeights4(s, dir))
         .orderBy("gid")),
     "q31_local_g" -> ((s, dir) =>
       Lisa.localG(SynthGeo.customerValues(s, dir), knnWeights4(s, dir),
-        star = false).orderBy("gid")),
+        star = false)
+        .select(col("gid"), round(col("stat"), 8).as("g"))
+        .orderBy("gid")),
     "q32_local_gstar" -> ((s, dir) =>
       Lisa.localG(SynthGeo.customerValues(s, dir), knnWeights4(s, dir),
-        star = true).orderBy("gid")),
+        star = true)
+        .select(col("gid"), round(col("stat"), 8).as("gstar"))
+        .orderBy("gid")),
     "q33_local_geary" -> ((s, dir) =>
       Lisa.localGeary(SynthGeo.customerValues(s, dir), knnWeights4(s, dir))
+        .select(col("gid"), round(col("stat"), 4).as("geary"))
         .orderBy("gid")),
     "q34_local_joincount" -> ((s, dir) =>
       Lisa.localJoinCount(binaryVar(s, dir), knnWeights4(s, dir))
+        .select(col("gid"), col("stat").cast("long").as("jc"),
+          col("c").cast("long").as("nn"),
+          (col("p") >= 0).cast("long").as("sig_def"))
         .orderBy("gid")),
     "q35_local_bijoincount" -> ((s, dir) => {
       val v = binaryVar(s, dir)
         .withColumn("value2", lit(1.0) - col("value"))
-      Lisa.localBiJoinCount(v, knnWeights4(s, dir)).orderBy("gid")
+      Lisa.localBiJoinCount(v, knnWeights4(s, dir))
+        .select(col("gid"), col("stat").cast("long").as("bjc"),
+          col("c").cast("long").as("nn"),
+          (col("p") >= 0).cast("long").as("sig_def"))
+        .orderBy("gid")
     }),
     "q36_local_multijoincount" -> ((s, dir) => {
       val v = SynthGeo.table(s, dir, "customer").select(
         col("c_custkey").cast("long").as("gid"),
         array(((col("c_custkey") * 13) % 7 < 3).cast("double"),
           ((col("c_custkey") * 11) % 5 < 2).cast("double")).as("vals"))
-      Lisa.localMultiJoinCount(v, knnWeights4(s, dir)).orderBy("gid")
+      Lisa.localMultiJoinCount(v, knnWeights4(s, dir))
+        .select(col("gid"), col("stat").cast("long").as("mjc"),
+          col("c").cast("long").as("nn"),
+          (col("p") >= 0).cast("long").as("sig_def"))
+        .orderBy("gid")
     }),
     "q37_quantile_lisa" -> ((s, dir) =>
       Lisa.quantileLisa(5, 5, SynthGeo.customerValues(s, dir),
-        knnWeights4(s, dir)).orderBy("gid")),
+        knnWeights4(s, dir))
+        .select(col("gid"), col("stat").cast("long").as("qjc"),
+          (col("p") >= 0).cast("long").as("sig_def"))
+        .orderBy("gid")),
     "q38_multiquantile_lisa" -> ((s, dir) => {
       val v = SynthGeo.table(s, dir, "customer").select(
         col("c_custkey").cast("long").as("gid"),
         array(col("c_acctbal").cast("double"),
           ((col("c_custkey") * 17) % 1000).cast("double")).as("vals"))
       Lisa.multiQuantileLisa(Array(4, 4), Array(4, 1), v, knnWeights4(s, dir))
+        .select(col("gid"), col("stat").cast("long").as("mqjc"),
+          (col("p") >= 0).cast("long").as("sig_def"))
         .orderBy("gid")
     }),
     "q39_local_multigeary" -> ((s, dir) => {
@@ -228,7 +288,9 @@ object SparkEntry {
         col("c_custkey").cast("long").as("gid"),
         array(col("c_acctbal").cast("double"),
           ((col("c_custkey") * 17) % 1000).cast("double")).as("vals"))
-      Lisa.localMultiGeary(v, knnWeights4(s, dir)).orderBy("gid")
+      Lisa.localMultiGeary(v, knnWeights4(s, dir))
+        .select(col("gid"), round(col("stat"), 4).as("mgeary"))
+        .orderBy("gid")
     }),
 
     // ---- regionalization (C1, C2) + neighbor match (L12) ----
@@ -255,12 +317,18 @@ object SparkEntry {
           method = "fullorder-wardlinkage")).orderBy("gid")
     }),
     "q42_neighbor_match" -> ((s, dir) => {
+      // 'raw' scale → the whole computation (two kNNs, intersection,
+      // hypergeometric tail) is bit-replicable in DuckDB (integer-derived
+      // doubles; lgamma differences absorbed by round)
       val v = SynthGeo.table(s, dir, "customer").select(
         col("c_custkey").cast("long").as("gid"),
         array(col("c_acctbal").cast("double"),
           ((col("c_custkey") * 17) % 1000).cast("double")).as("vals"))
       graft.stats.NeighborMatch.run(SynthGeo.customerPoints(s, dir), v,
-        k = 6, cellSize = Some(4.0)).orderBy("gid")
+        k = 6, scaleMethod = "raw", cellSize = Some(4.0))
+        .select(col("gid"), col("card").cast("long").as("card"),
+          round(col("p"), 8).as("p"))
+        .orderBy("gid")
     }),
 
     // ---- weights serialization / codec parity (S1-S4, §1.3) ----
@@ -279,6 +347,22 @@ object SparkEntry {
     "q63_weights_astext" -> ((s, dir) => {
       graft.weights.WeightsCodec.asText(knnWeights4(s, dir))
         .orderBy("gid")
+    }),
+    "q63b_weights_astext_gwt" -> ((s, dir) => {
+      // GWT-valued text: per-neighbor weights included (weights_cont.c
+      // text format carries wts; inverse-distance kNN weights here)
+      val w = KnnWeights.build(SynthGeo.customerPoints(s, dir),
+        KnnWeights.Conf(k = 4, cellSize = Some(4.0), isInverse = true))
+      graft.weights.WeightsCodec.asText(w, wtsDecimals = 4).orderBy("gid")
+    }),
+    "q44_weights_fids" -> ((s, dir) =>
+      graft.weights.WeightsCodec.fids(knnWeights4(s, dir))
+        .select(col("gid").cast("long").as("gid")).orderBy("gid")),
+    "q45_weights_json" -> ((s, dir) => {
+      import s.implicits._
+      // S3 geoda_weights_tojson: single text value for the whole table
+      val txt = graft.weights.WeightsCodec.toJsonText(knnWeights4(s, dir))
+      Seq(txt).toDF("js")
     }),
 
     // ---- raster <-> vector (north-rule surface) ----
@@ -334,7 +418,10 @@ object SparkEntry {
 
     "q53_lang_id" -> ((s, dir) =>
       graft.pipeline.TextAnalysis.languageId(
-        SynthGeo.table(s, dir, "documents")).orderBy("id")),
+        SynthGeo.table(s, dir, "documents"))
+        .select(col("id"), col("lang_pred"),
+          round(col("confidence"), 6).as("confidence"))
+        .orderBy("id")),
     "q54_minhash_dedup" -> ((s, dir) =>
       graft.pipeline.Dedup.minhashLsh(SynthGeo.table(s, dir, "documents"),
         threshold = 0.5).orderBy("id_a", "id_b")),
@@ -355,7 +442,8 @@ object SparkEntry {
       val emb = SynthGeo.table(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") < 5)
       graft.pipeline.Similarity.bruteTopK(emb, queries, k = 10)
-        .select(col("qid"), col("id"), col("rk").cast("long").as("rk"))
+        .select(col("qid"), col("id"), col("rk").cast("long").as("rk"),
+          round(col("cosine"), 6).as("cosine"))
         .orderBy("qid", "rk")
     }),
     "q57b_ann_ivf" -> ((s, dir) => {
@@ -364,6 +452,16 @@ object SparkEntry {
       graft.pipeline.Similarity.ivfTopK(emb, queries, k = 10)
         .select(col("qid"), col("id"), col("rk").cast("long").as("rk"))
         .orderBy("qid", "rk")
+    }),
+    "q68_embedding_neardup" -> ((s, dir) => {
+      // hyperplane-LSH cosine near-dup: plant exact duplicates (vec_id +
+      // 1e6) so the bucket-join provably recalls them; rows-only check
+      val emb = SynthGeo.table(s, dir, "embeddings")
+      val planted = emb.withColumn("vec_id", col("vec_id") + 1000000L)
+      graft.pipeline.Dedup.embeddingNearDup(emb.unionByName(planted),
+          threshold = 0.999)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+        .orderBy("id_a", "id_b")
     }),
     "q58_fingerprint" -> ((s, dir) =>
       graft.pipeline.TextAnalysis.fingerprint(
@@ -386,23 +484,41 @@ object SparkEntry {
         .orderBy("id")
     }),
     "q67_tile_moran" -> ((s, dir) => {
-      // per-tile LISA (beyond-broadcast scale mode, window-trim semantics)
+      // per-tile LISA (beyond-broadcast scale mode, window-trim
+      // semantics); the per-tile standardize + in-tile-trimmed lag is
+      // plain SQL → oracle-checked
       val pts = SynthGeo.customerPoints(s, dir)
       graft.stats.TileLisa.run(graft.stats.TileLisa.Moran, pts,
           SynthGeo.customerValues(s, dir), knnWeights4(s, dir),
           tileSize = 40.0)
+        .select(col("gid"), col("tile"), round(col("stat"), 4).as("stat"))
+        .orderBy("gid")
+    }),
+    "q69_tile_joincount" -> ((s, dir) => {
+      // per-tile join count: integer-exact statistic + trimmed neighbor
+      // count + deterministic p-defined flag → full oracle
+      val pts = SynthGeo.customerPoints(s, dir)
+      graft.stats.TileLisa.run(graft.stats.TileLisa.JoinCount, pts,
+          binaryVar(s, dir), knnWeights4(s, dir), tileSize = 40.0)
+        .select(col("gid"), col("tile"),
+          col("stat").cast("long").as("jc"),
+          col("c").cast("long").as("nn"),
+          (col("p") >= 0).cast("long").as("sig_def"))
         .orderBy("gid")
     }),
     "q62_webtext_moran" -> ((s, dir) => {
       // north-rule pipeline, hermetic (no checkpoint dir): webpages →
-      // geocode → kNN weights → local Moran over text length
+      // geocode (md5 slices → SQL-replicable) → kNN weights → local
+      // Moran over text length; oracle replays the whole chain in DuckDB
       val pages = graft.pipeline.Webtext.synthWebpages(s, dir)
       val geo = graft.pipeline.Webtext.geocode(pages).cache()
       val w = KnnWeights.build(geo.select("gid", "x", "y"),
         KnnWeights.Conf(k = 4, cellSize = Some(SynthGeo.CellW)))
       val vals = geo.select(col("gid"),
         length(col("text")).cast("double").as("value"))
-      Lisa.localMoran(vals, w).orderBy("gid")
+      Lisa.localMoran(vals, w)
+        .select(col("gid"), round(col("stat"), 4).as("moran_i"))
+        .orderBy("gid")
     }),
 
     // ---- events: windowed aggregation (micro-batch equivalent of the

@@ -9,25 +9,26 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Tiny trigram/stopword language-ID heuristic over a fixed profile set
-    * (en/de/fr/es/it) — deterministic scoring, ties alphabetical.
+  /** Tiny stopword language-ID heuristic over a fixed profile set
+    * (en/de/fr/es/it): tokenize on whitespace, count marker-word hits per
+    * language, argmax with alphabetical tie-break; confidence =
+    * best/total hits, 'und' when nothing matches. Token-count scoring
+    * (not substring scanning) so the exact same computation is
+    * expressible as a profiles-table join in ANSI SQL — the oracle for
+    * q53 replays it in DuckDB.
     */
-  private val profiles: Map[String, Seq[String]] = Map(
-    "en" -> Seq(" the ", " and ", " of ", " to ", " in ", " is ", " that "),
-    "de" -> Seq(" der ", " die ", " und ", " das ", " ist ", " nicht ", " ein "),
-    "fr" -> Seq(" le ", " la ", " et ", " les ", " des ", " est ", " une "),
-    "es" -> Seq(" el ", " la ", " de ", " que ", " los ", " es ", " una "),
-    "it" -> Seq(" il ", " di ", " che ", " la ", " per ", " con ", " del "))
+  private[pipeline] val profiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "une"),
+    "es" -> Seq("el", "la", "de", "que", "los", "es", "una"),
+    "it" -> Seq("il", "di", "che", "la", "per", "con", "del"))
 
   def langOf(text: String): (String, Double) = {
-    val t = " " + text.toLowerCase.replaceAll("\\s+", " ") + " "
+    val tokens = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
     val scores = profiles.map { case (lang, markers) =>
-      var s = 0
-      markers.foreach { m =>
-        var idx = t.indexOf(m)
-        while (idx >= 0) { s += 1; idx = t.indexOf(m, idx + 1) }
-      }
-      (lang, s)
+      val ms = markers.toSet
+      (lang, tokens.count(ms.contains))
     }
     val total = scores.values.sum
     if (total == 0) ("und", 0.0)

@@ -37,16 +37,26 @@ object Webtext {
       col("lang"))
   }
 
-  /** Geocode urls to points: stable 64-bit url hash → uniform coords in
-    * the synthetic admin-layer domain. (gid, url, x, y, cell).
+  /** Geocode urls to points: stable url hash → uniform coords in the
+    * synthetic admin-layer domain. (gid, url, x, y, cell).
+    *
+    * The hash is md5 sliced into non-overlapping hex ranges (x: 1-8,
+    * y: 9-16, gid: 17-31 → 60-bit id) — md5 produces identical hex text
+    * in any engine, so the whole derivation replays in ANSI SQL and the
+    * downstream Moran query gets a DuckDB oracle. Throughput-equivalent
+    * to a 64-bit hash at scale (one digest per row, codegen'd).
     */
   def geocode(pages: DataFrame, cellSize: Double = SynthGeo.CellW): DataFrame =
     pages.select(col("url"), col("text"))
-      .withColumn("h", xxhash64(col("url")))
-      .withColumn("h2", xxhash64(col("url"), lit(1)))
-      .withColumn("gid", col("h")) // full 64-bit: collision-free in practice
-      .withColumn("x", (pmod(col("h"), lit(18000L))).cast("double") / 100.0)
-      .withColumn("y", (pmod(col("h2"), lit(18000L))).cast("double") / 100.0)
+      .withColumn("__h", md5(col("url").cast("binary")))
+      .withColumn("gid",
+        conv(substring(col("__h"), 17, 15), 16, 10).cast("long"))
+      .withColumn("x",
+        (conv(substring(col("__h"), 1, 8), 16, 10).cast("long") % 18000L)
+          .cast("double") / 100.0)
+      .withColumn("y",
+        (conv(substring(col("__h"), 9, 8), 16, 10).cast("long") % 18000L)
+          .cast("double") / 100.0)
       .withColumn("cell", Tiling.cellIdCol(col("x"), col("y"), cellSize))
       .select("gid", "url", "x", "y", "cell", "text")
 

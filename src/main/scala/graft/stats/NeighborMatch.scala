@@ -2,7 +2,7 @@ package graft.stats
 
 import graft.core.Stat0
 import graft.weights.KnnWeights
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -14,11 +14,15 @@ import org.apache.spark.sql.functions._
   * reports per observation the overlap cardinality v and the
   * hypergeometric tail probability P(X >= v), X ~ Hypergeom(N-1, k, k).
   *
-  * Spark shape: the spatial kNN reuses the cell-ring engine; the
-  * attribute kNN is a cross-join + per-gid window top-k (exact; fine to
-  * ~10^5 rows per run). At web scale the attribute side becomes the
-  * LSH-bucketed kNN of graft.pipeline.Similarity — same output contract,
-  * documented approximation.
+  * Spark shape: BOTH kNN sides run the cell-ring engine — the attribute
+  * side reuses it directly for euclidean distance in ≤2 dimensions
+  * (attribute values become coordinates), so there is no cross join and
+  * no O(N²) stage anywhere on the common path; scaling moments come from
+  * one aggregation, not a driver collect. Higher-dimensional or manhattan
+  * attribute spaces fall back to a window top-k over a documented
+  * cross join (rare; the reference itself is driver-bound there).
+  * The hypergeometric p depends only on the overlap cardinality
+  * v ∈ [0, k], so it's a k+1-element literal lookup — no UDF.
   */
 object NeighborMatch {
 
@@ -59,6 +63,92 @@ object NeighborMatch {
     }
   }
 
+  /** Scale the `vals` array column per variable, distributively: moments
+    * from ONE global aggregation, application as a codegen'd projection.
+    * Methods per lisa.h:139-159; 'mad' needs exact medians and keeps a
+    * driver-side path (rarely used).
+    */
+  private[stats] def scaleVals(values: DataFrame, nv: Int,
+                               method: String): DataFrame = {
+    val v = col("vals")
+    method match {
+      case "raw" =>
+        values.select(col("gid").cast("long").as("gid"), v.as("sv"))
+      case "standardize" | "demean" =>
+        val aggs = (0 until nv).flatMap(i => Seq(
+          avg(v(i)).as(s"m$i"), stddev_samp(v(i)).as(s"s$i")))
+        val m = values.agg(aggs.head, aggs.tail: _*).head()
+        val cols = (0 until nv).map { i =>
+          val mu = m.getDouble(2 * i)
+          val sd = if (method == "demean") 0.0 else m.getDouble(2 * i + 1)
+          // GeoDa semantics (Stat0.standardize): sd == 0 → deviations
+          if (sd != 0.0 && !sd.isNaN) (v(i) - mu) / sd else v(i) - mu
+        }
+        values.select(col("gid").cast("long").as("gid"),
+          array(cols: _*).as("sv"))
+      case "range_standardize" | "range_adjust" =>
+        val aggs = (0 until nv).flatMap(i => Seq(
+          min(v(i)).as(s"mn$i"), max(v(i)).as(s"mx$i")))
+        val m = values.agg(aggs.head, aggs.tail: _*).head()
+        val cols = (0 until nv).map { i =>
+          val mn = m.getDouble(2 * i); val mx = m.getDouble(2 * i + 1)
+          val r = mx - mn
+          if (method == "range_standardize")
+            (if (r == 0.0) v(i) - mn else (v(i) - mn) / r)
+          else (if (r == 0.0) v(i) else v(i) / r)
+        }
+        values.select(col("gid").cast("long").as("gid"),
+          array(cols: _*).as("sv"))
+      case "mad" =>
+        // exact per-variable median-absolute-deviation needs two median
+        // passes; small-N driver path retained for parity
+        val spark = values.sparkSession
+        import spark.implicits._
+        val rows = values.select(col("gid").cast("long"), col("vals"))
+          .as[(Long, Seq[Double])].collect()
+        val n = rows.length
+        val mat = Array.ofDim[Double](nv, n)
+        for (i <- rows.indices; vi <- 0 until nv) mat(vi)(i) = rows(i)._2(vi)
+        val scaled = mat.map(Stat0.madScale)
+        spark.createDataset(rows.indices.map(i =>
+          (rows(i)._1, (0 until nv).map(vi => scaled(vi)(i)))))
+          .toDF("gid", "sv")
+      case other => throw new IllegalArgumentException(
+        s"unknown scale method '$other' (lisa.h:139-159)")
+    }
+  }
+
+  /** Exact attribute-space kNN pairs (gid, anbr). ≤2-dim euclidean runs
+    * the cell-ring engine (no cross join); otherwise window top-k over a
+    * cross join (documented fallback).
+    */
+  private[stats] def attrKnn(scaled: DataFrame, nv: Int, k: Int,
+                             distType: String): DataFrame = {
+    if (distType == "euclidean" && nv <= 2) {
+      val pts = scaled.select(col("gid"), col("sv")(0).as("x"),
+        (if (nv == 2) col("sv")(1) else lit(0.0)).as("y"))
+      KnnWeights.pairs(pts, KnnWeights.Conf(k = k))
+        .select(col("gid"), col("nbr").as("anbr"))
+    } else {
+      val manhattan = distType == "manhattan"
+      val distExpr: Column =
+        if (manhattan)
+          aggregate(zip_with(col("a.sv"), col("b.sv"), (x, y) => abs(x - y)),
+            lit(0.0), (acc, v) => acc + v)
+        else
+          sqrt(aggregate(zip_with(col("a.sv"), col("b.sv"),
+            (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v))
+      scaled.as("a").crossJoin(scaled.as("b"))
+        .filter(col("a.gid") =!= col("b.gid"))
+        .select(col("a.gid").as("gid"), col("b.gid").as("anbr"),
+          distExpr.as("adist"))
+        .withColumn("rk", row_number().over(Window.partitionBy("gid")
+          .orderBy(col("adist"), col("anbr"))))
+        .filter(col("rk") <= k)
+        .select(col("gid"), col("anbr"))
+    }
+  }
+
   /** points: (gid, x, y); values: (gid, vals array<double>).
     * Returns (gid, card, p). scaleMethod per lisa.h:139-159; distType
     * euclidean|manhattan per lisa.h:161-173.
@@ -67,65 +157,28 @@ object NeighborMatch {
           scaleMethod: String = "standardize",
           distType: String = "euclidean",
           cellSize: Option[Double] = None): DataFrame = {
-    val spark = points.sparkSession
-    import spark.implicits._
-
     // spatial kNN via the cell-ring engine
     val spatial = KnnWeights.pairs(points, KnnWeights.Conf(k = k,
         cellSize = cellSize))
       .select(col("gid"), col("nbr"))
 
-    // scale attribute columns globally (driver moments — exact sums),
-    // then attribute kNN by cross join + window top-k
-    val rows = values.select(col("gid").cast("long"), col("vals"))
-      .orderBy("gid").collect()
-    val n = rows.length
-    val gids = rows.map(_.getLong(0))
-    val nv = rows.head.getSeq[Double](1).length
-    val mat = Array.ofDim[Double](nv, n)
-    var i = 0
-    while (i < n) {
-      val s = rows(i).getSeq[Double](1)
-      var v = 0
-      while (v < nv) { mat(v)(i) = s(v); v += 1 }
-      i += 1
-    }
-    val scaled = mat.map(v => Stat0.scale(v, scaleMethod))
-    val attrRows = (0 until n).map(j =>
-      (gids(j), (0 until nv).map(v => scaled(v)(j)).toArray))
-    val attrDf = spark.createDataset(attrRows).toDF("gid", "sv")
-
-    val manhattan = distType == "manhattan"
-    val distExpr =
-      if (manhattan)
-        aggregate(zip_with(col("a.sv"), col("b.sv"), (x, y) => abs(x - y)),
-          lit(0.0), (acc, v) => acc + v)
-      else
-        sqrt(aggregate(zip_with(col("a.sv"), col("b.sv"),
-          (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v))
-
-    val attrPairs = attrDf.as("a").crossJoin(attrDf.as("b"))
-      .filter(col("a.gid") =!= col("b.gid"))
-      .select(col("a.gid").as("gid"), col("b.gid").as("anbr"),
-        distExpr.as("adist"))
-    val attrKnn = attrPairs
-      .withColumn("rk", row_number().over(Window.partitionBy("gid")
-        .orderBy(col("adist"), col("anbr"))))
-      .filter(col("rk") <= k)
-      .select(col("gid"), col("anbr"))
+    val nv = values.select(size(col("vals"))).head().getInt(0)
+    val n = values.count()
+    val scaled = scaleVals(values, nv, scaleMethod)
+    val aknn = attrKnn(scaled, nv, k, distType)
 
     // overlap cardinality by inner join of the two neighbor sets
-    val card = spatial.join(attrKnn,
-        spatial("gid") === attrKnn("gid") && spatial("nbr") === attrKnn("anbr"))
+    val card = spatial.join(aknn,
+        spatial("gid") === aknn("gid") && spatial("nbr") === aknn("anbr"))
       .groupBy(spatial("gid").as("gid")).agg(count(lit(1)).as("card"))
-    val bigN = n - 1
-    val hyperUdf = udf((v: Long) =>
-      hypergeomUpperTail(v.toInt, k, k, bigN))
+    // p depends only on card ∈ [0, k] → literal lookup, no UDF
+    val bigN = (n - 1).toInt
+    val pTable = (0 to k).map(v => hypergeomUpperTail(v, k, k, bigN))
     points.select(col("gid").cast("long"))
       .join(card, Seq("gid"), "left")
       .select(col("gid"),
         coalesce(col("card"), lit(0L)).cast("double").as("card"))
-      .withColumn("p", hyperUdf(col("card").cast("long")))
-      .select(col("gid"), col("card"), col("p"))
+      .withColumn("p",
+        element_at(typedlit(pTable), col("card").cast("int") + 1))
   }
 }

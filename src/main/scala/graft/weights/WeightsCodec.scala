@@ -105,9 +105,73 @@ object WeightsCodec {
     }.mkString("{", ",", "}")
   }
 
-  /** S4 `weights_astext` — one text line per row. */
-  def asText(weights: DataFrame): DataFrame =
+  /** S4 `weights_astext` — one text line per row. GAL (binary) weights
+    * print `gid:[nbrs]`; GWT (valued) rows append `:[wts]` with weights
+    * rounded to `wtsDecimals`, matching the reference's inclusion of
+    * per-neighbor weights in its text dumps (`weights_cont.c:351-433`).
+    */
+  def asText(weights: DataFrame, wtsDecimals: Int = 4): DataFrame = {
+    val base = concat(col("gid").cast("string"), lit(":["),
+      concat_ws(",", col("nbrs")), lit("]"))
     weights.select(col("gid"),
-      concat(col("gid").cast("string"), lit(":["),
-        concat_ws(",", col("nbrs")), lit("]")).as("txt"))
+      when(col("wts").isNull, base)
+        .otherwise(concat(base, lit(":["),
+          concat_ws(",", transform(col("wts"),
+            w => round(w, wtsDecimals).cast("string"))), lit("]")))
+        .as("txt"))
+  }
+
+  /** GeoDa .gal text lines [public format]: per observation a header
+    * line "gid num_nbrs" then a neighbor-id line. Returned as
+    * (gid, sub, line) — sort by (gid, sub) and prepend "0 num_obs" for
+    * the file body; stays distributed until the (tiny) final write.
+    */
+  def galLines(weights: DataFrame): DataFrame =
+    weights.select(col("gid").cast("long").as("gid"), col("nbrs"))
+      .select(col("gid"), explode(array(
+        struct(lit(0).as("sub"),
+          concat(col("gid").cast("string"), lit(" "),
+            coalesce(size(col("nbrs")), lit(0)).cast("string")).as("line")),
+        struct(lit(1).as("sub"),
+          concat_ws(" ", col("nbrs")).as("line")))).as("e"))
+      .select(col("gid"), col("e.sub").as("sub"), col("e.line").as("line"))
+
+  /** GeoDa .gwt text lines [public format]: "from to weight" per pair
+    * (binary weights emit 1). (gid, nbr, line).
+    */
+  def gwtLines(weights: DataFrame, wtsDecimals: Int = 6): DataFrame =
+    weights.select(col("gid").cast("long").as("gid"),
+        posexplode(arrays_zip(col("nbrs"),
+          coalesce(col("wts"),
+            transform(col("nbrs"), _ => lit(1.0))).as("w2"))))
+      .select(col("gid"), col("col.nbrs").as("nbr"),
+        concat(col("gid").cast("string"), lit(" "),
+          col("col.nbrs").cast("string"), lit(" "),
+          round(col("col.w2"), wtsDecimals).cast("string")).as("line"))
+
+  /** Driver-side .gal/.gwt file writers (weights exports are per-layer
+    * artifacts, small relative to the data; at web scale write the lines
+    * DF as partitioned text instead).
+    */
+  def writeGal(weights: DataFrame, path: String): Unit = {
+    val spark = weights.sparkSession
+    import spark.implicits._
+    val n = weights.count()
+    val body = galLines(weights).orderBy("gid", "sub")
+      .select("line").as[String].collect()
+    val all = (s"0 $n" +: body).mkString("", "\n", "\n")
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      all.getBytes("UTF-8"))
+  }
+
+  def writeGwt(weights: DataFrame, path: String): Unit = {
+    val spark = weights.sparkSession
+    import spark.implicits._
+    val n = weights.count()
+    val body = gwtLines(weights).orderBy("gid", "nbr")
+      .select("line").as[String].collect()
+    val all = (s"0 $n" +: body).mkString("", "\n", "\n")
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      all.getBytes("UTF-8"))
+  }
 }

@@ -49,4 +49,28 @@ class NeighborMatchSpec extends AnyFunSuite {
     // expected overlap under independence ≈ k*k/(N-1) = 16/59 ≈ 0.27
     assert(meanCard < 1.5, s"mean overlap $meanCard")
   }
+
+  test("attribute kNN: cell-ring engine equals brute-force window at 4k rows") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val n = 4000
+    val vals = (1 to n).map { i =>
+      (i.toLong, Seq((i * 7919 % 10007).toDouble, (i * 104729 % 9973).toDouble))
+    }.toDF("gid", "vals")
+    val scaled = NeighborMatch.scaleVals(vals, 2, "standardize").cache()
+    val fast = NeighborMatch.attrKnn(scaled, 2, 6, "euclidean")
+      .withColumn("key", concat_ws(":", col("gid"), col("anbr")))
+      .select("key").as[String].collect().toSet
+    // brute: the >2-dim fallback path IS the cross-join window — force it
+    // by lying about nv (the sv arrays are still 2-dim)
+    val brute = NeighborMatch.attrKnn(scaled, 3, 6, "euclidean")
+      .withColumn("key", concat_ws(":", col("gid"), col("anbr")))
+      .select("key").as[String].collect().toSet
+    assert(fast == brute,
+      s"cell-ring vs brute diff: ${(fast diff brute).take(5)} / ${(brute diff fast).take(5)}")
+    // and the plan of the fast path must not contain a cartesian product
+    val plan = NeighborMatch.attrKnn(scaled, 2, 6, "euclidean")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian"), "fast attr kNN must not cross join")
+  }
 }
