@@ -305,10 +305,11 @@ object SparkEntry {
         graft.cluster.Regionalize.Conf(k = 6)).orderBy("gid")
     }),
     "q41_redcap_ward" -> ((s, dir) => {
-      // full-order linkage is O(N^2)-driver work — run on a bounded slice
-      val g = SynthGeo.partPolygons(s, dir).filter(col("gid") <= 150)
+      // full polygon layer (same input as q40): Lance-Williams + heap
+      // makes full-order linkage O(N^2 log N), no slice cap needed
+      val g = SynthGeo.partPolygons(s, dir)
       val w = ContiguityWeights.build(g, ContiguityWeights.Conf(queen = true))
-      val v = SynthGeo.table(s, dir, "part").filter(col("p_partkey") <= 150)
+      val v = SynthGeo.table(s, dir, "part")
         .select(col("p_partkey").cast("long").as("gid"),
           array(col("p_retailprice").cast("double"),
             col("p_size").cast("double")).as("vals"))

@@ -112,88 +112,118 @@ object Regionalize {
   /** Full-order REDCAP: contiguity-constrained agglomerative clustering;
     * each merge contributes the cheapest first-order edge between the two
     * merging clusters to the spanning tree [public REDCAP, Guo 2008].
+    *
+    * Standard agglomerative machinery: a condensed pairwise dissimilarity
+    * matrix updated by the Lance-Williams recurrences (exact for
+    * single/complete/average/ward) plus a lazy-deletion min-heap over
+    * CONTIGUOUS cluster pairs — O(N² log N) total instead of the naive
+    * O(N²) member-scan per merge. Full-order linkage is O(N²) memory by
+    * definition (it ranks all cross-cluster point pairs); that matches
+    * the reference's own driver-side footprint (`redcap.c:36-538`).
     */
   private def fullOrderTree(n: Int, scaled: Array[Array[Double]],
       edges: Array[(Int, Int)], linkage: String,
       manhattan: Boolean): Array[(Int, Int)] = {
-    val uf = new UnionFind(n)
-    // cluster membership lists
-    val members = mutable.Map.empty[Int, mutable.ArrayBuffer[Int]]
-    (0 until n).foreach(i => members(i) = mutable.ArrayBuffer(i))
-    // contiguity between clusters: root pair -> first-order edges
-    val contig = mutable.Map.empty[(Int, Int), mutable.ArrayBuffer[(Int, Int)]]
-    def key(a: Int, b: Int) = if (a < b) (a, b) else (b, a)
-    edges.foreach { case (a, b) =>
-      contig.getOrElseUpdate(key(a, b), mutable.ArrayBuffer.empty) += ((a, b))
+    require(Set("singlelinkage", "completelinkage", "averagelinkage",
+      "wardlinkage").contains(linkage), s"unknown linkage '$linkage'")
+    val ward = linkage == "wardlinkage"
+    // condensed upper-triangular dissimilarity matrix, LW-updated in place
+    val D = new Array[Double](n.toLong * (n - 1) / 2 match {
+      case m if m <= Int.MaxValue => m.toInt
+      case _ => throw new IllegalArgumentException(
+        s"full-order linkage needs an O(N^2) matrix; N=$n too large")
+    })
+    @inline def dIdx(i: Int, j: Int): Int = {
+      val (a, b) = if (i < j) (i, j) else (j, i)
+      a * n - a * (a + 1) / 2 + (b - a - 1)
     }
-    def linkDist(ra: Int, rb: Int): Double = {
-      val ma = members(ra); val mb = members(rb)
-      linkage match {
-        case "singlelinkage" =>
-          var best = Double.MaxValue
-          for (i <- ma; j <- mb) { val d = dist(scaled, i, j, manhattan); if (d < best) best = d }
-          best
-        case "completelinkage" =>
-          var worst = 0.0
-          for (i <- ma; j <- mb) { val d = dist(scaled, i, j, manhattan); if (d > worst) worst = d }
-          worst
-        case "averagelinkage" =>
-          var s = 0.0
-          for (i <- ma; j <- mb) s += dist(scaled, i, j, manhattan)
-          s / (ma.length.toLong * mb.length)
-        case "wardlinkage" =>
-          // ESS increase: |A||B|/(|A|+|B|) * ||centroid_A - centroid_B||^2
-          val nv = scaled.length
-          var ss = 0.0
-          var v = 0
+    val nv = scaled.length
+    var i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        // ward's ESS-increase measure is squared-euclidean by definition
+        // (the old direct-centroid form also ignored distType): singleton
+        // d = ||xi-xj||^2 / 2. Other linkages use the configured metric.
+        D(dIdx(i, j)) = if (ward) {
+          var ss = 0.0; var v = 0
           while (v < nv) {
-            var ca = 0.0; var cb = 0.0
-            ma.foreach(i => ca += scaled(v)(i)); ca /= ma.length
-            mb.foreach(j => cb += scaled(v)(j)); cb /= mb.length
-            ss += (ca - cb) * (ca - cb)
-            v += 1
+            val dv = scaled(v)(i) - scaled(v)(j); ss += dv * dv; v += 1
           }
-          ma.length.toDouble * mb.length / (ma.length + mb.length) * ss
-        case other => throw new IllegalArgumentException(
-          s"unknown linkage '$other'")
+          ss / 2.0
+        } else dist(scaled, i, j, manhattan)
+        j += 1
+      }
+      i += 1
+    }
+
+    val uf = new UnionFind(n)
+    val sizes = Array.fill(n)(1)
+    def key(a: Int, b: Int) = if (a < b) (a, b) else (b, a)
+    // contiguity sets per root + cheapest first-order edge per root pair
+    val contig = Array.fill(n)(mutable.Set.empty[Int])
+    val bestEdge = mutable.Map.empty[(Int, Int), (Double, Int, Int)]
+    edges.foreach { case (a, b) =>
+      contig(a) += b; contig(b) += a
+      val d = dist(scaled, a, b, manhattan)
+      val k = key(a, b)
+      bestEdge.get(k) match {
+        case Some((bd, _, _)) if bd <= d =>
+        case _ => bestEdge(k) = (d, a, b)
       }
     }
+    // lazy-deletion heap ordered by (d, r1, r2) — same tie rule as before
+    implicit val ord: Ordering[(Double, Int, Int)] =
+      Ordering.Tuple3(Ordering.Double.TotalOrdering.reverse,
+        Ordering.Int.reverse, Ordering.Int.reverse)
+    val heap = mutable.PriorityQueue.empty[(Double, Int, Int)]
+    edges.foreach { case (a, b) =>
+      val k = key(a, b); heap.enqueue((D(dIdx(k._1, k._2)), k._1, k._2))
+    }
+
     val tree = mutable.ArrayBuffer.empty[(Int, Int)]
     var nClusters = n
-    while (nClusters > 1) {
-      // find contiguous cluster pair with min linkage (tie: smaller roots)
-      var bestPair: (Int, Int) = null
-      var bestD = Double.MaxValue
-      contig.keys.foreach { case (a, b) =>
-        val ra = uf.find(a); val rb = uf.find(b)
-        if (ra != rb) {
-          val kk = key(ra, rb)
-          val d = linkDist(kk._1, kk._2)
-          if (d < bestD || (d == bestD && (bestPair == null ||
-              (kk._1 < bestPair._1 || (kk._1 == bestPair._1 && kk._2 < bestPair._2))))) {
-            bestD = d; bestPair = kk
+    while (nClusters > 1 && heap.nonEmpty) {
+      val (d, ra, rb) = heap.dequeue()
+      // valid iff both are live roots, still contiguous, and d is current
+      val live = uf.find(ra) == ra && uf.find(rb) == rb &&
+        contig(ra).contains(rb) && D(dIdx(ra, rb)) == d
+      if (live) {
+        tree += { val (_, ea, eb) = bestEdge(key(ra, rb)); (ea, eb) }
+        uf.union(ra, rb)
+        val c = uf.find(ra) // min(ra, rb) by UnionFind convention
+        val o = if (c == ra) rb else ra
+        val nA = sizes(ra); val nB = sizes(rb)
+        val nbrs = (contig(ra) | contig(rb)) - ra - rb
+        nbrs.foreach { x =>
+          val nX = sizes(x)
+          val dAX = D(dIdx(ra, x)); val dBX = D(dIdx(rb, x))
+          val dCX = linkage match {
+            case "singlelinkage"   => math.min(dAX, dBX)
+            case "completelinkage" => math.max(dAX, dBX)
+            case "averagelinkage"  =>
+              (nA.toDouble * dAX + nB.toDouble * dBX) / (nA + nB)
+            case _ /* ward */ =>
+              ((nA + nX).toDouble * dAX + (nB + nX).toDouble * dBX -
+                nX.toDouble * d) / (nA + nB + nX)
           }
+          D(dIdx(c, x)) = dCX
+          // cheapest first-order edge across (c, x)
+          val kc = key(c, x)
+          val cand = Seq(bestEdge.get(key(ra, x)), bestEdge.get(key(rb, x)))
+            .flatten
+          if (cand.nonEmpty) bestEdge(kc) = cand.minBy(_._1)
+          // re-point x's contiguity at the merged root
+          contig(x) -= ra; contig(x) -= rb; contig(x) += c
+          heap.enqueue((dCX, kc._1, kc._2))
         }
+        contig(c) = nbrs
+        contig(o) = null // free
+        sizes(c) = nA + nB
+        nClusters -= 1
       }
-      val (ra, rb) = bestPair
-      // spanning-tree edge: cheapest first-order edge across the pair
-      var bestEdge: (Int, Int) = null
-      var bestED = Double.MaxValue
-      contig.foreach { case (_, es) =>
-        es.foreach { case (a, b) =>
-          if (key(uf.find(a), uf.find(b)) == bestPair) {
-            val d = dist(scaled, a, b, manhattan)
-            if (d < bestED) { bestED = d; bestEdge = (a, b) }
-          }
-        }
-      }
-      tree += bestEdge
-      val merged = members(ra) ++ members(rb)
-      uf.union(ra, rb)
-      val newRoot = uf.find(ra)
-      members(newRoot) = merged
-      nClusters -= 1
     }
+    require(nClusters == 1, "full-order tree did not converge (disconnected?)")
     tree.toArray
   }
 

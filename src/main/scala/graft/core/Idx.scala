@@ -27,7 +27,8 @@ object Idx {
     * responsibility; order among ties is still deterministic because the
     * range partitioner + intra-partition sort see identical keys).
     */
-  def attach(df: DataFrame, idxCol: String, sortCols: String*): DataFrame = {
+  private def attachCore(df: DataFrame, idxCol: String,
+                         sortCols: Seq[String]): (DataFrame, DataFrame) = {
     val spark = df.sparkSession
     val sorted = df
       .repartitionByRange(df.sparkSession.sessionState.conf.numShufflePartitions,
@@ -45,11 +46,31 @@ object Idx {
       val o = (pid, off - base); off += cnt; o
     }.toMap
     val offDf = spark.createDataFrame(offsets.toSeq.map(t => OffRow(t._1, t._2)))
-    sorted
+    val ranked = sorted
       .join(broadcast(offDf.toDF("__pid2", "__off")),
         col("__pid") === col("__pid2"))
       .withColumn(idxCol, col("__mid") + col("__off"))
       .drop("__pid", "__pid2", "__mid", "__off")
+    (ranked, sorted)
+  }
+
+  /** Caller owns the internal sort cache's lifetime — prefer
+    * `withAttached` which releases it; this overload leaks one cached DF
+    * per call (kept for callers that hold the frame long-term).
+    */
+  def attach(df: DataFrame, idxCol: String, sortCols: String*): DataFrame =
+    attachCore(df, idxCol, sortCols)._1
+
+  /** Scoped variant: runs `use` over the ranked frame, then unpersists
+    * the internal sort cache (the cache must outlive the offsets job AND
+    * the caller's consumption, so only the caller knows when it's
+    * releasable — hence the scope).
+    */
+  def withAttached[T](df: DataFrame, idxCol: String, sortCols: String*)
+                     (use: DataFrame => T): T = {
+    val (ranked, cached) = attachCore(df, idxCol, sortCols)
+    try use(ranked)
+    finally cached.unpersist(blocking = false)
   }
 }
 

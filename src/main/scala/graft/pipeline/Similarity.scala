@@ -51,24 +51,33 @@ object Similarity {
       .filter(col("rk") <= k)
   }
 
+  /** Nearest-centroid assignment WITHOUT a window: per-id argmax via
+    * `max_by` over a lexicographic (sim, -cid) struct — a partial-agg
+    * hash aggregate instead of a full sort shuffle (the old
+    * `Window.partitionBy(id)` sorted corpus×centroid rows twice).
+    * Tie rule identical: max sim, then min cid.
+    */
+  private def assignNearest(c: DataFrame, cents: DataFrame): DataFrame =
+    c.crossJoin(broadcast(cents))
+      .select(col("id"), col("unit"), col("cid"),
+        dot("unit", "cunit").as("sim"))
+      .groupBy("id")
+      .agg(max_by(col("cid"), struct(col("sim"), negate(col("cid")))).as("cid"),
+        first(col("unit")).as("unit"))
+
   /** Deterministic IVF centroids: pick nCentroids seeds by id order, one
     * refinement sweep (mean of assigned vectors). Returns centroid DF
     * (cid, cunit).
     */
   def ivfCentroids(corpus: DataFrame, nCentroids: Int): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
     val c = normalized(corpus).cache()
     val seeds = c.orderBy("id").limit(nCentroids)
       .withColumn("cid", row_number().over(Window.orderBy("id")) - 1)
       .select(col("cid"), col("unit").as("cunit"))
-    // one Lloyd sweep: assign to nearest seed, recompute means
-    val assigned = c.crossJoin(broadcast(seeds))
-      .select(col("id"), col("unit"), col("cid"),
-        dot("unit", "cunit").as("sim"))
-      .withColumn("rk", row_number().over(Window.partitionBy("id")
-        .orderBy(col("sim").desc, col("cid"))))
-      .filter(col("rk") === 1)
+    // one Lloyd sweep: assign to nearest seed, recompute means. The
+    // per-dimension avg columns stay inside ONE codegen'd hash aggregate
+    // with map-side partials (dim fixed, small).
+    val assigned = assignNearest(c, seeds)
     val dim = c.select(size(col("unit"))).head().getInt(0)
     assigned.groupBy("cid")
       .agg(array((0 until dim).map(i =>
@@ -83,11 +92,7 @@ object Similarity {
               nCentroids: Int = 16, nprobe: Int = 4): DataFrame = {
     val cents = ivfCentroids(corpus, nCentroids).cache()
     val c = normalized(corpus)
-    val cBucketed = c.crossJoin(broadcast(cents))
-      .select(col("id"), col("unit"), col("cid"), dot("unit", "cunit").as("sim"))
-      .withColumn("rk", row_number().over(Window.partitionBy("id")
-        .orderBy(col("sim").desc, col("cid"))))
-      .filter(col("rk") === 1)
+    val cBucketed = assignNearest(c, cents)
       .select(col("id"), col("unit"), col("cid"))
     val q = normalized(queries).select(col("id").as("qid"),
       col("unit").as("qunit"))

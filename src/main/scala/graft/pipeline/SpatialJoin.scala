@@ -20,13 +20,25 @@ import org.apache.spark.sql.functions._
   */
 object SpatialJoin {
 
-  /** points(gid,x,y) × polys(pid, geom WKB) → (gid, pid). */
+  /** points(gid,x,y) × polys(pid, geom WKB) → (gid, pid).
+    *
+    * The broadcast/partitioned choice is BYTE-based: one cheap agg sums
+    * the polygon WKB sizes, and broadcast is taken only while the layer
+    * (plus the decoded-index overhead factor) fits a driver/executor-safe
+    * budget — a 2M-multiring layer is GBs and must NOT collect, while 2M
+    * tiny boxes may be fine. Default budget 256 MB ≈ Spark's own
+    * autoBroadcastJoinThreshold philosophy scaled to a hash index.
+    */
   def pip(points: DataFrame, polys: DataFrame, cellSize: Double,
-          broadcastLimit: Long = 2000000L): DataFrame = {
+          broadcastLimitBytes: Long = 256L * 1024 * 1024): DataFrame = {
     val spark = points.sparkSession
     import spark.implicits._
-    val nPolys = polys.count()
-    if (nPolys <= broadcastLimit) {
+    val sz = polys.agg(
+      coalesce(sum(octet_length(col("geom"))), lit(0L)).cast("long"),
+      count(lit(1))).head()
+    val wkbBytes = sz.getLong(0)
+    // decoded index ≈ WKB coords as doubles + per-cell fanout overhead 3x
+    if (wkbBytes * 3 <= broadcastLimitBytes) {
       // broadcast cell index of decoded polygons
       val collected = polys.select(col("pid").cast("long"), col("geom"))
         .as[(Long, Array[Byte])].collect()

@@ -20,15 +20,19 @@ import org.apache.spark.sql.functions._
   */
 object Breaks {
 
-  /** Fetch values at the given 0-based ranks of `values.value` asc. */
+  /** Fetch values at the given 0-based ranks of `values.value` asc.
+    * Scoped Idx use → the internal sort cache is released after the
+    * O(#breaks) collect (no cached-DF growth across a Verify run).
+    */
   private def valuesAtRanks(values: DataFrame, ranks: Seq[Long]): Map[Long, Double] = {
-    val ranked = Idx.attach(
-      values.select(col("value").cast("double"), col("gid")), "rk",
-      "value", "gid")
     val want = ranks.distinct
-    ranked.filter(col("rk").isin(want: _*))
-      .select(col("rk"), col("value")).collect()
-      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    Idx.withAttached(
+      values.select(col("value").cast("double"), col("gid")), "rk",
+      "value", "gid") { ranked =>
+      ranked.filter(col("rk").isin(want: _*))
+        .select(col("rk"), col("value")).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    }
   }
 
   /** GeoDa percentile over a value column using only 2 order statistics

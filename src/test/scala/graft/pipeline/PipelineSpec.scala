@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import graft.SparkFixture
+import graft.stats.Breaks
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import java.nio.file.Files
@@ -130,5 +131,27 @@ class PipelineSpec extends AnyFunSuite {
     val moran2 = r2.moran.orderBy("gid").collect()
     assert(moran1.sameElements(moran2))
     val _ = t0
+  }
+
+  test("pip: broadcast and partitioned paths agree") {
+    import spark.implicits._
+    val pts = SynthGeo.customerPoints(spark, dir)
+    val polys = SynthGeo.partPolygons(spark, dir).withColumnRenamed("gid", "pid")
+    val bcast = SpatialJoin.pip(pts, polys, SynthGeo.CellW)
+      .as[(Long, Long)].collect().toSet
+    // byte budget 0 → forces the partitioned (explode + equi-join) path
+    val part = SpatialJoin.pip(pts, polys, SynthGeo.CellW,
+      broadcastLimitBytes = 0L)
+      .as[(Long, Long)].collect().toSet
+    assert(bcast == part && bcast.nonEmpty)
+  }
+
+  test("breaks leave no cached DF behind (Idx scoped release)") {
+    val vals = SynthGeo.customerValues(spark, dir)
+    spark.sharedState.cacheManager.clearCache()
+    Breaks.hingeBreaks(vals, 1.5)
+    Breaks.quantileBreaks(vals, 6)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "Idx.withAttached must unpersist its sort cache")
   }
 }
