@@ -59,6 +59,12 @@ object ScaleBench {
       val (_, tMoran) = time {
         Lisa.localMoran(vals, w).agg(sum("stat")).head()
       }
+      // the reference's DEFAULT perm method (lookup, proxy.cpp:315):
+      // shared draw table, ~numObs x less RNG work
+      val (_, tMoranLk) = time {
+        Lisa.localMoran(vals, w, Lisa.Conf(permMethod = "lookup"))
+          .agg(sum("stat")).head()
+      }
       val binVals = points.select(col("gid"),
         (pmod(xxhash64(col("gid"), lit(3)), lit(2L))).cast("double").as("value"))
       val (_, tJc) = time {
@@ -66,7 +72,7 @@ object ScaleBench {
       }
       val rate = (t: Double) => math.round(n / t)
       println(
-        s"""{"metric":"scale_pipeline","n":$n,"cpus":"$cpus","unit":"sec","knn10_sec":$tKnn,"knn10_rows_per_sec":${rate(tKnn)},"moran_sec":$tMoran,"moran_rows_per_sec":${rate(tMoran)},"joincount_sec":$tJc,"joincount_rows_per_sec":${rate(tJc)}}""")
+        s"""{"metric":"scale_pipeline","n":$n,"cpus":"$cpus","unit":"sec","knn10_sec":$tKnn,"knn10_rows_per_sec":${rate(tKnn)},"moran_sec":$tMoran,"moran_rows_per_sec":${rate(tMoran)},"moran_lookup_sec":$tMoranLk,"moran_lookup_rows_per_sec":${rate(tMoranLk)},"joincount_sec":$tJc,"joincount_rows_per_sec":${rate(tJc)}}""")
     } finally spark.stop()
   }
 }

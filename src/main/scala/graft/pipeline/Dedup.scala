@@ -112,6 +112,12 @@ object Dedup {
     out
   }
 
+  /** Public simhash entry for reuse outside the batch pipeline (the
+    * streaming dedup keys state by it).
+    */
+  def simhashOf(text: String, shingleSize: Int = 2): Long =
+    simhash(text, shingleSize)
+
   /** SimHash near-dup pairs with Hamming distance <= maxHamming, found by
     * the rotate-and-prefix-bucket trick (each of `tables` rotations
     * buckets on the top `prefixBits` bits → candidates share a bucket in

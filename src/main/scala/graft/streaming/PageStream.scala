@@ -1,0 +1,78 @@
+package graft.streaming
+
+import graft.core.Tiling
+import graft.pipeline.{Dedup, SynthGeo, Webtext}
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming over the web-page table shape
+  * (url, warc_ts, html, text, lang) — the ingest half of the north-rule
+  * pipeline expressed on a stream.
+  *
+  * Both transforms are pure column expressions / stateful typed maps, so
+  * batch and stream share one code path (`spark.readStream` or
+  * `spark.read` alike — tested via MemoryStream equality).
+  */
+object PageStream {
+
+  /** Streaming geocode + tile: identical expressions to the batch
+    * `Webtext.geocode` (md5-slice hash → point → cell). Works unchanged
+    * on a streaming DataFrame because it is stateless projection.
+    */
+  def geocodeTile(pages: DataFrame,
+                  cellSize: Double = SynthGeo.CellW): DataFrame =
+    Webtext.geocode(pages, cellSize)
+      .withColumn("tile", Tiling.cellIdCol(col("x"), col("y"), cellSize * 10))
+
+  case class Page(url: String, text: String)
+  case class SeenState(firstUrl: String, n: Long)
+  case class DedupOut(url: String, simhash: Long, is_duplicate: Boolean,
+                      first_url: String)
+
+  /** Streaming near-dup filter: simhash each page, key state by the
+    * 64-bit simhash (exact-bucket variant of the batch rotate-prefix
+    * design — the stream analogue dedups within a bucket as pages
+    * arrive). Emits every page tagged is_duplicate, carrying the first
+    * url seen for its bucket. State: one (firstUrl, count) per distinct
+    * simhash. Pass `ttlMs > 0` to bound state at web scale via a
+    * processing-time timeout (note: timeout mode makes the engine run
+    * continuous timeout-check micro-batches between data; leave 0 for
+    * unbounded state when the key space is bounded).
+    */
+  def simhashDedup(pages: Dataset[Page], shingleSize: Int = 2,
+                   ttlMs: Long = 0L): Dataset[DedupOut] = {
+    import pages.sparkSession.implicits._
+    val timeoutMode =
+      if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    pages.map(p => (p.url, Dedup.simhashOf(
+        if (p.text == null) "" else p.text, shingleSize)))
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[SeenState, DedupOut](
+        OutputMode.Append(), timeoutMode) {
+        (sh: Long, rows: Iterator[(String, Long)],
+         state: GroupState[SeenState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = rows.map(_._1).toSeq.sorted // deterministic batch order
+            var cur = state.getOption
+            val out = sorted.map { url =>
+              cur match {
+                case Some(s) =>
+                  cur = Some(SeenState(s.firstUrl, s.n + 1))
+                  DedupOut(url, sh, is_duplicate = true, s.firstUrl)
+                case None =>
+                  cur = Some(SeenState(url, 1))
+                  DedupOut(url, sh, is_duplicate = false, url)
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+            }
+            out.iterator
+          }
+      }
+  }
+}

@@ -31,9 +31,6 @@ object ContiguityWeights {
       includeLowerOrder: Boolean = false,
       precision: Double = 0.0)
 
-  private case class VKey(gid: Long, kx: Double, ky: Double)
-  private case class EKey(gid: Long, ax: Double, ay: Double, bx: Double, by: Double)
-
   @inline private def snap(v: Double, prec: Double): Double =
     if (prec > 0.0) math.rint(v / prec) else v
 
@@ -145,3 +142,12 @@ object ContiguityWeights {
         lit(null).cast("array<double>").as("wts"))
   }
 }
+
+/** Vertex / edge join keys. Top-level (not object-nested) so the
+  * Catalyst encoder codegen compiles — nested case classes trip Janino
+  * ("no applicable constructor") and silently fall back to interpreted
+  * encoders on the hot explode path.
+  */
+private[weights] case class VKey(gid: Long, kx: Double, ky: Double)
+private[weights] case class EKey(gid: Long, ax: Double, ay: Double,
+                                 bx: Double, by: Double)

@@ -10,6 +10,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * this engine's §2.3-spec kernel (seed 123456789, 999 perms) — any
   * refactor that changes weights construction, standardization, the RNG
   * stream, or label assignment breaks these exact equalities.
+  *
+  * These are REGRESSION pins (self-produced); EXTERNAL validation lives
+  * in GuerrySpec (reference-produced queen map on real WKB), the
+  * C-pinned kernel toys (LisaKernelsSpec + tools/pin_reference_rng.c),
+  * and the DuckDB statistic oracles (q30-q39).
   */
 class GoldenSpec extends AnyFunSuite {
   lazy val spark = SparkFixture.spark

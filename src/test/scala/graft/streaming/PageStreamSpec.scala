@@ -1,0 +1,48 @@
+package graft.streaming
+
+import graft.SparkFixture
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+class PageStreamSpec extends AnyFunSuite {
+  lazy val spark = SparkFixture.spark
+
+  test("streaming geocode+tile equals the batch projection") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val pages = (1 to 100).map(i => (s"https://s/$i", s"text body $i"))
+    val mem = MemoryStream[(String, String)]
+    mem.addData(pages)
+    val q = PageStream.geocodeTile(mem.toDF().toDF("url", "text"))
+      .writeStream.format("memory").queryName("geostream")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("geostream").orderBy("gid").collect()
+    val batch = PageStream.geocodeTile(pages.toDF("url", "text"))
+      .orderBy("gid").collect()
+    assert(streamed.sameElements(batch) && streamed.length == 100)
+  }
+
+  test("streaming simhash dedup: first wins, duplicates tagged across batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val body = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val mem = MemoryStream[PageStream.Page]
+    val q = PageStream.simhashDedup(mem.toDS())
+      .writeStream.format("memory").queryName("dedupstream")
+      .outputMode("append").start()
+    mem.addData(PageStream.Page("u1", body), PageStream.Page("u2", "other things entirely"))
+    q.processAllAvailable()
+    // second batch: an exact dup of u1's text arrives later
+    mem.addData(PageStream.Page("u3", body))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("dedupstream")
+      .collect().map(r => (r.getString(0), r.getBoolean(2), r.getString(3)))
+      .toSet
+    assert(out.contains(("u1", false, "u1")))
+    assert(out.contains(("u2", false, "u2")))
+    assert(out.contains(("u3", true, "u1"))) // cross-batch state hit
+  }
+}

@@ -111,6 +111,53 @@ class WeightsSpec extends AnyFunSuite {
     }
   }
 
+  test("arc distance band: high-latitude + antimeridian neighbors found") {
+    import spark.implicits._
+    val degLen = graft.core.Dist.EarthKm * math.Pi / 180.0 // ≈111.19 km
+    // threshold = one degree of latitude → cellSize = 1°
+    val thr = degLen
+    val pts = Seq(
+      (1L, 0.0, 70.0), (2L, 2.5, 70.0),      // 2.5° lon apart at lat 70 →
+      // arc ≈ 0.855° ≈ 95 km < thr, but 2.5 cells apart in lon: the old
+      // fixed Chebyshev-2 block missed this pair entirely
+      (3L, 179.8, 0.0), (4L, -179.8, 0.0),   // 0.4° across the antimeridian
+      (5L, 0.0, 0.0), (6L, 2.5, 0.0)         // control: 2.5° at equator > thr
+    ).toDF("gid", "x", "y")
+    val prs = DistanceWeights.pairs(pts,
+        DistanceWeights.Conf(threshold = thr, isArc = true, isMile = false))
+      .select("gid", "nbr").as[(Long, Long)].collect().toSet
+    assert(prs.contains((1L, 2L)) && prs.contains((2L, 1L)),
+      s"high-latitude in-band pair missed: $prs")
+    assert(prs.contains((3L, 4L)) && prs.contains((4L, 3L)),
+      s"antimeridian pair missed: $prs")
+    assert(!prs.contains((5L, 6L)), s"out-of-band equator pair present: $prs")
+  }
+
+  test("arc kNN: cell-ring result equals brute force at high latitude") {
+    import spark.implicits._
+    // 60 points in a lon-stretched band at lat 65..75 where lon degrees
+    // are worth ~0.3-0.42 of lat degrees — exercises the unit-consistent
+    // certification bound + expansion rounds
+    val pts = (1 to 60).map { i =>
+      (i.toLong, (i * 193 % 97) * 0.25, 65.0 + (i * 499 % 89) * 0.11)
+    }
+    val df = pts.toDF("gid", "x", "y")
+    val got = KnnWeights.pairs(df,
+        KnnWeights.Conf(k = 3, isArc = true, isMile = true,
+          cellSize = Some(1.0)))
+      .select("gid", "nbr", "rk").as[(Long, Long, Int)].collect()
+      .groupBy(_._1).map { case (g, a) =>
+        g -> a.sortBy(_._3).map(_._2).toSeq }
+    val brute = pts.map { case (g, x, y) =>
+      g -> pts.filter(_._1 != g)
+        .map(p => (graft.core.Dist.arc(x, y, p._2, p._3, mile = true), p._1))
+        .sorted.take(3).map(_._2).toSeq
+    }.toMap
+    pts.foreach { case (g, _, _) =>
+      assert(got(g) == brute(g), s"gid $g: got ${got(g)} brute ${brute(g)}")
+    }
+  }
+
   test("queen vs rook on a 3x3 polygon grid") {
     import spark.implicits._
     val polys = (for (cy <- 0 until 3; cx <- 0 until 3) yield {
