@@ -1,0 +1,66 @@
+package graft
+
+import graft.cluster.Regionalize
+
+/** Driver-only profiler for the full-order REDCAP solve (no Spark):
+  * 50x40 rook grid (2000 nodes), 2 variables, every linkage timed.
+  * Run: sbt "runMain graft.RedcapProfile [n]"
+  * With arg "q41": times the real q41 stages (Spark assembly vs solve).
+  */
+object RedcapProfile {
+  def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("q41")) { profileQ41(); return }
+    val n0 = if (args.nonEmpty) args(0).toInt else 2000
+    val side = math.max(2, math.sqrt(n0 * 2.0).toInt)
+    val rows = math.max(2, n0 / side)
+    val n = side * rows
+    val scaled = Array.tabulate(2)(v =>
+      Array.tabulate(n)(i => ((i * (31 + 7 * v)) % 997).toDouble / 100.0))
+    val edges = (for {
+      y <- 0 until rows; x <- 0 until side
+      (dx, dy) <- Seq((1, 0), (0, 1))
+      if x + dx < side && y + dy < rows
+    } yield (y * side + x, (y + dy) * side + (x + dx))).toArray
+    val bounds = Array.fill(n)(0.0)
+    for (m <- Seq("firstorder-singlelinkage", "fullorder-singlelinkage",
+      "fullorder-completelinkage", "fullorder-averagelinkage",
+      "fullorder-wardlinkage")) {
+      val t0 = System.nanoTime()
+      val labels = Regionalize.solve(n, scaled, edges, bounds,
+        Regionalize.Conf(k = 6, method = m))
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"$m%-28s n=$n sec=$sec%.3f clusters=${labels.max}")
+    }
+  }
+
+  private def profileQ41(): Unit = {
+    import graft.pipeline.SynthGeo
+    import graft.weights.ContiguityWeights
+    import org.apache.spark.sql.functions._
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[32]").config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = "/root/testdata/sf0.1"
+    def time[A](tag: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"$tag%-14s ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    val g = SynthGeo.partPolygons(spark, dir)
+    val w = time("weights") {
+      val wdf = ContiguityWeights.build(g,
+        ContiguityWeights.Conf(queen = true)).cache()
+      wdf.count(); wdf
+    }
+    val v = SynthGeo.table(spark, dir, "part")
+      .select(col("p_partkey").cast("long").as("gid"),
+        array(col("p_retailprice").cast("double"),
+          col("p_size").cast("double")).as("vals"))
+    val out = time("solve+assemble") {
+      Regionalize.run(v, w, Regionalize.Conf(k = 4,
+        method = "fullorder-wardlinkage")).count()
+    }
+    println(s"rows $out")
+    spark.stop()
+  }
+}

@@ -159,37 +159,40 @@ object Regionalize {
 
     val uf = new UnionFind(n)
     val sizes = Array.fill(n)(1)
-    def key(a: Int, b: Int) = if (a < b) (a, b) else (b, a)
+    @inline def pairKey(a: Int, b: Int): Long =
+      if (a < b) a.toLong * n + b else b.toLong * n + a
     // contiguity sets per root + cheapest first-order edge per root pair
+    // (primitive Long-keyed maps + a primitive heap: the merge loop runs
+    // ~N·boundary times and boxed tuples dominated the wall before)
     val contig = Array.fill(n)(mutable.Set.empty[Int])
-    val bestEdge = mutable.Map.empty[(Int, Int), (Double, Int, Int)]
+    val bestEdgeD = new mutable.LongMap[Double](4 * edges.length)
+    val bestEdgeP = new mutable.LongMap[Long](4 * edges.length)
     edges.foreach { case (a, b) =>
       contig(a) += b; contig(b) += a
       val d = dist(scaled, a, b, manhattan)
-      val k = key(a, b)
-      bestEdge.get(k) match {
-        case Some((bd, _, _)) if bd <= d =>
-        case _ => bestEdge(k) = (d, a, b)
+      val k = pairKey(a, b)
+      if (!bestEdgeD.contains(k) || bestEdgeD(k) > d) {
+        bestEdgeD(k) = d
+        bestEdgeP(k) = (a.toLong << 32) | (b.toLong & 0xFFFFFFFFL)
       }
     }
-    // lazy-deletion heap ordered by (d, r1, r2) — same tie rule as before
-    implicit val ord: Ordering[(Double, Int, Int)] =
-      Ordering.Tuple3(Ordering.Double.TotalOrdering.reverse,
-        Ordering.Int.reverse, Ordering.Int.reverse)
-    val heap = mutable.PriorityQueue.empty[(Double, Int, Int)]
+    val heap = new EdgeHeap(4 * edges.length + 16)
     edges.foreach { case (a, b) =>
-      val k = key(a, b); heap.enqueue((D(dIdx(k._1, k._2)), k._1, k._2))
+      val lo = math.min(a, b); val hi = math.max(a, b)
+      heap.push(D(dIdx(lo, hi)), lo, hi)
     }
 
     val tree = mutable.ArrayBuffer.empty[(Int, Int)]
     var nClusters = n
-    while (nClusters > 1 && heap.nonEmpty) {
-      val (d, ra, rb) = heap.dequeue()
+    while (nClusters > 1 && heap.size > 0) {
+      heap.pop()
+      val d = heap.topD; val ra = heap.topA; val rb = heap.topB
       // valid iff both are live roots, still contiguous, and d is current
       val live = uf.find(ra) == ra && uf.find(rb) == rb &&
         contig(ra).contains(rb) && D(dIdx(ra, rb)) == d
       if (live) {
-        tree += { val (_, ea, eb) = bestEdge(key(ra, rb)); (ea, eb) }
+        val ep = bestEdgeP(pairKey(ra, rb))
+        tree += (((ep >>> 32).toInt, ep.toInt))
         uf.union(ra, rb)
         val c = uf.find(ra) // min(ra, rb) by UnionFind convention
         val o = if (c == ra) rb else ra
@@ -209,13 +212,18 @@ object Regionalize {
           }
           D(dIdx(c, x)) = dCX
           // cheapest first-order edge across (c, x)
-          val kc = key(c, x)
-          val cand = Seq(bestEdge.get(key(ra, x)), bestEdge.get(key(rb, x)))
-            .flatten
-          if (cand.nonEmpty) bestEdge(kc) = cand.minBy(_._1)
+          val kc = pairKey(c, x)
+          val kax = pairKey(ra, x); val kbx = pairKey(rb, x)
+          val hasA = bestEdgeD.contains(kax); val hasB = bestEdgeD.contains(kbx)
+          if (hasA && (!hasB || bestEdgeD(kax) <= bestEdgeD(kbx))) {
+            bestEdgeD(kc) = bestEdgeD(kax); bestEdgeP(kc) = bestEdgeP(kax)
+          } else if (hasB) {
+            bestEdgeD(kc) = bestEdgeD(kbx); bestEdgeP(kc) = bestEdgeP(kbx)
+          }
           // re-point x's contiguity at the merged root
           contig(x) -= ra; contig(x) -= rb; contig(x) += c
-          heap.enqueue((dCX, kc._1, kc._2))
+          val lo = math.min(c, x); val hi = math.max(c, x)
+          heap.push(dCX, lo, hi)
         }
         contig(c) = nbrs
         contig(o) = null // free
@@ -225,6 +233,52 @@ object Regionalize {
     }
     require(nClusters == 1, "full-order tree did not converge (disconnected?)")
     tree.toArray
+  }
+
+  /** Primitive min-heap of (d, a, b) ordered by (d, a, b) asc — parallel
+    * arrays, no boxing; the lazy-deletion store for fullOrderTree.
+    */
+  private final class EdgeHeap(initCap: Int) {
+    private var ds = new Array[Double](math.max(16, initCap))
+    private var as = new Array[Int](ds.length)
+    private var bs = new Array[Int](ds.length)
+    var size = 0
+    var topD = 0.0; var topA = 0; var topB = 0
+    @inline private def less(i: Int, j: Int): Boolean =
+      ds(i) < ds(j) || (ds(i) == ds(j) &&
+        (as(i) < as(j) || (as(i) == as(j) && bs(i) < bs(j))))
+    @inline private def swap(i: Int, j: Int): Unit = {
+      val d = ds(i); ds(i) = ds(j); ds(j) = d
+      val a = as(i); as(i) = as(j); as(j) = a
+      val b = bs(i); bs(i) = bs(j); bs(j) = b
+    }
+    def push(d: Double, a: Int, b: Int): Unit = {
+      if (size == ds.length) {
+        ds = java.util.Arrays.copyOf(ds, size * 2)
+        as = java.util.Arrays.copyOf(as, size * 2)
+        bs = java.util.Arrays.copyOf(bs, size * 2)
+      }
+      ds(size) = d; as(size) = a; bs(size) = b
+      var i = size; size += 1
+      while (i > 0 && less(i, (i - 1) / 2)) { swap(i, (i - 1) / 2); i = (i - 1) / 2 }
+    }
+    /** Removes the min into topD/topA/topB. */
+    def pop(): Unit = {
+      topD = ds(0); topA = as(0); topB = bs(0)
+      size -= 1
+      if (size > 0) {
+        ds(0) = ds(size); as(0) = as(size); bs(0) = bs(size)
+        var i = 0
+        var go = true
+        while (go) {
+          val l = 2 * i + 1; val r = 2 * i + 2
+          var m = i
+          if (l < size && less(l, m)) m = l
+          if (r < size && less(r, m)) m = r
+          if (m == i) go = false else { swap(i, m); i = m }
+        }
+      }
+    }
   }
 
   /** SKATER tree-partitioning: k-1 best splits by SSD gain under
