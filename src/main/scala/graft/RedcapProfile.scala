@@ -14,12 +14,15 @@ object RedcapProfile {
     val side = math.max(2, math.sqrt(n0 * 2.0).toInt)
     val rows = math.max(2, n0 / side)
     val n = side * rows
+    // heavily tied integer-derived values + queen adjacency — the q41
+    // shape (ties are the hard case for the lazy-deletion heap)
     val scaled = Array.tabulate(2)(v =>
-      Array.tabulate(n)(i => ((i * (31 + 7 * v)) % 997).toDouble / 100.0))
+      Array.tabulate(n)(i =>
+        if (v == 0) ((i * 31) % 1200).toDouble else (i % 50).toDouble))
     val edges = (for {
       y <- 0 until rows; x <- 0 until side
-      (dx, dy) <- Seq((1, 0), (0, 1))
-      if x + dx < side && y + dy < rows
+      (dx, dy) <- Seq((1, 0), (0, 1), (1, 1), (1, -1))
+      if x + dx < side && y + dy >= 0 && y + dy < rows
     } yield (y * side + x, (y + dy) * side + (x + dx))).toArray
     val bounds = Array.fill(n)(0.0)
     for (m <- Seq("firstorder-singlelinkage", "fullorder-singlelinkage",

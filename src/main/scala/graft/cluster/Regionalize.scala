@@ -182,6 +182,20 @@ object Regionalize {
       heap.push(D(dIdx(lo, hi)), lo, hi)
     }
 
+    // live-root doubly-linked list for the full LW sweep: EVERY live
+    // cluster's D(c, x) must be updated each merge (not just contiguous
+    // ones — a pair can become contiguous later and must then read the
+    // true full-order linkage, not a stale value)
+    val nextL = Array.tabulate(n + 1)(i => if (i == n) 0 else i + 1) // n = head sentinel
+    val prevL = Array.tabulate(n + 1)(i => if (i == 0) n else i - 1)
+    @inline def unlink(x: Int): Unit = {
+      nextL(prevL(x)) = nextL(x); prevL(nextL(x)) = prevL(x)
+    }
+
+    val mode = linkage match {
+      case "singlelinkage" => 0; case "completelinkage" => 1
+      case "averagelinkage" => 2; case _ => 3
+    }
     val tree = mutable.ArrayBuffer.empty[(Int, Int)]
     var nClusters = n
     while (nClusters > 1 && heap.size > 0) {
@@ -197,34 +211,43 @@ object Regionalize {
         val c = uf.find(ra) // min(ra, rb) by UnionFind convention
         val o = if (c == ra) rb else ra
         val nA = sizes(ra); val nB = sizes(rb)
+        val nAd = nA.toDouble; val nBd = nB.toDouble
+        val invAB = 1.0 / (nAd + nBd)
         val nbrs = (contig(ra) | contig(rb)) - ra - rb
-        nbrs.foreach { x =>
-          val nX = sizes(x)
-          val dAX = D(dIdx(ra, x)); val dBX = D(dIdx(rb, x))
-          val dCX = linkage match {
-            case "singlelinkage"   => math.min(dAX, dBX)
-            case "completelinkage" => math.max(dAX, dBX)
-            case "averagelinkage"  =>
-              (nA.toDouble * dAX + nB.toDouble * dBX) / (nA + nB)
-            case _ /* ward */ =>
-              ((nA + nX).toDouble * dAX + (nB + nX).toDouble * dBX -
-                nX.toDouble * d) / (nA + nB + nX)
+        // full Lance-Williams sweep over all live roots (branch-free
+        // dispatch: the string match was ~20x the arithmetic per step)
+        var x = nextL(n)
+        while (x != n) {
+          if (x != ra && x != rb) {
+            val dAX = D(dIdx(ra, x)); val dBX = D(dIdx(rb, x))
+            val dCX =
+              if (mode == 0) { if (dAX < dBX) dAX else dBX }
+              else if (mode == 1) { if (dAX > dBX) dAX else dBX }
+              else if (mode == 2) (nAd * dAX + nBd * dBX) * invAB
+              else {
+                val nX = sizes(x).toDouble
+                ((nAd + nX) * dAX + (nBd + nX) * dBX - nX * d) /
+                  (nAd + nBd + nX)
+              }
+            D(dIdx(c, x)) = dCX
           }
-          D(dIdx(c, x)) = dCX
-          // cheapest first-order edge across (c, x)
-          val kc = pairKey(c, x)
-          val kax = pairKey(ra, x); val kbx = pairKey(rb, x)
+          x = nextL(x)
+        }
+        // contiguity bookkeeping + heap entries only for contiguous pairs
+        nbrs.foreach { x2 =>
+          val kc = pairKey(c, x2)
+          val kax = pairKey(ra, x2); val kbx = pairKey(rb, x2)
           val hasA = bestEdgeD.contains(kax); val hasB = bestEdgeD.contains(kbx)
           if (hasA && (!hasB || bestEdgeD(kax) <= bestEdgeD(kbx))) {
             bestEdgeD(kc) = bestEdgeD(kax); bestEdgeP(kc) = bestEdgeP(kax)
           } else if (hasB) {
             bestEdgeD(kc) = bestEdgeD(kbx); bestEdgeP(kc) = bestEdgeP(kbx)
           }
-          // re-point x's contiguity at the merged root
-          contig(x) -= ra; contig(x) -= rb; contig(x) += c
-          val lo = math.min(c, x); val hi = math.max(c, x)
-          heap.push(dCX, lo, hi)
+          contig(x2) -= ra; contig(x2) -= rb; contig(x2) += c
+          val lo = math.min(c, x2); val hi = math.max(c, x2)
+          heap.push(D(dIdx(lo, hi)), lo, hi)
         }
+        unlink(o)
         contig(c) = nbrs
         contig(o) = null // free
         sizes(c) = nA + nB
@@ -280,6 +303,14 @@ object Regionalize {
       }
     }
   }
+
+  /** Test hook: the tree-partitioning step alone (equivalence tests
+    * partition a brute-force reference tree with the same rules).
+    */
+  private[cluster] def partitionForTest(n: Int, scaled: Array[Array[Double]],
+      treeEdges: Array[(Int, Int)], bounds: Array[Double],
+      conf: Conf): Array[Int] =
+    partitionTree(n, scaled, treeEdges, bounds, conf)
 
   /** SKATER tree-partitioning: k-1 best splits by SSD gain under
     * min-size / min-bound constraints [public, Assunção 2006].

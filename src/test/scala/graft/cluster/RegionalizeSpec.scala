@@ -80,4 +80,96 @@ class RegionalizeSpec extends AnyFunSuite {
     val sizes = r.groupBy(_._2).view.mapValues(_.length).toMap
     assert(sizes.values.forall(_ >= 3))
   }
+
+  test("Lance-Williams full-order tree equals direct member-list linkage") {
+    // brute reference: recompute linkage from member lists at every merge
+    // (the pre-optimization algorithm) — exact for any pair, any order
+    def bruteTree(n: Int, scaled: Array[Array[Double]],
+                  edges: Array[(Int, Int)], linkage: String): Array[(Int, Int)] = {
+      def dist(i: Int, j: Int): Double = {
+        var s = 0.0
+        for (v <- scaled.indices) { val d = scaled(v)(i) - scaled(v)(j); s += d * d }
+        math.sqrt(s)
+      }
+      val uf = new Regionalize.UnionFind(n)
+      val members = scala.collection.mutable.Map(
+        (0 until n).map(i => i -> scala.collection.mutable.ArrayBuffer(i)): _*)
+      def linkDist(ra: Int, rb: Int): Double = {
+        val ma = members(ra); val mb = members(rb)
+        linkage match {
+          case "singlelinkage" =>
+            (for (i <- ma; j <- mb) yield dist(i, j)).min
+          case "completelinkage" =>
+            (for (i <- ma; j <- mb) yield dist(i, j)).max
+          case "averagelinkage" =>
+            (for (i <- ma; j <- mb) yield dist(i, j)).sum /
+              (ma.length.toLong * mb.length)
+          case "wardlinkage" =>
+            var ss = 0.0
+            for (v <- scaled.indices) {
+              val ca = ma.map(scaled(v)).sum / ma.length
+              val cb = mb.map(scaled(v)).sum / mb.length
+              ss += (ca - cb) * (ca - cb)
+            }
+            ma.length.toDouble * mb.length / (ma.length + mb.length) * ss
+        }
+      }
+      val tree = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      var nc = n
+      while (nc > 1) {
+        var bestPair: (Int, Int) = null; var bestD = Double.MaxValue
+        edges.foreach { case (a, b) =>
+          val ra = uf.find(a); val rb = uf.find(b)
+          if (ra != rb) {
+            val kk = if (ra < rb) (ra, rb) else (rb, ra)
+            val d = linkDist(kk._1, kk._2)
+            if (d < bestD || (d == bestD && (bestPair == null ||
+                kk._1 < bestPair._1 ||
+                (kk._1 == bestPair._1 && kk._2 < bestPair._2))))
+              { bestD = d; bestPair = kk }
+          }
+        }
+        var bestEdge: (Int, Int) = null; var bestED = Double.MaxValue
+        edges.foreach { case (a, b) =>
+          val kk = { val ra = uf.find(a); val rb = uf.find(b)
+            if (ra < rb) (ra, rb) else (rb, ra) }
+          if (kk == bestPair) {
+            val d = dist(a, b)
+            if (d < bestED) { bestED = d; bestEdge = (a, b) }
+          }
+        }
+        tree += bestEdge
+        val m = members(bestPair._1) ++ members(bestPair._2)
+        uf.union(bestPair._1, bestPair._2)
+        members(uf.find(bestPair._1)) = m
+        nc -= 1
+      }
+      tree.toArray
+    }
+
+    // 8x8 queen grid with chain-inducing gradient values + ties — the
+    // shape where a contiguous-only LW update would read stale distances
+    val side = 8; val n = side * side
+    val scaled = Array.tabulate(2)(v => Array.tabulate(n)(i =>
+      if (v == 0) (i % 13).toDouble else (i / side).toDouble))
+    val edges = (for {
+      y <- 0 until side; x <- 0 until side
+      (dx, dy) <- Seq((1, 0), (0, 1), (1, 1), (1, -1))
+      if x + dx < side && y + dy >= 0 && y + dy < side
+    } yield (y * side + x, (y + dy) * side + (x + dx))).toArray
+    for (lk <- Seq("singlelinkage", "completelinkage", "averagelinkage",
+      "wardlinkage")) {
+      val got = Regionalize.solve(n, scaled, edges, Array.fill(n)(0.0),
+        Regionalize.Conf(k = 5, method = s"fullorder-$lk"))
+      val brute = {
+        val t = bruteTree(n, scaled, edges, lk)
+        // same partitioning step on the brute tree
+        val labels = Regionalize.partitionForTest(n, scaled, t,
+          Array.fill(n)(0.0), Regionalize.Conf(k = 5,
+            method = s"fullorder-$lk"))
+        labels
+      }
+      assert(got.sameElements(brute), s"linkage $lk diverges from brute")
+    }
+  }
 }
