@@ -153,7 +153,6 @@ object Lisa {
       conf: Conf,
       kernel: (Int, Array[Int], LisaKernels.Scratch) => LisaKernels.Triple): DataFrame = {
     val spark = weights.sparkSession
-    import spark.implicits._
     val bGids = spark.sparkContext.broadcast(gids)
     val numObs = gids.length
     val lookupK: Int =
@@ -166,29 +165,41 @@ object Lisa {
       }
     val permutations = conf.permutations
     val seed = conf.seed
-    weights.select(col("gid").cast("long"), col("nbrs"))
-      .as[(Long, Option[Seq[Long]])]
+    // raw InternalRow pass (as in the kNN group stage): neighbor arrays
+    // read straight out of UnsafeRows into primitive buffers — no boxed
+    // Seq[Long] per row on the permutation hot path
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    val src = weights.select(col("gid").cast("long"), col("nbrs"))
+    val outRdd = org.apache.spark.sql.graftshim.ColumnShim
+      .toInternalRdd(src)
       .mapPartitions { it =>
         val g = bGids.value
         val lt = if (lookupK > 0)
           new LisaKernels.LookupTable(numObs, lookupK, permutations, seed)
         else null
         val scratch = new LisaKernels.Scratch(numObs, 65536, lt)
-        it.map { case (gid, nbrOpt) =>
-          val nbrSeq = nbrOpt.getOrElse(Seq.empty)
+        it.map { row: InternalRow =>
+          val gid = row.getLong(0)
           val idx = java.util.Arrays.binarySearch(g, gid)
           require(idx >= 0, s"gid $gid not present in value table")
-          val nbrs = new Array[Int](nbrSeq.length)
+          val nbrGids: Array[Long] =
+            if (row.isNullAt(1)) Array.emptyLongArray
+            else row.getArray(1).toLongArray()
+          val nbrs = new Array[Int](nbrGids.length)
           var i = 0
-          nbrSeq.foreach { nb =>
-            val j = java.util.Arrays.binarySearch(g, nb)
-            require(j >= 0, s"neighbor gid $nb not present in value table")
+          while (i < nbrGids.length) {
+            val j = java.util.Arrays.binarySearch(g, nbrGids(i))
+            require(j >= 0, s"neighbor gid ${nbrGids(i)} not in value table")
             nbrs(i) = j; i += 1
           }
           val t = kernel(idx, nbrs, scratch)
-          LisaOut(gid, t.stat, t.p, t.c)
+          new GenericInternalRow(
+            Array[Any](gid, t.stat, t.p, t.c)): InternalRow
         }
-      }.toDF()
+      }
+    org.apache.spark.sql.graftshim.ColumnShim
+      .internalDf(spark, outRdd, outSchema)
   }
 
   /** `local_moran_fast` parity (`postgeoda/src/localmoran.c:149-221`,
