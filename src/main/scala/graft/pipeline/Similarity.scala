@@ -57,7 +57,7 @@ object Similarity {
     * `Window.partitionBy(id)` sorted corpus×centroid rows twice).
     * Tie rule identical: max sim, then min cid.
     */
-  private def assignNearest(c: DataFrame, cents: DataFrame): DataFrame =
+  private[graft] def assignNearest(c: DataFrame, cents: DataFrame): DataFrame =
     c.crossJoin(broadcast(cents))
       .select(col("id"), col("unit"), col("cid"),
         dot("unit", "cunit").as("sim"))

@@ -38,4 +38,38 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("*(1)"), plan) // single WSCG stage incl. project
     assert(!plan.contains("Exchange"), plan) // no shuffle for a projection
   }
+
+  test("IVF centroid assignment is a hash aggregate, not a window sort") {
+    import spark.implicits._
+    val emb = SynthGeo.table(spark, dir, "embeddings")
+    val c = graft.pipeline.Similarity.normalized(emb)
+    // literal centroids → the plan under test is assignNearest's alone
+    val dim = 64
+    val cents = Seq(0, 1, 2, 3)
+      .map(i => (i, Seq.tabulate(dim)(d => (d % (i + 2)).toDouble)))
+      .toDF("cid", "cunit")
+    val plan = graft.pipeline.Similarity.assignNearest(c, cents)
+      .queryExecution.executedPlan.toString
+    // the corpus-side per-id argmax must be an aggregate with MAP-SIDE
+    // partials (shuffle volume / nCentroids), not the old
+    // Window.partitionBy(id) which shuffled and sorted every
+    // corpus×centroid row
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("partial_max_by"), plan)
+  }
+
+  test("contiguity vertex explode keeps codegen'd encoders") {
+    import spark.implicits._
+    val polys = SynthGeo.partPolygons(spark, dir)
+    // driving the query is the real check: the top-level VKey/EKey case
+    // classes must not trip Janino (which would WARN + fall back to
+    // interpreted encoders); assert results still flow and the plan is
+    // the expected equi-join shape
+    val adj = graft.weights.ContiguityWeights.adjacency(polys,
+      graft.weights.ContiguityWeights.Conf(queen = true))
+    val plan = adj.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"), plan)
+    assert(adj.limit(5).count() > 0)
+  }
 }
