@@ -65,6 +65,8 @@ object ScaleBench {
         Lisa.localMoran(vals, w, Lisa.Conf(permMethod = "lookup"))
           .agg(sum("stat")).head()
       }
+      // stage breakdown of the lookup floor: driver gather vs kernel
+      val (_, tGather) = time { Lisa.gather(vals) }
       val binVals = points.select(col("gid"),
         (pmod(xxhash64(col("gid"), lit(3)), lit(2L))).cast("double").as("value"))
       val (_, tJc) = time {
@@ -72,7 +74,7 @@ object ScaleBench {
       }
       val rate = (t: Double) => math.round(n / t)
       println(
-        s"""{"metric":"scale_pipeline","n":$n,"cpus":"$cpus","unit":"sec","knn10_sec":$tKnn,"knn10_rows_per_sec":${rate(tKnn)},"moran_sec":$tMoran,"moran_rows_per_sec":${rate(tMoran)},"moran_lookup_sec":$tMoranLk,"moran_lookup_rows_per_sec":${rate(tMoranLk)},"joincount_sec":$tJc,"joincount_rows_per_sec":${rate(tJc)}}""")
+        s"""{"metric":"scale_pipeline","n":$n,"cpus":"$cpus","unit":"sec","knn10_sec":$tKnn,"knn10_rows_per_sec":${rate(tKnn)},"moran_sec":$tMoran,"moran_rows_per_sec":${rate(tMoran)},"moran_lookup_sec":$tMoranLk,"moran_lookup_rows_per_sec":${rate(tMoranLk)},"gather_sec":$tGather,"joincount_sec":$tJc,"joincount_rows_per_sec":${rate(tJc)}}""")
     } finally spark.stop()
   }
 }

@@ -169,10 +169,10 @@ object LisaKernels {
     val obs = sumAt(x, nbrs, n) / denom
     val p = permutationP(idx, n, x.length, obs, permutations, seed, scratch,
       (d, m) => sumAt(x, d, m) / denom)
-    // expectation of G_i under CSR: n/(N-1) of the remaining mass
-    val expect = n.toDouble / (x.length - 1)
+    // High/Low split vs the empirical permutation expectation (the same
+    // convention as the Geary rule; its limit is the CSR value n/(N-1))
     val cluster =
-      if (p > cutoff) 0.0 else if (obs > expect) 1.0 else 2.0
+      if (p > cutoff) 0.0 else if (obs > scratch.permMean) 1.0 else 2.0
     Triple(obs, p, cluster)
   }
 
@@ -187,9 +187,8 @@ object LisaKernels {
     val obs = (sumAt(x, nbrs, n) + xi) / sumAll
     val p = permutationP(idx, n, x.length, obs, permutations, seed, scratch,
       (d, m) => (sumAt(x, d, m) + xi) / sumAll)
-    val expect = (n + 1.0) / x.length
     val cluster =
-      if (p > cutoff) 0.0 else if (obs > expect) 1.0 else 2.0
+      if (p > cutoff) 0.0 else if (obs > scratch.permMean) 1.0 else 2.0
     Triple(obs, p, cluster)
   }
 
