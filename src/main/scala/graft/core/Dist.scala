@@ -38,9 +38,14 @@ object Dist {
            isArc: Boolean, isMile: Boolean): Double =
     if (isArc) arc(x1, y1, x2, y2, isMile) else euclidean(x1, y1, x2, y2)
 
-  /** Kernel functions over u = d/bandwidth, names per weights.h:322-340. */
+  /** Kernel functions over u = d/bandwidth, names per weights.h:322-340.
+    * `useDiagonal` carries the reference's use_kernel_diagonals semantics
+    * for the d == 0 (self) entry: false → flat 1.0, true → kernel(0)
+    * (`proxy.cpp:156-161`); the DataFrame builders apply the same rule.
+    */
   def kernel(name: String, d: Double, bandwidth: Double,
              useDiagonal: Boolean): Double = {
+    if (d == 0.0 && !useDiagonal) return 1.0
     val u = if (bandwidth == 0.0) 0.0 else d / bandwidth
     name match {
       case "triangular"   => if (u >= 1) 0.0 else 1.0 - u
