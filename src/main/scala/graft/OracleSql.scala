@@ -766,6 +766,70 @@ object OracleSql {
          SELECT qid, id, CAST(rk AS BIGINT) AS rk, round(cosine, 6) AS cosine
          FROM ranked WHERE rk <= 10 ORDER BY qid, rk""",
 
+    "q57b_ann_ivf" ->
+      """WITH nrm AS (
+           SELECT vec_id AS id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         u AS (
+           SELECT id, CASE WHEN nr = 0 THEN v
+                      ELSE list_transform(v, x -> x / nr) END AS unit
+           FROM (SELECT id, v,
+                   sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum'))
+                     AS nr
+                 FROM nrm) t),
+         seeds AS (
+           SELECT CAST(row_number() OVER (ORDER BY id) AS INT) - 1 AS cid,
+                  unit AS cunit
+           FROM (SELECT id, unit FROM u ORDER BY id LIMIT 16) s),
+         sim1 AS (
+           SELECT c.id, c.unit, s.cid,
+             list_aggregate(list_transform(range(1, len(c.unit) + 1),
+               i -> c.unit[i] * s.cunit[i]), 'sum') AS sim
+           FROM u c CROSS JOIN seeds s),
+         asg AS (SELECT id, unit, cid FROM (
+             SELECT id, unit, cid, row_number() OVER (PARTITION BY id
+               ORDER BY sim DESC, cid) AS rk FROM sim1) t
+           WHERE rk = 1),
+         cposx AS (
+           SELECT cid, unnest(range(1, len(unit) + 1)) AS pos, unit
+           FROM asg),
+         cpos AS (
+           SELECT cid, pos, avg(unit[CAST(pos AS INT)]) AS m
+           FROM cposx GROUP BY cid, pos),
+         cent AS (SELECT cid, list(m ORDER BY pos) AS cunit
+                  FROM cpos GROUP BY cid),
+         sim2 AS (
+           SELECT c.id, c.unit, ct.cid,
+             list_aggregate(list_transform(range(1, len(c.unit) + 1),
+               i -> c.unit[i] * ct.cunit[i]), 'sum') AS sim
+           FROM u c CROSS JOIN cent ct),
+         bucketed AS (SELECT id, unit, cid FROM (
+             SELECT id, unit, cid, row_number() OVER (PARTITION BY id
+               ORDER BY sim DESC, cid) AS rk FROM sim2) t
+           WHERE rk = 1),
+         qsim AS (
+           SELECT q.id AS qid, q.unit AS qunit, ct.cid,
+             list_aggregate(list_transform(range(1, len(q.unit) + 1),
+               i -> q.unit[i] * ct.cunit[i]), 'sum') AS sim
+           FROM u q CROSS JOIN cent ct WHERE q.id < 5),
+         probes AS (SELECT qid, qunit, cid FROM (
+             SELECT qid, qunit, cid, row_number() OVER (PARTITION BY qid
+               ORDER BY sim DESC, cid) AS rk FROM qsim) t
+           WHERE rk <= 4),
+         scored AS (
+           SELECT p.qid, b.id,
+             list_aggregate(list_transform(range(1, len(b.unit) + 1),
+               i -> b.unit[i] * p.qunit[i]), 'sum') AS cosine
+           FROM probes p JOIN bucketed b ON p.cid = b.cid
+           WHERE b.id <> p.qid),
+         ranked AS (SELECT qid, id, cosine,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY cosine DESC, id) AS rk
+           FROM scored)
+         SELECT qid, id, CAST(rk AS BIGINT) AS rk, round(cosine, 6) AS cosine
+         FROM ranked WHERE rk <= 10 ORDER BY qid, rk""",
+
     "q58b_quality" ->
       """WITH f AS (
            SELECT doc_id AS id,

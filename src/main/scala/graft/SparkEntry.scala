@@ -452,10 +452,13 @@ object SparkEntry {
         .orderBy("qid", "rk")
     }),
     "q57b_ann_ivf" -> ((s, dir) => {
+      // deterministic IVF (id-ordered seeds, one Lloyd sweep, max_by
+      // assignment, nprobe probing) → the whole pipeline replays in SQL
       val emb = SynthGeo.table(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") < 5)
       graft.pipeline.Similarity.ivfTopK(emb, queries, k = 10)
-        .select(col("qid"), col("id"), col("rk").cast("long").as("rk"))
+        .select(col("qid"), col("id"), col("rk").cast("long").as("rk"),
+          round(col("cosine"), 6).as("cosine"))
         .orderBy("qid", "rk")
     }),
     "q68_embedding_neardup" -> ((s, dir) => {
