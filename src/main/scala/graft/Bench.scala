@@ -7,13 +7,39 @@ import org.apache.spark.sql.functions._
   * headline pipeline (webpages → geocode → tile → PIP join → kNN weights
   * → local Moran 999 perms) timed end-to-end with its rows/s.
   *
-  * Env: SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_CPUS (default 4).
-  * Prints ONE JSON line.
+  * Every timing is the MEDIAN of `SPARK_GRAFT_RUNS` (default 3)
+  * back-to-back runs, with the per-query minimum also reported — the
+  * sandbox host shows 2-10× single-run wall swings (BENCH.md), so
+  * single-sample numbers cannot distinguish a regression from noise.
+  *
+  * Env: SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_CPUS (default 4),
+  * SPARK_GRAFT_RUNS (default 3). Prints ONE JSON line.
   */
 object Bench {
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.isEmpty) -1.0
+    else if (s.length % 2 == 1) s(s.length / 2)
+    else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+  }
+
+  /** Time `body` `runs` times; (median, min) seconds. A run that throws
+    * contributes -1 (sorts first, keeping the median pessimistic-honest).
+    */
+  private def timed(runs: Int)(body: => Unit): (Double, Double) = {
+    val ts = (1 to runs).map { _ =>
+      val t0 = System.nanoTime()
+      try { body; (System.nanoTime() - t0) / 1e9 }
+      catch { case _: Throwable => -1.0 }
+    }
+    (median(ts), ts.min)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -29,46 +55,63 @@ object Bench {
     catch { case _: Throwable => }
 
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> timed(runs) { fn(spark, sfDir).count(): Unit }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, (med, _)) => "\"" + k + "\":" + med }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val qsMin = results.map { case (k, (_, mn)) => "\"" + k + "\":" + mn }
+      .mkString("{", ",", "}")
+    val total = results.values.map(_._1).sum
 
-    // north-rule headline: full webtext pipeline (no checkpoint IO)
+    // north-rule headline: full webtext pipeline (no checkpoint IO),
+    // rebuilt from scratch each run (fresh caches) so the median times
+    // the whole build, not a cache hit
     val pages = graft.pipeline.Webtext.synthWebpages(spark, sfDir).cache()
     val nPages = pages.count()
-    val t0 = System.nanoTime()
-    val geo = graft.pipeline.Webtext.geocode(pages).cache()
-    geo.count()
     val polys = graft.pipeline.SynthGeo.partPolygons(spark, sfDir)
       .withColumnRenamed("gid", "pid")
-    val joined = graft.pipeline.SpatialJoin.pip(geo, polys,
-      graft.pipeline.SynthGeo.CellW)
-    val joinedRows = joined.count()
+    var joinedRows = 0L
+    val pipeRuns = (1 to runs).map { _ =>
+      val t0 = System.nanoTime()
+      val geo = graft.pipeline.Webtext.geocode(pages).cache()
+      geo.count()
+      val joined = graft.pipeline.SpatialJoin.pip(geo, polys,
+        graft.pipeline.SynthGeo.CellW)
+      joinedRows = joined.count()
+      val w = graft.weights.KnnWeights.build(geo.select("gid", "x", "y"),
+        graft.weights.KnnWeights.Conf(k = 4,
+          cellSize = Some(graft.pipeline.SynthGeo.CellW)))
+      val vals = geo.select(col("gid"),
+        length(col("text")).cast("double").as("value"))
+      graft.stats.Lisa.localMoran(vals, w).agg(sum("stat")).head()
+      val sec = (System.nanoTime() - t0) / 1e9
+      geo.unpersist(blocking = false)
+      sec
+    }
+    val pipeSec = median(pipeRuns)
+    val pipeRate = math.round(nPages / pipeSec)
+
+    // Moran alone, both permutation methods, over a prebuilt cached
+    // weights frame (pure kernel timing): 'complete' is the bit-parity
+    // default, 'lookup' is the reference's own default and the perf mode
+    val geo = graft.pipeline.Webtext.geocode(pages).cache()
+    geo.count()
     val w = graft.weights.KnnWeights.build(geo.select("gid", "x", "y"),
       graft.weights.KnnWeights.Conf(k = 4,
         cellSize = Some(graft.pipeline.SynthGeo.CellW))).cache()
     w.count()
-    val vals = geo.select(col("gid"), length(col("text")).cast("double").as("value"))
-    graft.stats.Lisa.localMoran(vals, w).agg(sum("stat")).head()
-    val pipeSec = (System.nanoTime() - t0) / 1e9
-    val pipeRate = math.round(nPages / pipeSec)
+    val vals = geo.select(col("gid"),
+      length(col("text")).cast("double").as("value"))
+    val (moranCompleteSec, moranCompleteMin) = timed(runs) {
+      graft.stats.Lisa.localMoran(vals, w).agg(sum("stat")).head(): Unit
+    }
+    val (moranLookupSec, moranLookupMin) = timed(runs) {
+      graft.stats.Lisa.localMoran(vals, w,
+        graft.stats.Lisa.Conf(permMethod = "lookup"))
+        .agg(sum("stat")).head(): Unit
+    }
 
-    // Moran alone, both permutation methods (weights cached → pure
-    // kernel): 'complete' is the bit-parity default, 'lookup' is the
-    // reference's own default and the perf mode
-    val tM0 = System.nanoTime()
-    graft.stats.Lisa.localMoran(vals, w).agg(sum("stat")).head()
-    val moranCompleteSec = (System.nanoTime() - tM0) / 1e9
-    val tM1 = System.nanoTime()
-    graft.stats.Lisa.localMoran(vals, w,
-      graft.stats.Lisa.Conf(permMethod = "lookup")).agg(sum("stat")).head()
-    val moranLookupSec = (System.nanoTime() - tM1) / 1e9
-
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline_sec":$pipeSec,"pipeline_pages":$nPages,"pipeline_join_rows":$joinedRows,"pipeline_pages_per_sec":$pipeRate,"moran_complete_sec":$moranCompleteSec,"moran_lookup_sec":$moranLookupSec,"cpus":"$cpus"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$runs,"queries":$qs,"queries_min":$qsMin,"sf":"$sfDir","pipeline_sec":$pipeSec,"pipeline_runs":[${pipeRuns.mkString(",")}],"pipeline_pages":$nPages,"pipeline_join_rows":$joinedRows,"pipeline_pages_per_sec":$pipeRate,"moran_complete_sec":$moranCompleteSec,"moran_complete_min":$moranCompleteMin,"moran_lookup_sec":$moranLookupSec,"moran_lookup_min":$moranLookupMin,"cpus":"$cpus"}""")
     spark.stop()
   }
 }

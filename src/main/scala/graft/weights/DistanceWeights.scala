@@ -13,10 +13,13 @@ import org.apache.spark.sql.functions._
   * the threshold (inclusive).
   *
   * Spark-first shape: grid cells of size = threshold, candidates from the
-  * Chebyshev-radius-2 block (radius 2 guarantees coverage of distance
-  * == threshold exactly, including boundary-sitting points), equi-join on
-  * cell, filter by true distance. One shuffle keyed by cell; skewed dense
-  * cells are handled by AQE (and can be salted — SURVEY §7.3).
+  * Chebyshev-radius-1 (3×3) block — with cellSize == threshold, any pair
+  * at distance ≤ threshold has |Δx|,|Δy| ≤ cellSize, so the floor-cell
+  * indices differ by at most 1 in each axis, INCLUDING pairs at exactly
+  * d == threshold sitting on cell borders (x−t ≥ (cx−1)·s keeps the
+  * neighbor inside cell cx−1). Equi-join on cell, filter by true
+  * distance. One shuffle keyed by cell; skewed dense cells are handled by
+  * AQE (and can be salted — SURVEY §7.3).
   */
 object DistanceWeights {
 
@@ -44,7 +47,8 @@ object DistanceWeights {
     *
     * Arc mode: the cell grid runs over degrees, with the cell edge sized
     * from the LATITUDE degree length (constant on the sphere). Latitude
-    * coverage therefore needs only the fixed Chebyshev-2 block, but one
+    * coverage therefore needs only the fixed ±1-cell band (a true
+    * neighbor's latitude differs by ≤ cellSize degrees), but one
     * degree of LONGITUDE shrinks by cos(lat), so the longitudinal
     * candidate radius is widened per row by 1/cos(φ_worst) (φ_worst =
     * |lat| + the band's own latitude extent, clamped below the pole), and
@@ -58,7 +62,7 @@ object DistanceWeights {
       val cellSize = conf.threshold
       val pts = points.select(col("gid"), col("x"), col("y"))
         .withColumn("cell", Tiling.cellIdCol(col("x"), col("y"), cellSize))
-      val deltas = (for (dx <- -2 to 2; dy <- -2 to 2)
+      val deltas = (for (dx <- -1 to 1; dy <- -1 to 1)
         yield dx.toLong * Tiling.Mul + dy).toArray
       pts
         .withColumn("__delta", explode(typedLit(deltas)))
@@ -89,7 +93,7 @@ object DistanceWeights {
         (ceil(lit(1.0) / cos(phiWorst)) + lit(1.0)).cast("long"),
         lit(nLonCells / 2 + 1L))
       val cand = pts
-        .withColumn("__dy", explode(typedLit((-2L to 2L).toArray)))
+        .withColumn("__dy", explode(typedLit((-1L to 1L).toArray)))
         .withColumn("__dx",
           explode(sequence(-dxMax, dxMax)))
         // wrap the candidate column index into [0, nLonCells)

@@ -241,6 +241,7 @@ object KnnWeights {
       }
     val round1 = org.apache.spark.sql.graftshim.ColumnShim
       .internalDf(spark, outRdd, outSchema).cache()
+    val loopCaches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 
     val resolved = round1.filter(col("certified"))
       .select("gid", "x", "y", "nbrs", "dists")
@@ -288,6 +289,7 @@ object KnnWeights {
             (heap.size == k && heap.kth < certBound(cfg, s, rr, y))
           (gid, x, y, nbrs, dists, certified)
         }.toDF("gid", "x", "y", "nbrs", "dists", "certified").cache()
+      loopCaches += topk
       done = done.unionByName(topk.filter(col("certified"))
         .select("gid", "x", "y", "nbrs", "dists"))
       if (exhausted) remaining = false
@@ -302,7 +304,17 @@ object KnnWeights {
         if (r > 64) exhausted = true
       }
     }
-    done
+    // Materialize once (one pass over the already-cached parents), then
+    // release the internal caches. cache() here would pin the result in
+    // the CacheManager forever — callers receive a lazy frame and have no
+    // reason to unpersist it; localCheckpoint blocks are owned by the RDD
+    // alone, so the ContextCleaner reclaims them as soon as the caller
+    // drops the frame. Lineage truncation also means the unpersists below
+    // can never trigger a recompute of the 9N-row shuffle.
+    val out = done.localCheckpoint(true)
+    round1.unpersist(blocking = false)
+    loopCaches.foreach(_.unpersist(blocking = false))
+    out
   }
 
   /** `knn_weights_sub(gid, geom, k, start, end)` parity

@@ -154,4 +154,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.sharedState.cacheManager.isEmpty,
       "Idx.withAttached must unpersist its sort cache")
   }
+
+  test("kNN build leaves no cached DF behind (scoped cache release)") {
+    val pts = SynthGeo.customerPoints(spark, dir)
+    spark.sharedState.cacheManager.clearCache()
+    // tiny cell size forces the expanding-radius loop (per-iteration
+    // topk caches) in addition to the round-1 cache
+    val w = graft.weights.KnnWeights.build(pts,
+      graft.weights.KnnWeights.Conf(k = 3, cellSize = Some(0.05)))
+    assert(w.count() > 0)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "knnRows must unpersist round1 and per-iteration topk caches")
+  }
 }

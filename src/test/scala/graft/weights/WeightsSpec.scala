@@ -72,6 +72,22 @@ class WeightsSpec extends AnyFunSuite {
     assert(want.count(_._1 == 13L) == 4)
   }
 
+  test("distance band 3x3 block: brute equality on scattered points") {
+    import spark.implicits._
+    val df = points(120)
+    val local = df.as[(Long, Double, Double)].collect()
+    for (thr <- Seq(5.0, 23.7)) {
+      val got = DistanceWeights.pairs(df, DistanceWeights.Conf(threshold = thr))
+        .select("gid", "nbr").as[(Long, Long)].collect().toSet
+      val want = (for {
+        (g1, x1, y1) <- local; (g2, x2, y2) <- local
+        if g1 != g2 &&
+          math.sqrt((x1 - x2) * (x1 - x2) + (y1 - y2) * (y1 - y2)) <= thr
+      } yield (g1, g2)).toSet
+      assert(got == want, s"threshold $thr")
+    }
+  }
+
   test("min_distthreshold equals brute force max of 1-NN") {
     import spark.implicits._
     val df = points(80)
