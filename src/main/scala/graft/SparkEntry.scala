@@ -483,10 +483,23 @@ object SparkEntry {
           col("quality"))
         .orderBy("id")),
     "q59_multimodal_image" -> ((s, dir) => {
+      // REAL decode path: deterministic PNGs synthesized per doc through
+      // the JDK PNG writer (distributed, one image per row), decoded back
+      // via javax.imageio — dims/channels/luma are pixel-pattern-exact.
+      // Every 7th row gets corrupt bytes to prove undecodables stay rows.
+      import s.implicits._
       val media = SynthGeo.table(s, dir, "documents")
-        .select(col("doc_id").as("id"),
-          encode(col("text"), "UTF-8").cast("binary").as("bytes"))
-      graft.pipeline.Multimodal.imageFeatures(media)
+        .select(col("doc_id").cast("long").as("id"))
+        .as[Long]
+        .map { id =>
+          val bytes =
+            if (id % 7 == 0) Array[Byte](0x42, 0x41, 0x44, 0x21, 0, 1, 2, 3)
+            else graft.pipeline.Multimodal.synthPng(
+              4 + (id % 13).toInt, 3 + (id % 7).toInt, id * 2654435761L)
+          (id, bytes)
+        }.toDF("id", "bytes")
+      graft.pipeline.Multimodal.imageFeatures(media,
+          graft.pipeline.Multimodal.ImageIoDecoder)
         .select(col("id"), col("width"), col("height"), col("channels"),
           col("format"), round(col("pixel_mean"), 6).as("pixel_mean"))
         .orderBy("id")

@@ -6,12 +6,14 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * columns plus typed metadata, processed in partition-sized batches.
   *
-  * The decode step itself is STUBBED (no codec libraries in this
-  * container): `Decoder` is the seam where a real implementation (JNI
-  * ffmpeg/libjpeg, or `mapInPandas` + PIL on a PySpark cluster) plugs in;
-  * `FakeDecoder` produces deterministic synthetic pixels/samples so the
-  * Spark-side plumbing — schema, partitioning, batch shape, downstream
-  * feature aggregation — is real and tested end-to-end.
+  * Two decoders behind the same `Decoder` seam:
+  *   - `ImageIoDecoder` — REAL decode via `javax.imageio` (PNG/JPEG/GIF/
+  *     BMP readers ship with the JDK; zero external jars). Video-style
+  *     frame sampling rides the multi-image reader API (animated GIF).
+  *   - `FakeDecoder` — deterministic synthetic pixels, kept for hermetic
+  *     tests and for payloads that are not real images.
+  * Exotic codecs (mp4/webm/audio) still need a cluster-side library
+  * (JNI ffmpeg or `mapInPandas` + PIL); the seam is where they plug in.
   */
 object Multimodal {
 
@@ -41,6 +43,119 @@ object Multimodal {
           else bytes.drop(f * 16))
       }
     }
+  }
+
+  /** Real JDK image decoder. Pixels come back as the BT.601 integer luma
+    * plane (gray8) so downstream feature math is codec-independent;
+    * `channels` reports the source color components. Undecodable or
+    * truncated bytes → `(0, 0, 0, "undecodable")` with empty pixels — a
+    * web-crawl media column is full of corrupt blobs and the pipeline
+    * must keep them as rows, not exceptions.
+    */
+  object ImageIoDecoder extends Decoder {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayInputStream
+    import javax.imageio.ImageIO
+
+    private val Undecodable = DecodedImage(
+      ImageMeta(0, 0, 0, "undecodable"), Array.emptyByteArray)
+
+    private def luma(img: BufferedImage): Array[Byte] = {
+      val w = img.getWidth; val h = img.getHeight
+      val out = new Array[Byte](w * h)
+      var y = 0; var i = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val r = (rgb >> 16) & 0xFF; val g = (rgb >> 8) & 0xFF
+          val b = rgb & 0xFF
+          out(i) = ((299 * r + 587 * g + 114 * b) / 1000).toByte
+          i += 1; x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
+    def decodeImage(bytes: Array[Byte]): DecodedImage = {
+      if (bytes == null || bytes.length < 8) return Undecodable
+      try {
+        val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+        try {
+          val readers = ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) Undecodable
+          else {
+            val r = readers.next()
+            r.setInput(iis, true, true)
+            try {
+              val img = r.read(0)
+              DecodedImage(
+                ImageMeta(img.getWidth, img.getHeight,
+                  img.getColorModel.getNumComponents,
+                  r.getFormatName.toLowerCase(java.util.Locale.ROOT)),
+                luma(img))
+            } finally r.dispose()
+          }
+        } finally iis.close()
+      } catch { case scala.util.control.NonFatal(_) => Undecodable }
+    }
+
+    /** Every `everyN`-th frame of a multi-image container (animated GIF
+      * through the JDK reader); single-frame formats yield one frame.
+      */
+    def sampleFrames(bytes: Array[Byte], everyN: Int): Seq[DecodedImage] = {
+      if (bytes == null || bytes.length < 8) return Seq.empty
+      try {
+        val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+        try {
+          val readers = ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) Seq.empty
+          else {
+            val r = readers.next()
+            r.setInput(iis)
+            try {
+              val n = try math.max(1, r.getNumImages(true))
+                catch { case scala.util.control.NonFatal(_) => 1 }
+              val fmt = r.getFormatName.toLowerCase(java.util.Locale.ROOT)
+              (0 until n by math.max(1, everyN)).flatMap { f =>
+                try {
+                  val img = r.read(f)
+                  Some(DecodedImage(ImageMeta(img.getWidth, img.getHeight,
+                    img.getColorModel.getNumComponents, fmt), luma(img)))
+                } catch { case scala.util.control.NonFatal(_) => None }
+              }
+            } finally r.dispose()
+          }
+        } finally iis.close()
+      } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+    }
+  }
+
+  /** Deterministic real-PNG fixture: an RGB gradient keyed by `seed`,
+    * encoded through the JDK PNG writer — REAL bytes for the real decode
+    * path without any external image files. Decoded features (dims,
+    * channels, luma stats) depend only on the pixel pattern, never on the
+    * writer's compression choices.
+    */
+  def synthPng(width: Int, height: Int, seed: Long): Array[Byte] = {
+    import java.awt.image.BufferedImage
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val r = ((seed + 31L * x + 7L * y) % 256).toInt & 0xFF
+        val g = ((seed * 3 + 13L * x) % 256).toInt & 0xFF
+        val b = ((seed * 5 + 17L * y) % 256).toInt & 0xFF
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
   /** media: (id long, bytes binary) → per-item image features.

@@ -108,6 +108,44 @@ class PipelineSpec extends AnyFunSuite {
     assert(frames.nonEmpty)
   }
 
+  test("multimodal real decode: PNG roundtrip exact, corrupt bytes survive") {
+    import spark.implicits._
+    // 2x1 image with known colors: pure red and pure white →
+    // BT.601 integer luma 76 and 255
+    val img = new java.awt.image.BufferedImage(2, 1,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xFF0000); img.setRGB(1, 0, 0xFFFFFF)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val media = Seq(
+      (1L, bos.toByteArray),
+      (2L, Multimodal.synthPng(5, 4, 42L)),
+      (3L, "definitely not an image".getBytes("UTF-8")),
+      (4L, null.asInstanceOf[Array[Byte]])
+    ).toDF("id", "bytes")
+    val f = Multimodal.imageFeatures(media, Multimodal.ImageIoDecoder)
+      .orderBy("id").collect()
+    assert(f.length == 4)
+    // row 1: 2x1, 3 channels, png, mean luma (76+255)/2 = 165.5
+    assert(f(0).getInt(1) == 2 && f(0).getInt(2) == 1 && f(0).getInt(3) == 3)
+    assert(f(0).getString(4) == "png")
+    assert(math.abs(f(0).getDouble(5) - 165.5) < 1e-12)
+    // row 2: synthPng dims round-trip
+    assert(f(1).getInt(1) == 5 && f(1).getInt(2) == 4 && f(1).getString(4) == "png")
+    // rows 3-4: undecodable stays a row with zeroed meta
+    Seq(2, 3).foreach { i =>
+      assert(f(i).getInt(1) == 0 && f(i).getString(4) == "undecodable")
+    }
+    // decode is partitioning-invariant
+    val again = Multimodal.imageFeatures(media.repartition(3),
+      Multimodal.ImageIoDecoder).orderBy("id").collect()
+    assert(f.sameElements(again))
+    // frame sampling over a real single-frame PNG: exactly one frame
+    val fr = Multimodal.frameSample(media.filter($"id" === 2L), everyN = 1,
+      Multimodal.ImageIoDecoder).collect()
+    assert(fr.length == 1 && fr(0).getInt(2) == 5)
+  }
+
   test("webtext pipeline: checkpoint, resume, text byte-identity") {
     val root = Files.createTempDirectory("graft-ckpt").toString
     val t0 = System.nanoTime()
