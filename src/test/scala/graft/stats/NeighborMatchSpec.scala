@@ -50,7 +50,22 @@ class NeighborMatchSpec extends AnyFunSuite {
     assert(meanCard < 1.5, s"mean overlap $meanCard")
   }
 
-  test("attribute kNN: cell-ring engine equals brute-force window at 4k rows") {
+  /** Driver-side exact kNN for golden comparison. */
+  private def bruteAttrKnn(rows: Seq[(Long, Seq[Double])], k: Int,
+                           manhattan: Boolean): Set[(Long, Long)] = {
+    def d(a: Seq[Double], b: Seq[Double]): Double = {
+      val t = a.iterator.zip(b.iterator).map { case (x, y) =>
+        if (manhattan) math.abs(x - y) else (x - y) * (x - y) }.sum
+      if (manhattan) t else math.sqrt(t)
+    }
+    rows.flatMap { case (g, v) =>
+      rows.filter(_._1 != g)
+        .map { case (g2, v2) => (d(v, v2), g2) }
+        .sorted.take(k).map { case (_, g2) => (g, g2) }
+    }.toSet
+  }
+
+  test("attribute kNN: 2-dim cell-ring equals driver brute at 4k rows") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     val n = 4000
@@ -59,18 +74,51 @@ class NeighborMatchSpec extends AnyFunSuite {
     }.toDF("gid", "vals")
     val scaled = NeighborMatch.scaleVals(vals, 2, "standardize").cache()
     val fast = NeighborMatch.attrKnn(scaled, 2, 6, "euclidean")
-      .withColumn("key", concat_ws(":", col("gid"), col("anbr")))
-      .select("key").as[String].collect().toSet
-    // brute: the >2-dim fallback path IS the cross-join window — force it
-    // by lying about nv (the sv arrays are still 2-dim)
-    val brute = NeighborMatch.attrKnn(scaled, 3, 6, "euclidean")
-      .withColumn("key", concat_ws(":", col("gid"), col("anbr")))
-      .select("key").as[String].collect().toSet
+      .select("gid", "anbr").as[(Long, Long)].collect().toSet
+    val local = scaled.select("gid", "sv").as[(Long, Seq[Double])].collect().toSeq
+    val brute = bruteAttrKnn(local, 6, manhattan = false)
     assert(fast == brute,
       s"cell-ring vs brute diff: ${(fast diff brute).take(5)} / ${(brute diff fast).take(5)}")
     // and the plan of the fast path must not contain a cartesian product
     val plan = NeighborMatch.attrKnn(scaled, 2, 6, "euclidean")
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Cartesian"), "fast attr kNN must not cross join")
+    scaled.unpersist()
+  }
+
+  test("attribute kNN: 3-dim euclidean + 2-dim manhattan cell-ring exact at 10k rows") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val n = 10000
+    val vals = (1 to n).map { i =>
+      (i.toLong, Seq((i * 7919 % 10007).toDouble,
+        (i * 104729 % 9973).toDouble, (i * 31 % 89).toDouble))
+    }.toDF("gid", "vals")
+    val scaled = NeighborMatch.scaleVals(vals, 3, "standardize").cache()
+    val local = scaled.select("gid", "sv").as[(Long, Seq[Double])].collect().toSeq
+
+    val got3 = NeighborMatch.attrKnn(scaled, 3, 6, "euclidean")
+      .select("gid", "anbr").as[(Long, Long)].collect().toSet
+    val want3 = bruteAttrKnn(local, 6, manhattan = false)
+    assert(got3 == want3,
+      s"3-dim diff: ${(got3 diff want3).take(5)} / ${(want3 diff got3).take(5)}")
+
+    val scaled2 = NeighborMatch.scaleVals(
+      vals.select($"gid", slice($"vals", 1, 2).as("vals")), 2, "standardize")
+      .cache()
+    val local2 = scaled2.select("gid", "sv").as[(Long, Seq[Double])].collect().toSeq
+    val gotM = NeighborMatch.attrKnn(scaled2, 2, 6, "manhattan")
+      .select("gid", "anbr").as[(Long, Long)].collect().toSet
+    val wantM = bruteAttrKnn(local2, 6, manhattan = true)
+    assert(gotM == wantM,
+      s"manhattan diff: ${(gotM diff wantM).take(5)} / ${(wantM diff gotM).take(5)}")
+
+    // no Cartesian product in either high-dim plan
+    Seq(NeighborMatch.attrKnn(scaled, 3, 6, "euclidean"),
+        NeighborMatch.attrKnn(scaled2, 2, 6, "manhattan")).foreach { df =>
+      assert(!df.queryExecution.executedPlan.toString.contains("Cartesian"),
+        "high-dim attr kNN must not cross join")
+    }
+    scaled.unpersist(); scaled2.unpersist()
   }
 }
