@@ -71,6 +71,58 @@ class GuerrySpec extends AnyFunSuite {
     }
   }
 
+  /** Expected (stat, p, cluster) triples for moran/g/gstar/geary from the
+    * independent C harness `tools/pin_guerry_lisa.c` (reference
+    * 'complete' permutation scheme, 999 perms, seed 123456789, cutoff
+    * 0.05) — regenerate with
+    * `gcc -O2 -o /tmp/pin tools/pin_guerry_lisa.c -lm && /tmp/pin >
+    * src/test/resources/guerry_lisa_expected.tsv`.
+    */
+  private lazy val expectedLisa: Map[Long, Array[Double]] =
+    resourceLines("/guerry_lisa_expected.tsv").drop(1).map { l =>
+      val f = l.split('\t')
+      f(0).toLong -> f.drop(1).map(_.toDouble)
+    }.toMap
+
+  test("Guerry LISA triples (I/G/G*/Geary + p + cluster) match the C harness exactly") {
+    import spark.implicits._
+    val polys = guerry.toSeq.map(t => (t._1, t._2)).toDF("gid", "geom")
+    val w = ContiguityWeights.build(polys,
+      ContiguityWeights.Conf(queen = true)).cache()
+    val vals = guerry.toSeq.map(t => (t._1, t._3)).toDF("gid", "value")
+    def check(df: org.apache.spark.sql.DataFrame, off: Int, what: String): Unit = {
+      val r = df.as[(Long, Double, Double, Double)].collect()
+      assert(r.length == 85)
+      r.foreach { case (g, stat, p, c) =>
+        val e = expectedLisa(g)
+        assert(stat == e(off) && p == e(off + 1) && c == e(off + 2),
+          s"$what gid $g: got ($stat,$p,$c) " +
+            s"want (${e(off)},${e(off + 1)},${e(off + 2)})")
+      }
+    }
+    check(graft.stats.Lisa.localMoran(vals, w), 0, "moran")
+    check(graft.stats.Lisa.localG(vals, w, star = false), 3, "g")
+    check(graft.stats.Lisa.localG(vals, w, star = true), 6, "gstar")
+    check(graft.stats.Lisa.localGeary(vals, w), 9, "geary")
+    w.unpersist()
+  }
+
+  test("Guerry global Moran's I matches the published GeoDa workbook value") {
+    import spark.implicits._
+    val polys = guerry.toSeq.map(t => (t._1, t._2)).toDF("gid", "geom")
+    val w = ContiguityWeights.build(polys,
+      ContiguityWeights.Conf(queen = true))
+    val vals = guerry.toSeq.map(t => (t._1, t._3)).toDF("gid", "value")
+    val r = graft.stats.Lisa.localMoran(vals, w,
+      graft.stats.Lisa.Conf(permutations = 9)) // I is RNG-independent
+      .as[(Long, Double, Double, Double)].collect()
+    // Global I (row-standardized) = mean(local I) * n/(n-1) under
+    // sample-sd standardization. The GeoDa workbook/tutorial reports
+    // Moran's I = 0.411 for Crm_prs over queen weights [public].
+    val globalI = r.map(_._2).sum / r.length * 85.0 / 84.0
+    assert(math.abs(globalI - 0.411) < 1e-3, s"global I $globalI")
+  }
+
   test("local Moran on Guerry Crm_prs over queen weights: positive autocorrelation") {
     import spark.implicits._
     val polys = guerry.toSeq.map(t => (t._1, t._2)).toDF("gid", "geom")

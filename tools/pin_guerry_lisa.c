@@ -1,0 +1,255 @@
+/* Independent C pin of the full LISA outputs on the Guerry fixture.
+ *
+ * Reads the vendored fixture (src/test/resources/guerry.tsv — 85 French
+ * departments, Crm_prs column; src/test/resources/guerry_queen_expected.txt
+ * — the reference's OWN expected queen neighbor map from
+ * postgeoda/test/test_weights_queen.sql:140), then computes, in plain C
+ * with no code shared with the Scala engine:
+ *
+ *   local_moran, local_g, local_gstar, local_geary
+ *
+ * each as (stat, pseudo-p, cluster) per observation with the reference's
+ * fully-specified 'complete' conditional-permutation scheme
+ * (postgeoda/src/proxy.cpp:339-458): ThomasWangHashDouble, per-row seed
+ * stream seed+idx, round-half-away candidate, reject self/duplicates,
+ * two-sided fold, p=(count+1)/(perms+1). 999 permutations, seed
+ * 123456789, cutoff 0.05. Standardization = mean / SAMPLE sd (moran,
+ * geary); the G family runs on raw values. Cluster rules as documented
+ * in LisaKernels.scala (moran quadrants; G, G-star and Geary split on
+ * the empirical permutation mean).
+ *
+ * Build + run (from repo root):
+ *   gcc -O2 -o /tmp/pin_guerry tools/pin_guerry_lisa.c -lm
+ *   /tmp/pin_guerry > src/test/resources/guerry_lisa_expected.tsv
+ *
+ * The committed TSV is asserted row-exactly by GuerrySpec. This is an
+ * independent reimplementation of the documented reference algorithm —
+ * the strongest external pin available offline (libgeoda itself is an
+ * un-vendored submodule in /root/reference and cannot be compiled here).
+ */
+#include <stdio.h>
+#include <stdint.h>
+#include <stdlib.h>
+#include <math.h>
+#include <string.h>
+
+#define N_OBS 85
+#define PERMS 999
+#define SEED 123456789
+#define CUTOFF 0.05
+
+static double thomas_wang_hash_double(uint64_t key) {
+    key = (~key) + (key << 21);
+    key = key ^ (key >> 24);
+    key = (key + (key << 3)) + (key << 8);
+    key = key ^ (key >> 14);
+    key = (key + (key << 2)) + (key << 4);
+    key = key ^ (key >> 28);
+    key = key + (key << 31);
+    return 5.42101086242752217E-20 * key;
+}
+
+typedef struct { int *flags; int *stack; int top; } set_t;
+static void set_init(set_t *s, int cap) {
+    s->flags = calloc(cap, sizeof(int));
+    s->stack = malloc(cap * sizeof(int));
+    s->top = 0;
+}
+static int set_belongs(set_t *s, int v) { return s->flags[v]; }
+static void set_push(set_t *s, int v) {
+    if (!s->flags[v]) { s->stack[s->top++] = v; s->flags[v] = 1; }
+}
+static int set_drain(set_t *s, int *out) {
+    int n = s->top;
+    for (int i = 0; i < n; i++) { out[i] = s->stack[i]; s->flags[s->stack[i]] = 0; }
+    s->top = 0;
+    return n;
+}
+
+/* draw n_draw distinct ids != self from [0, num_obs-1]; returns new seed */
+static int draw_distinct(int seed_start, int num_obs, int self, int n_draw,
+                         set_t *work, int *out) {
+    int max_rand = num_obs - 1;
+    int got = 0;
+    while (got < n_draw) {
+        double rng = thomas_wang_hash_double((uint64_t)(int64_t)seed_start) * max_rand;
+        seed_start++;
+        int cand = (int)(rng < 0.0 ? ceil(rng - 0.5) : floor(rng + 0.5));
+        if (cand != self && !set_belongs(work, cand)) {
+            set_push(work, cand);
+            got++;
+        }
+    }
+    set_drain(work, out);
+    return seed_start;
+}
+
+/* generic conditional permutation: returns p, sets *perm_mean.
+ * stat_of(ids, m, ctx) computes the permuted statistic. */
+typedef double (*stat_fn)(const int *ids, int m, int idx, const double *v,
+                          double aux);
+static double permutation_p(int idx, int n_nbrs, int num_obs, double observed,
+                            stat_fn f, const double *v, double aux,
+                            set_t *work, int *drawn, double *perm_mean) {
+    int seed_start = SEED + idx;
+    uint64_t count_larger = 0;
+    double sum = 0.0;
+    for (int perm = 0; perm < PERMS; perm++) {
+        seed_start = draw_distinct(seed_start, num_obs, idx, n_nbrs, work, drawn);
+        double s = f(drawn, n_nbrs, idx, v, aux);
+        sum += s;
+        if (s >= observed) count_larger++;
+    }
+    *perm_mean = sum / PERMS;
+    if (PERMS - count_larger <= count_larger)
+        count_larger = PERMS - count_larger;
+    return (count_larger + 1.0) / (PERMS + 1.0);
+}
+
+static double stat_moran(const int *ids, int m, int idx, const double *z,
+                         double aux) {
+    (void)aux;
+    double lag = 0;
+    for (int i = 0; i < m; i++) lag += z[ids[i]];
+    lag /= m;
+    return z[idx] * lag;
+}
+static double stat_g(const int *ids, int m, int idx, const double *x,
+                     double denom) {
+    (void)idx;
+    double s = 0;
+    for (int i = 0; i < m; i++) s += x[ids[i]];
+    return s / denom;
+}
+static double stat_gstar(const int *ids, int m, int idx, const double *x,
+                         double sum_all) {
+    double s = 0;
+    for (int i = 0; i < m; i++) s += x[ids[i]];
+    return (s + x[idx]) / sum_all;
+}
+static double stat_geary(const int *ids, int m, int idx, const double *z,
+                         double aux) {
+    (void)aux;
+    double s = 0;
+    for (int i = 0; i < m; i++) { double d = z[idx] - z[ids[i]]; s += d * d; }
+    return s / m;
+}
+
+static void standardize(double *x, int n) {
+    double m = 0, s2 = 0;
+    for (int i = 0; i < n; i++) m += x[i];
+    m /= n;
+    for (int i = 0; i < n; i++) { double d = x[i] - m; s2 += d * d; }
+    double sd = sqrt(s2 / (n - 1));
+    for (int i = 0; i < n; i++) x[i] = sd == 0 ? x[i] - m : (x[i] - m) / sd;
+}
+
+int main(void) {
+    /* ---- parse guerry.tsv (field 2, 0-based = crm_prs) ---- */
+    double raw[N_OBS];
+    {
+        FILE *f = fopen("src/test/resources/guerry.tsv", "r");
+        if (!f) { fprintf(stderr, "missing guerry.tsv (run from repo root)\n"); return 1; }
+        char *line = NULL; size_t cap = 0;
+        if (getline(&line, &cap, f) < 0) return 1; /* header */
+        int n = 0;
+        while (getline(&line, &cap, f) >= 0 && n < N_OBS) {
+            char *tok = strtok(line, "\t");     /* ogc_fid */
+            tok = strtok(NULL, "\t");           /* wkb */
+            tok = strtok(NULL, "\t");           /* crm_prs */
+            raw[n++] = atof(tok);
+        }
+        fclose(f); free(line);
+        if (n != N_OBS) { fprintf(stderr, "expected 85 rows, got %d\n", n); return 1; }
+    }
+
+    /* ---- parse queen map: [gid:{nbr:w,...},...] ---- */
+    int *nbrs[N_OBS]; int n_nbrs[N_OBS];
+    {
+        FILE *f = fopen("src/test/resources/guerry_queen_expected.txt", "r");
+        if (!f) { fprintf(stderr, "missing queen map\n"); return 1; }
+        fseek(f, 0, SEEK_END); long sz = ftell(f); fseek(f, 0, SEEK_SET);
+        char *buf = malloc(sz + 1);
+        if (fread(buf, 1, sz, f) != (size_t)sz) return 1;
+        buf[sz] = 0; fclose(f);
+        const char *p = buf;
+        for (int g = 0; g < N_OBS; g++) { nbrs[g] = NULL; n_nbrs[g] = 0; }
+        while (*p) {
+            while (*p && (*p < '0' || *p > '9')) p++;
+            if (!*p) break;
+            int gid = (int)strtol(p, (char **)&p, 10);
+            if (*p != ':') continue;
+            p++; if (*p != '{') continue;
+            p++;
+            int tmp[32], cnt = 0;
+            while (*p && *p != '}') {
+                int nb = (int)strtol(p, (char **)&p, 10);
+                if (*p == ':') { strtol(p + 1, (char **)&p, 10); } /* weight */
+                tmp[cnt++] = nb;
+                if (*p == ',') p++;
+            }
+            if (*p == '}') p++;
+            /* ascending, matching the engine's sort_array(nbrs) — the
+             * observed-lag FP sum order must agree for exact equality */
+            for (int a = 1; a < cnt; a++) {
+                int v = tmp[a], b = a - 1;
+                while (b >= 0 && tmp[b] > v) { tmp[b + 1] = tmp[b]; b--; }
+                tmp[b + 1] = v;
+            }
+            nbrs[gid] = malloc(cnt * sizeof(int));
+            memcpy(nbrs[gid], tmp, cnt * sizeof(int));
+            n_nbrs[gid] = cnt;
+        }
+        free(buf);
+    }
+
+    /* ---- values ---- */
+    double z[N_OBS];                      /* standardized (moran, geary) */
+    memcpy(z, raw, sizeof(z));
+    standardize(z, N_OBS);
+    double sum_all = 0;                   /* raw sum (G family) */
+    for (int i = 0; i < N_OBS; i++) sum_all += raw[i];
+
+    set_t work; set_init(&work, N_OBS);
+    int drawn[64];
+
+    printf("gid\tmoran_i\tmoran_p\tmoran_c\tg\tg_p\tg_c\tgstar\tgstar_p\tgstar_c\tgeary\tgeary_p\tgeary_c\n");
+    for (int i = 0; i < N_OBS; i++) {
+        int m = n_nbrs[i];
+        double pm;
+        /* moran */
+        double lag = 0;
+        for (int j = 0; j < m; j++) lag += z[nbrs[i][j]];
+        lag /= m;
+        double mo = z[i] * lag;
+        double mp = permutation_p(i, m, N_OBS, mo, stat_moran, z, 0, &work,
+                                  drawn, &pm);
+        int mc = mp > CUTOFF ? 0
+               : (z[i] > 0 && lag > 0) ? 1
+               : (z[i] < 0 && lag < 0) ? 2
+               : (z[i] < 0 && lag > 0) ? 3
+               : (z[i] > 0 && lag < 0) ? 4 : 0;
+        /* local G */
+        double denom = sum_all - raw[i];
+        double gobs = stat_g(nbrs[i], m, i, raw, denom);
+        double gp = permutation_p(i, m, N_OBS, gobs, stat_g, raw, denom,
+                                  &work, drawn, &pm);
+        int gc = gp > CUTOFF ? 0 : (gobs > pm ? 1 : 2);
+        /* G* */
+        double gsobs = stat_gstar(nbrs[i], m, i, raw, sum_all);
+        double gsp = permutation_p(i, m, N_OBS, gsobs, stat_gstar, raw,
+                                   sum_all, &work, drawn, &pm);
+        int gsc = gsp > CUTOFF ? 0 : (gsobs > pm ? 1 : 2);
+        /* geary */
+        double geobs = stat_geary(nbrs[i], m, i, z, 0);
+        double gep = permutation_p(i, m, N_OBS, geobs, stat_geary, z, 0,
+                                   &work, drawn, &pm);
+        int gec = gep > CUTOFF ? 0
+                : (geobs > pm) ? 4
+                : (z[i] > 0 && lag > 0) ? 1
+                : (z[i] < 0 && lag < 0) ? 2 : 3;
+        printf("%d\t%.17g\t%.17g\t%d\t%.17g\t%.17g\t%d\t%.17g\t%.17g\t%d\t%.17g\t%.17g\t%d\n",
+               i, mo, mp, mc, gobs, gp, gc, gsobs, gsp, gsc, geobs, gep, gec);
+    }
+    return 0;
+}
