@@ -123,6 +123,38 @@ class GuerrySpec extends AnyFunSuite {
     assert(math.abs(globalI - 0.411) < 1e-3, s"global I $globalI")
   }
 
+  /** Expected SKATER / REDCAP (k=5, 3 vars standardized, euclidean)
+    * cluster labels from the independent C harness
+    * `tools/pin_guerry_skater.c` — regenerate with
+    * `gcc -O2 -o /tmp/pin tools/pin_guerry_skater.c -lm && /tmp/pin >
+    * src/test/resources/guerry_skater_expected.tsv`.
+    */
+  test("Guerry SKATER + REDCAP k=5 labels match the independent C harness") {
+    import spark.implicits._
+    val expected = resourceLines("/guerry_skater_expected.tsv").drop(1).map { l =>
+      val f = l.split('\t'); f(0).toLong -> (f(1).toInt, f(2).toInt, f(3).toInt)
+    }.toMap
+    val polys = guerry.toSeq.map(t => (t._1, t._2)).toDF("gid", "geom")
+    val w = ContiguityWeights.build(polys,
+      ContiguityWeights.Conf(queen = true)).cache()
+    val vals = guerry.toSeq.map(t => (t._1, Seq(t._3, t._4, t._5)))
+      .toDF("gid", "vals")
+    def labels(method: String): Map[Long, Int] =
+      graft.cluster.Regionalize.run(vals, w,
+        graft.cluster.Regionalize.Conf(k = 5, method = method))
+        .as[(Long, Int)].collect().toMap
+    val skater = labels("firstorder-singlelinkage")
+    val ward = labels("fullorder-wardlinkage")
+    val avg = labels("fullorder-averagelinkage")
+    (0L until 85L).foreach { g =>
+      val (es, ew, ea) = expected(g)
+      assert(skater(g) == es, s"skater gid $g: got ${skater(g)} want $es")
+      assert(ward(g) == ew, s"redcap-ward gid $g: got ${ward(g)} want $ew")
+      assert(avg(g) == ea, s"redcap-avg gid $g: got ${avg(g)} want $ea")
+    }
+    w.unpersist()
+  }
+
   test("local Moran on Guerry Crm_prs over queen weights: positive autocorrelation") {
     import spark.implicits._
     val polys = guerry.toSeq.map(t => (t._1, t._2)).toDF("gid", "geom")
