@@ -146,6 +146,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(fr.length == 1 && fr(0).getInt(2) == 5)
   }
 
+  test("multimodal frame sampling: animated GIF yields every Nth frame") {
+    import spark.implicits._
+    // 4-frame animated GIF via the JDK gif writer; frame f is a flat
+    // gray level f*60 → decoded luma mean identifies the frame exactly
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    (0 until 4).foreach { f =>
+      val img = new java.awt.image.BufferedImage(4, 2,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val v = f * 60
+      (0 until 4).foreach(x => (0 until 2).foreach(y =>
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)))
+      writer.writeToSequence(
+        new javax.imageio.IIOImage(img, null, null),
+        writer.getDefaultWriteParam)
+    }
+    writer.endWriteSequence(); ios.close()
+    val media = Seq((1L, bos.toByteArray)).toDF("id", "bytes")
+    val frames = Multimodal.frameSample(media, everyN = 2,
+      Multimodal.ImageIoDecoder).orderBy("frame").collect()
+    // frames 0 and 2 of 4 → luma means 0 and 120 (gray luma is exact)
+    assert(frames.length == 2, s"got ${frames.length} frames")
+    assert(frames(0).getDouble(4) == 0.0 && frames(1).getDouble(4) == 120.0,
+      s"got means ${frames.map(_.getDouble(4)).mkString(",")}")
+  }
+
   test("webtext pipeline: checkpoint, resume, text byte-identity") {
     val root = Files.createTempDirectory("graft-ckpt").toString
     val t0 = System.nanoTime()
