@@ -25,14 +25,19 @@ object RedcapProfile {
       if x + dx < side && y + dy >= 0 && y + dy < rows
     } yield (y * side + x, (y + dy) * side + (x + dx))).toArray
     val bounds = Array.fill(n)(0.0)
-    for (m <- Seq("firstorder-singlelinkage", "fullorder-singlelinkage",
+    // optional args: [n] [linkage-substring] [layout full|condensed]
+    // — the A/B hooks for the D-matrix layout experiment
+    args.lift(2).foreach(l => sys.props("graft.redcap.layout") = l)
+    val methods = Seq("firstorder-singlelinkage", "fullorder-singlelinkage",
       "fullorder-completelinkage", "fullorder-averagelinkage",
-      "fullorder-wardlinkage")) {
+      "fullorder-wardlinkage")
+      .filter(m => args.lift(1).forall(m.contains))
+    for (m <- methods) {
       val t0 = System.nanoTime()
       val labels = Regionalize.solve(n, scaled, edges, bounds,
         Regionalize.Conf(k = 6, method = m))
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"$m%-28s n=$n sec=$sec%.3f clusters=${labels.max}")
+      println(f"$m%-28s n=$n sec=$sec%.3f clusters=${labels.max} layout=${args.lift(2).getOrElse("auto")}")
     }
   }
 

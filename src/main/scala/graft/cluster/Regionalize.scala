@@ -127,17 +127,36 @@ object Regionalize {
     require(Set("singlelinkage", "completelinkage", "averagelinkage",
       "wardlinkage").contains(linkage), s"unknown linkage '$linkage'")
     val ward = linkage == "wardlinkage"
-    // condensed upper-triangular dissimilarity matrix, LW-updated in place
-    val D = new Array[Double](n.toLong * (n - 1) / 2 match {
-      case m if m <= Int.MaxValue => m.toInt
-      case _ => throw new IllegalArgumentException(
-        s"full-order linkage needs an O(N^2) matrix; N=$n too large")
-    })
+    // Dissimilarity matrix, LW-updated in place: condensed upper
+    // triangle by default. A mirrored row-major FULL layout (three
+    // sequential streams per sweep instead of strided reads for x < row)
+    // was A/B-tested interleaved at 20k (graft.RedcapProfile, 4 rounds
+    // per layout) and made NO measurable difference — run-to-run wall
+    // swings 14-85 s on identical code/input in this sandbox, entirely
+    // host contention windows, and within a quiet window both layouts
+    // time the same. Condensed stays (half the memory); `full` remains
+    // available via -Dgraft.redcap.layout for re-running the experiment.
+    val nv = scaled.length
+    val useFull = sys.props.get("graft.redcap.layout") match {
+      case Some("full") => n <= 46000
+      case _ => false
+    }
+    val dFull: Array[Double] = if (useFull) new Array[Double](n * n) else null
+    val dCond: Array[Double] = if (useFull) null
+      else new Array[Double](n.toLong * (n - 1) / 2 match {
+        case m if m <= Int.MaxValue => m.toInt
+        case _ => throw new IllegalArgumentException(
+          s"full-order linkage needs an O(N^2) matrix; N=$n too large")
+      })
     @inline def dIdx(i: Int, j: Int): Int = {
       val (a, b) = if (i < j) (i, j) else (j, i)
       a * n - a * (a + 1) / 2 + (b - a - 1)
     }
-    val nv = scaled.length
+    @inline def dGet(i: Int, j: Int): Double =
+      if (useFull) dFull(i * n + j) else dCond(dIdx(i, j))
+    @inline def dSet(i: Int, j: Int, v: Double): Unit =
+      if (useFull) { dFull(i * n + j) = v; dFull(j * n + i) = v }
+      else dCond(dIdx(i, j)) = v
     var i = 0
     while (i < n) {
       var j = i + 1
@@ -145,13 +164,13 @@ object Regionalize {
         // ward's ESS-increase measure is squared-euclidean by definition
         // (the old direct-centroid form also ignored distType): singleton
         // d = ||xi-xj||^2 / 2. Other linkages use the configured metric.
-        D(dIdx(i, j)) = if (ward) {
+        dSet(i, j, if (ward) {
           var ss = 0.0; var v = 0
           while (v < nv) {
             val dv = scaled(v)(i) - scaled(v)(j); ss += dv * dv; v += 1
           }
           ss / 2.0
-        } else dist(scaled, i, j, manhattan)
+        } else dist(scaled, i, j, manhattan))
         j += 1
       }
       i += 1
@@ -179,7 +198,7 @@ object Regionalize {
     val heap = new EdgeHeap(4 * edges.length + 16)
     edges.foreach { case (a, b) =>
       val lo = math.min(a, b); val hi = math.max(a, b)
-      heap.push(D(dIdx(lo, hi)), lo, hi)
+      heap.push(dGet(lo, hi), lo, hi)
     }
 
     // live-root doubly-linked list for the full LW sweep: EVERY live
@@ -203,7 +222,7 @@ object Regionalize {
       val d = heap.topD; val ra = heap.topA; val rb = heap.topB
       // valid iff both are live roots, still contiguous, and d is current
       val live = uf.find(ra) == ra && uf.find(rb) == rb &&
-        contig(ra).contains(rb) && D(dIdx(ra, rb)) == d
+        contig(ra).contains(rb) && dGet(ra, rb) == d
       if (live) {
         val ep = bestEdgeP(pairKey(ra, rb))
         tree += (((ep >>> 32).toInt, ep.toInt))
@@ -219,7 +238,7 @@ object Regionalize {
         var x = nextL(n)
         while (x != n) {
           if (x != ra && x != rb) {
-            val dAX = D(dIdx(ra, x)); val dBX = D(dIdx(rb, x))
+            val dAX = dGet(ra, x); val dBX = dGet(rb, x)
             val dCX =
               if (mode == 0) { if (dAX < dBX) dAX else dBX }
               else if (mode == 1) { if (dAX > dBX) dAX else dBX }
@@ -229,7 +248,7 @@ object Regionalize {
                 ((nAd + nX) * dAX + (nBd + nX) * dBX - nX * d) /
                   (nAd + nBd + nX)
               }
-            D(dIdx(c, x)) = dCX
+            dSet(c, x, dCX)
           }
           x = nextL(x)
         }
@@ -244,8 +263,7 @@ object Regionalize {
             bestEdgeD(kc) = bestEdgeD(kbx); bestEdgeP(kc) = bestEdgeP(kbx)
           }
           contig(x2) -= ra; contig(x2) -= rb; contig(x2) += c
-          val lo = math.min(c, x2); val hi = math.max(c, x2)
-          heap.push(D(dIdx(lo, hi)), lo, hi)
+          heap.push(dGet(c, x2), math.min(c, x2), math.max(c, x2))
         }
         unlink(o)
         contig(c) = nbrs
