@@ -123,6 +123,42 @@ class GuerrySpec extends AnyFunSuite {
     assert(math.abs(globalI - 0.411) < 1e-3, s"global I $globalI")
   }
 
+  test("Guerry join-count family (uni/bi/co-location) matches the C harness exactly") {
+    import spark.implicits._
+    val polys = guerry.toSeq.map(t => (t._1, t._2)).toDF("gid", "geom")
+    val w = ContiguityWeights.build(polys,
+      ContiguityWeights.Conf(queen = true)).cache()
+    // same indicators as the harness: x1 = crm_prs > 20000, x2 = 1-x1,
+    // co-location product x1 * (litercy > 38)
+    def x1(t: (Long, Array[Byte], Double, Double, Double)): Double =
+      if (t._3 > 20000.0) 1.0 else 0.0
+    def x3(t: (Long, Array[Byte], Double, Double, Double)): Double =
+      if (t._5 > 38.0) 1.0 else 0.0
+    val jcGot = graft.stats.Lisa.localJoinCount(
+      guerry.toSeq.map(t => (t._1, x1(t))).toDF("gid", "value"), w)
+      .as[(Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val bjcGot = graft.stats.Lisa.localBiJoinCount(
+      guerry.toSeq.map(t => (t._1, x1(t), 1.0 - x1(t)))
+        .toDF("gid", "value", "value2"), w)
+      .as[(Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val mjcGot = graft.stats.Lisa.localMultiJoinCount(
+      guerry.toSeq.map(t => (t._1, Seq(x1(t), x3(t)))).toDF("gid", "vals"), w)
+      .as[(Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    (0L until 85L).foreach { g =>
+      val e = expectedLisa(g) // cols 12.. = jc, jc_p, bjc, bjc_p, mjc, mjc_p, nn
+      assert(jcGot(g) == ((e(12), e(13), e(18))),
+        s"jc gid $g: got ${jcGot(g)} want (${e(12)},${e(13)},${e(18)})")
+      assert(bjcGot(g) == ((e(14), e(15))),
+        s"bjc gid $g: got ${bjcGot(g)} want (${e(14)},${e(15)})")
+      assert(mjcGot(g) == ((e(16), e(17))),
+        s"mjc gid $g: got ${mjcGot(g)} want (${e(16)},${e(17)})")
+    }
+    w.unpersist()
+  }
+
   /** Expected SKATER / REDCAP (k=5, 3 vars standardized, euclidean)
     * cluster labels from the independent C harness
     * `tools/pin_guerry_skater.c` — regenerate with

@@ -134,6 +134,14 @@ static double stat_geary(const int *ids, int m, int idx, const double *z,
     for (int i = 0; i < m; i++) { double d = z[idx] - z[ids[i]]; s += d * d; }
     return s / m;
 }
+/* join count family: xi (aux) times the sum of the DRAWN side's variable */
+static double stat_jc(const int *ids, int m, int idx, const double *x,
+                      double xi) {
+    (void)idx;
+    double s = 0;
+    for (int i = 0; i < m; i++) s += x[ids[i]];
+    return xi * s;
+}
 
 static void standardize(double *x, int n) {
     double m = 0, s2 = 0;
@@ -145,8 +153,8 @@ static void standardize(double *x, int n) {
 }
 
 int main(void) {
-    /* ---- parse guerry.tsv (field 2, 0-based = crm_prs) ---- */
-    double raw[N_OBS];
+    /* ---- parse guerry.tsv (crm_prs + litercy) ---- */
+    double raw[N_OBS], lit[N_OBS];
     {
         FILE *f = fopen("src/test/resources/guerry.tsv", "r");
         if (!f) { fprintf(stderr, "missing guerry.tsv (run from repo root)\n"); return 1; }
@@ -157,7 +165,11 @@ int main(void) {
             char *tok = strtok(line, "\t");     /* ogc_fid */
             tok = strtok(NULL, "\t");           /* wkb */
             tok = strtok(NULL, "\t");           /* crm_prs */
-            raw[n++] = atof(tok);
+            raw[n] = atof(tok);
+            tok = strtok(NULL, "\t");           /* crm_prp */
+            tok = strtok(NULL, "\t\n");         /* litercy */
+            lit[n] = atof(tok);
+            n++;
         }
         fclose(f); free(line);
         if (n != N_OBS) { fprintf(stderr, "expected 85 rows, got %d\n", n); return 1; }
@@ -210,10 +222,20 @@ int main(void) {
     double sum_all = 0;                   /* raw sum (G family) */
     for (int i = 0; i < N_OBS; i++) sum_all += raw[i];
 
+    /* binary indicators for the join-count family: x1 = crm_prs > 20000
+     * (37 ones), x2 = 1 - x1 (no colocation, the bijoincount
+     * precondition), x3 = litercy > 38 (41 ones); mprod = x1*x3 */
+    double x1[N_OBS], x2[N_OBS], mprod[N_OBS];
+    for (int i = 0; i < N_OBS; i++) {
+        x1[i] = raw[i] > 20000.0 ? 1.0 : 0.0;
+        x2[i] = 1.0 - x1[i];
+        mprod[i] = x1[i] * (lit[i] > 38.0 ? 1.0 : 0.0);
+    }
+
     set_t work; set_init(&work, N_OBS);
     int drawn[64];
 
-    printf("gid\tmoran_i\tmoran_p\tmoran_c\tg\tg_p\tg_c\tgstar\tgstar_p\tgstar_c\tgeary\tgeary_p\tgeary_c\n");
+    printf("gid\tmoran_i\tmoran_p\tmoran_c\tg\tg_p\tg_c\tgstar\tgstar_p\tgstar_c\tgeary\tgeary_p\tgeary_c\tjc\tjc_p\tbjc\tbjc_p\tmjc\tmjc_p\tnn\n");
     for (int i = 0; i < N_OBS; i++) {
         int m = n_nbrs[i];
         double pm;
@@ -248,8 +270,24 @@ int main(void) {
                 : (geobs > pm) ? 4
                 : (z[i] > 0 && lag > 0) ? 1
                 : (z[i] < 0 && lag < 0) ? 2 : 3;
-        printf("%d\t%.17g\t%.17g\t%d\t%.17g\t%.17g\t%d\t%.17g\t%.17g\t%d\t%.17g\t%.17g\t%d\n",
-               i, mo, mp, mc, gobs, gp, gc, gsobs, gsp, gsc, geobs, gep, gec);
+        /* join count family: p only defined where the home indicator is
+         * 1 AND the observed count is nonzero (else p = -1), third slot
+         * = neighbor count — LisaKernels.joinCount semantics from
+         * proxy_joincount.cpp:25-61 */
+        double jc[3], st[3];
+        const double *side1[3] = { x1, x1, mprod };   /* home indicator */
+        const double *side2[3] = { x1, x2, mprod };   /* neighbor side */
+        for (int s = 0; s < 3; s++) {
+            double xi = side1[s][i];
+            double obs = stat_jc(nbrs[i], m, i, side2[s], xi);
+            st[s] = obs;
+            if (xi != 1.0 || obs == 0.0) jc[s] = -1.0;
+            else jc[s] = permutation_p(i, m, N_OBS, obs, stat_jc, side2[s],
+                                       xi, &work, drawn, &pm);
+        }
+        printf("%d\t%.17g\t%.17g\t%d\t%.17g\t%.17g\t%d\t%.17g\t%.17g\t%d\t%.17g\t%.17g\t%d\t%.17g\t%.17g\t%.17g\t%.17g\t%.17g\t%.17g\t%d\n",
+               i, mo, mp, mc, gobs, gp, gc, gsobs, gsp, gsc, geobs, gep, gec,
+               st[0], jc[0], st[1], jc[1], st[2], jc[2], m);
     }
     return 0;
 }
