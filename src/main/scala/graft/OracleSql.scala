@@ -228,6 +228,14 @@ object OracleSql {
           AND p.y >= c.cy * 4.0 - 0.0005 AND p.y < (c.cy + 1) * 4.0 - 0.0005
          ORDER BY gid, pid""",
 
+    "q19s_pip_salted" ->
+      s"""WITH $PTS, $CELLS
+         SELECT p.gid AS gid, c.gid AS pid
+         FROM pts p JOIN cells c
+           ON p.x >= c.cx * 4.0 - 0.0005 AND p.x < (c.cx + 1) * 4.0 - 0.0005
+          AND p.y >= c.cy * 4.0 - 0.0005 AND p.y < (c.cy + 1) * 4.0 - 0.0005
+         ORDER BY gid, pid""",
+
     "q20_excess_risk" ->
       s"""WITH $RATES,
          tot AS (SELECT sum(e) AS se, sum(b) AS sb FROM r)

@@ -188,6 +188,15 @@ object SparkEntry {
           SynthGeo.CellW)
         .orderBy("gid", "pid")
     }),
+    // same join, forced onto the partitioned path with an explicit
+    // 8-way shuffle salt (north-rule skew handling) — must be
+    // result-identical to q19's broadcast plan
+    "q19s_pip_salted" -> ((s, dir) => {
+      SpatialJoin.pip(SynthGeo.customerPoints(s, dir),
+          SynthGeo.partPolygons(s, dir).withColumnRenamed("gid", "pid"),
+          SynthGeo.CellW, broadcastLimitBytes = 0L, nSalt = 8)
+        .orderBy("gid", "pid")
+    }),
 
     // ---- rates / smoothing (R1-R5) ----
     "q20_excess_risk" -> ((s, dir) => {
@@ -305,8 +314,12 @@ object SparkEntry {
         col("p_partkey").cast("long").as("gid"),
         array(col("p_retailprice").cast("double"),
           col("p_size").cast("double")).as("vals"))
+      // distributedMst: edge dissimilarities computed + sorted in Spark,
+      // driver streams them (O(N) state) — bit-identical to the collect
+      // path (RegionalizeSpec), so the committed golden hash is unchanged
       graft.cluster.Regionalize.run(v, queenWeights(s, dir),
-        graft.cluster.Regionalize.Conf(k = 6)).orderBy("gid")
+        graft.cluster.Regionalize.Conf(k = 6, distributedMst = true))
+        .orderBy("gid")
     }),
     "q41_redcap_ward" -> ((s, dir) => {
       // full polygon layer (same input as q40): Lance-Williams + a

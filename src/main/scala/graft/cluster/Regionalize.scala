@@ -30,7 +30,12 @@ object Regionalize {
       distType: String = "euclidean",
       minRegionSize: Int = 0,
       /** optional (boundVals(i), minBound) spatial-constraint pair */
-      minBound: Double = 0.0)
+      minBound: Double = 0.0,
+      /** SKATER scale path: compute + sort edge dissimilarities in Spark
+        * and stream the sorted edges to the driver's union-find instead
+        * of collecting all E edges (first-order single linkage only;
+        * result is bit-identical — same (d, a, b) tie-break order). */
+      distributedMst: Boolean = false)
 
   /** values: (gid, vals array<double>); weights: (gid, nbrs). */
   def run(values: DataFrame, weights: DataFrame, conf: Conf,
@@ -56,15 +61,69 @@ object Regionalize {
       case None => Array.fill(n)(0.0)
     }
 
-    val edges = weights.select(col("gid").cast("long"),
-        explode(col("nbrs")).as("nbr"))
-      .as[(Long, Long)].collect()
-      .map { case (a, b) => (gidIdx(a), gidIdx(b)) }
-      .filter { case (a, b) => a < b }.distinct
-
-    val labels = solve(n, scaled, edges, bounds, conf)
+    val labels =
+      if (conf.distributedMst && conf.method == "firstorder-singlelinkage") {
+        val tree = firstOrderTreeDistributed(weights, scaled, gidIdx,
+          conf.distType == "manhattan")
+        require(tree.length == n - 1,
+          "The weights graph is disconnected (skater.c:165-168): regionalization requires one connected component")
+        partitionTree(n, scaled, tree, bounds, conf)
+      } else {
+        val edges = weights.select(col("gid").cast("long"),
+            explode(col("nbrs")).as("nbr"))
+          .as[(Long, Long)].collect()
+          .map { case (a, b) => (gidIdx(a), gidIdx(b)) }
+          .filter { case (a, b) => a < b }.distinct
+        solve(n, scaled, edges, bounds, conf)
+      }
     spark.createDataset(gids.zip(labels).toIndexedSeq)
       .toDF("gid", "cluster")
+  }
+
+  /** SKATER's spanning-tree build as a Spark job (the scale path).
+    *
+    * The default path collects all E contiguity edges and sorts them on
+    * the driver — fine at polygon-layer scale, but E ≈ avg-degree × N
+    * dominates the driver footprint on web-scale graphs. Here every
+    * edge's dissimilarity is computed executor-side against a broadcast
+    * of the scaled value matrix, Spark range-sorts the (d, a, b) stream,
+    * and the driver consumes it through `toLocalIterator`, holding only
+    * the O(N) union-find plus the N-1 accepted tree edges. The sort key
+    * (d, a, b) is exactly the driver path's tie-break, so the resulting
+    * tree — and therefore the final labels — are bit-identical.
+    * (The O(N·nv) value matrix itself still lives on the driver: the
+    * tree-partitioning phase needs it; that bound is documented at
+    * `solve`. This path removes the O(E) collect + local sort.)
+    */
+  private def firstOrderTreeDistributed(weights: DataFrame,
+      scaled: Array[Array[Double]], gidIdx: Map[Long, Int],
+      manhattan: Boolean): Array[(Int, Int)] = {
+    val spark = weights.sparkSession
+    import spark.implicits._
+    val n = gidIdx.size
+    val bScaled = spark.sparkContext.broadcast(scaled)
+    val bIdx = spark.sparkContext.broadcast(gidIdx)
+    val sorted = weights.select(col("gid").cast("long"),
+        explode(col("nbrs")).as("nbr"))
+      .select(col("gid"), col("nbr").cast("long").as("nbr"))
+      .where(col("gid") < col("nbr")).distinct()
+      .as[(Long, Long)]
+      .map { case (ga, gb) =>
+        val ia = bIdx.value(ga); val ib = bIdx.value(gb)
+        val (a, b) = if (ia < ib) (ia, ib) else (ib, ia)
+        (dist(bScaled.value, a, b, manhattan), a, b)
+      }.toDF("d", "a", "b")
+      .orderBy("d", "a", "b")
+      .as[(Double, Int, Int)]
+    val uf = new UnionFind(n)
+    val out = mutable.ArrayBuffer.empty[(Int, Int)]
+    val it = sorted.toLocalIterator()
+    while (it.hasNext && out.length < n - 1) {
+      val (_, a, b) = it.next()
+      if (uf.find(a) != uf.find(b)) { uf.union(a, b); out += ((a, b)) }
+    }
+    bScaled.destroy(); bIdx.destroy()
+    out.toArray
   }
 
   @inline private def dist(scaled: Array[Array[Double]], i: Int, j: Int,

@@ -13,7 +13,13 @@ import org.apache.spark.sql.functions._
   *   - partitioned: polygons explode to their bbox-overlapping cells,
   *     points carry their single cell, equi-join on cell, then exact
   *     ray-crossing refine. Shuffle is keyed by cell; dense cells are
-  *     split by AQE (salting hook: append `gid % nSalt` to the key).
+  *     split by AQE, and for pathological hotspots (one metro cell
+  *     holding a large share of all points) `nSalt > 1` salts the
+  *     shuffle key explicitly: the polygon side replicates each
+  *     cell row nSalt times, the point side hashes gid into a salt,
+  *     and the join key becomes (cell, salt) — each point still meets
+  *     each candidate polygon exactly once, but a hot cell now spreads
+  *     over nSalt shuffle partitions instead of one straggler.
   * Matching the reference's semantics means edge-exact behavior is
   * undefined on boundaries (same as PostGIS GIST + ST_Contains refine
   * usage in `postgeoda/notes.md:174-200` — the candidate/refine split).
@@ -30,7 +36,9 @@ object SpatialJoin {
     * autoBroadcastJoinThreshold philosophy scaled to a hash index.
     */
   def pip(points: DataFrame, polys: DataFrame, cellSize: Double,
-          broadcastLimitBytes: Long = 256L * 1024 * 1024): DataFrame = {
+          broadcastLimitBytes: Long = 256L * 1024 * 1024,
+          nSalt: Int = 1): DataFrame = {
+    require(nSalt >= 1, s"nSalt must be >= 1, got $nSalt")
     val spark = points.sparkSession
     import spark.implicits._
     val sz = polys.agg(
@@ -69,7 +77,7 @@ object SpatialJoin {
         }.toDF("gid", "pid")
     } else {
       // partitioned: explode polygons to cells, equi-join, exact refine
-      val polyCells = polys.select(col("pid").cast("long"), col("geom"))
+      val polyCells0 = polys.select(col("pid").cast("long"), col("geom"))
         .as[(Long, Array[Byte])]
         .flatMap { case (pid, wkb) =>
           Wkb.read(wkb) match {
@@ -80,9 +88,24 @@ object SpatialJoin {
             case _ => Nil
           }
         }.toDF("pid", "pcell", "pgeom")
-      val pts = points
+      // Explicit skew salt: replicate the (smaller) polygon-cell side
+      // nSalt times; each point deterministically picks ONE salt from
+      // its gid, so every (point, candidate-polygon) pair still meets
+      // exactly once while a hot cell's points fan out over nSalt
+      // shuffle partitions. nSalt == 1 keeps the original plan shape.
+      val polyCells =
+        if (nSalt == 1) polyCells0
+        else polyCells0.withColumn("psalt",
+          explode(sequence(lit(0), lit(nSalt - 1))))
+      val pts0 = points
         .withColumn("cell", Tiling.cellIdCol(col("x"), col("y"), cellSize))
-      pts.join(polyCells, col("cell") === col("pcell"))
+      val pts =
+        if (nSalt == 1) pts0
+        else pts0.withColumn("salt", pmod(hash(col("gid")), lit(nSalt)))
+      val joinCond =
+        if (nSalt == 1) col("cell") === col("pcell")
+        else col("cell") === col("pcell") && col("salt") === col("psalt")
+      pts.join(polyCells, joinCond)
         .select(col("gid").cast("long"), col("x"), col("y"),
           col("pid"), col("pgeom"))
         .as[(Long, Double, Double, Long, Array[Byte])]

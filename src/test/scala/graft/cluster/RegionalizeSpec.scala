@@ -29,6 +29,38 @@ class RegionalizeSpec extends AnyFunSuite {
     assert(r.map(_._2).toSet == Set(1, 2))
   }
 
+  test("distributed-MST skater path is bit-identical to the driver path") {
+    import spark.implicits._
+    // 12x12 grid, 2 pseudo-random variables — big enough that the edge
+    // sort order actually matters, with duplicate values to exercise the
+    // (d, a, b) tie-break both paths must share
+    val polys = (for (cy <- 0 until 12; cx <- 0 until 12) yield {
+      ((cy * 12 + cx + 1).toLong, Wkb.writePolygon(Array((cx * 1.0, cy * 1.0),
+        (cx + 1.0, cy * 1.0), (cx + 1.0, cy + 1.0), (cx * 1.0, cy + 1.0))))
+    }).toDF("gid", "geom")
+    val w = ContiguityWeights.build(polys, ContiguityWeights.Conf(queen = true))
+    val vals = (1 to 144).map(i => (i.toLong,
+      Seq((i * 37 % 11).toDouble, (i * 13 % 7).toDouble))).toDF("gid", "vals")
+    for (k <- Seq(3, 6)) {
+      val conf = Regionalize.Conf(k = k)
+      val drv = Regionalize.run(vals, w, conf)
+        .orderBy("gid").as[(Long, Int)].collect()
+      val dist = Regionalize.run(vals, w, conf.copy(distributedMst = true))
+        .orderBy("gid").as[(Long, Int)].collect()
+      assert(drv.sameElements(dist), s"k=$k")
+    }
+    // disconnected graph must raise through the streamed path too
+    val wBad = Seq((1L, Seq(2L)), (2L, Seq(1L)), (3L, Seq.empty[Long]))
+      .toDF("gid", "nbrs")
+    val vBad = Seq((1L, Seq(1.0)), (2L, Seq(2.0)), (3L, Seq(3.0)))
+      .toDF("gid", "vals")
+    val e = intercept[Exception] {
+      Regionalize.run(vBad, wBad,
+        Regionalize.Conf(k = 2, distributedMst = true)).collect()
+    }
+    assert(e.getMessage.contains("disconnected"))
+  }
+
   test("all fullorder linkages produce k contiguous regions") {
     import spark.implicits._
     val polys = (for (cy <- 0 until 4; cx <- 0 until 4) yield {

@@ -213,6 +213,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(bcast == part && bcast.nonEmpty)
   }
 
+  test("pip: salted partitioned path agrees under a hot-cell skew") {
+    import spark.implicits._
+    // 4k points crammed into one tile (a metro hotspot) + a cold tail —
+    // the shape where an unsalted cell-keyed shuffle makes one straggler
+    val hot = (0 until 4000).map(i =>
+      (i.toLong, 1.0 + (i % 50) * 0.01, 1.0 + (i / 50) * 0.01))
+    val cold = (0 until 100).map(i => (4000L + i, 20.0 + i % 30, 20.0 + i % 30))
+    val pts = (hot ++ cold).toDF("gid", "x", "y")
+    val polys = Seq(
+      (1L, graft.core.Wkb.writePolygon(
+        Array((0.0, 0.0), (8.0, 0.0), (8.0, 8.0), (0.0, 8.0)))),
+      (2L, graft.core.Wkb.writePolygon(
+        Array((15.0, 15.0), (60.0, 15.0), (60.0, 60.0), (15.0, 60.0))))
+    ).toDF("pid", "geom")
+    val bcast = SpatialJoin.pip(pts, polys, SynthGeo.CellW)
+      .as[(Long, Long)].collect().toSet
+    val salted = SpatialJoin.pip(pts, polys, SynthGeo.CellW,
+      broadcastLimitBytes = 0L, nSalt = 8)
+    assert(salted.queryExecution.executedPlan.toString.contains("psalt"),
+      "salted path must shuffle on the salted key")
+    assert(salted.as[(Long, Long)].collect().toSet == bcast && bcast.nonEmpty)
+  }
+
   test("breaks leave no cached DF behind (Idx scoped release)") {
     val vals = SynthGeo.customerValues(spark, dir)
     spark.sharedState.cacheManager.clearCache()
