@@ -25,6 +25,22 @@ object PageStream {
     Webtext.geocode(pages, cellSize)
       .withColumn("tile", Tiling.cellIdCol(col("x"), col("y"), cellSize * 10))
 
+  /** Streaming point-in-polygon: geocode the page stream, then run the
+    * SAME `SpatialJoin.pip` the batch pipeline uses against a STATIC
+    * polygon layer. Both physical strategies are streaming-legal: the
+    * broadcast path is a stateless flatMap over a driver-built cell
+    * index of the static side, and the partitioned path is a
+    * stream-static inner equi-join on (cell[, salt]) followed by a
+    * stateless exact refine — no state store, no watermark needed.
+    * Output matches batch: (gid, pid).
+    */
+  def pipStream(pages: DataFrame, polys: DataFrame,
+                cellSize: Double = SynthGeo.CellW,
+                broadcastLimitBytes: Long = 256L * 1024 * 1024,
+                nSalt: Int = 1): DataFrame =
+    graft.pipeline.SpatialJoin.pip(Webtext.geocode(pages, cellSize), polys,
+      cellSize, broadcastLimitBytes, nSalt)
+
   case class Page(url: String, text: String)
   case class SeenState(firstUrl: String, n: Long)
   case class DedupOut(url: String, simhash: Long, is_duplicate: Boolean,

@@ -24,6 +24,40 @@ class PageStreamSpec extends AnyFunSuite {
     assert(streamed.sameElements(batch) && streamed.length == 100)
   }
 
+  test("streaming PIP join equals batch on both physical paths") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val pages = (1 to 200).map(i => (s"https://pip/$i", s"body $i"))
+    // two static boxes covering part of the geocode range [0, 180)^2
+    val polys = Seq(
+      (10L, graft.core.Wkb.writePolygon(
+        Array((0.0, 0.0), (90.0, 0.0), (90.0, 90.0), (0.0, 90.0)))),
+      (20L, graft.core.Wkb.writePolygon(
+        Array((90.0, 90.0), (180.0, 90.0), (180.0, 180.0), (90.0, 180.0))))
+    ).toDF("pid", "geom")
+    val batch = graft.pipeline.SpatialJoin.pip(
+        graft.pipeline.Webtext.geocode(pages.toDF("url", "text")), polys,
+        graft.pipeline.SynthGeo.CellW)
+      .as[(Long, Long)].collect().toSet
+    assert(batch.nonEmpty)
+    for ((name, limit, salt) <- Seq(("bcast", Long.MaxValue, 1),
+        ("salted", 0L, 4))) {
+      val mem = MemoryStream[(String, String)]
+      mem.addData(pages.take(120))
+      val q = PageStream.pipStream(mem.toDF().toDF("url", "text"), polys,
+          broadcastLimitBytes = limit, nSalt = salt)
+        .writeStream.format("memory").queryName(s"pip_$name")
+        .outputMode("append").start()
+      q.processAllAvailable()
+      mem.addData(pages.drop(120)) // second micro-batch
+      q.processAllAvailable()
+      q.stop()
+      val streamed = spark.table(s"pip_$name")
+        .as[(Long, Long)].collect().toSet
+      assert(streamed == batch, s"path $name")
+    }
+  }
+
   test("streaming simhash dedup: first wins, duplicates tagged across batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
