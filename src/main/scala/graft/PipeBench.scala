@@ -13,11 +13,15 @@ import org.apache.spark.sql.functions._
   * SPARK_GRAFT_CPUS=8 then =32); report rows/s at both and
   * eff = (rate_32 / rate_8) / 4, gate ≥ 0.8.
   *
-  * Env: SPARK_GRAFT_PIPE_N synthetic page count (default 2,000,000).
+  * Env: SPARK_GRAFT_PIPE_N synthetic page count (default 2,000,000);
+  * SPARK_GRAFT_PIPE_METHOD permutation method for the Moran stage —
+  * "complete" (default; bit-reproducible parity mode) or "lookup"
+  * (the reference's own default and the perf path).
   */
 object PipeBench {
   def main(args: Array[String]): Unit = {
     val n = sys.env.getOrElse("SPARK_GRAFT_PIPE_N", "2000000").toLong
+    val method = sys.env.getOrElse("SPARK_GRAFT_PIPE_METHOD", "complete")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -75,11 +79,12 @@ object PipeBench {
       val (_, tMoran) = time {
         val vals = geo.select(col("gid"),
           length(col("text")).cast("double").as("value"))
-        Lisa.localMoran(vals, w).agg(sum("stat")).head()
+        Lisa.localMoran(vals, w, Lisa.Conf(permMethod = method))
+          .agg(sum("stat")).head()
       }
       val total = (System.nanoTime() - tTotal0) / 1e9
       val rate = math.round(n / total)
-      println(s"""{"metric":"pipe_scaling","n":$n,"cpus":"$cpus","unit":"sec","geocode_sec":$tGeo,"join_sec":$tJoin,"join_rows":$joinRows,"knn10_sec":$tKnn,"moran_sec":$tMoran,"total_sec":$total,"pages_per_sec":$rate}""")
+      println(s"""{"metric":"pipe_scaling","n":$n,"cpus":"$cpus","method":"$method","unit":"sec","geocode_sec":$tGeo,"join_sec":$tJoin,"join_rows":$joinRows,"knn10_sec":$tKnn,"moran_sec":$tMoran,"total_sec":$total,"pages_per_sec":$rate}""")
     } finally spark.stop()
   }
 }
