@@ -67,7 +67,11 @@ object Webtext {
     * recomputed).
     */
   def runAll(spark: SparkSession, dir: String, ckptRoot: String,
-             k: Int = 4, permutations: Int = 999): Result = {
+             k: Int = 4, permutations: Int = 999,
+             /** shuffle salt for the PIP stage's partitioned path —
+               * raise above 1 when the page geography has hot cells
+               * (SpatialJoin.pip docs); result-identical by test */
+             pipSalt: Int = 1): Result = {
     val pages = Checkpoint.stage(spark, ckptRoot, "pages") {
       synthWebpages(spark, dir)
     }
@@ -78,7 +82,7 @@ object Webtext {
       SynthGeo.partPolygons(spark, dir).withColumnRenamed("gid", "pid")
     }
     val joined = Checkpoint.stage(spark, ckptRoot, "joined") {
-      SpatialJoin.pip(geocoded, polys, SynthGeo.CellW)
+      SpatialJoin.pip(geocoded, polys, SynthGeo.CellW, nSalt = pipSalt)
         .join(geocoded, Seq("gid"))
         .select("gid", "url", "pid", "cell", "text")
     }
