@@ -229,6 +229,25 @@ object Lisa {
         conf.cutoff, scratch))
   }
 
+  /** `local_moran_b` (`moran.sql:36-43`; the reference marks it
+    * to-be-deprecated but it is still part of its SQL surface): local
+    * Moran with the spatial weights passed as ONE whole GAL/GWT blob
+    * instead of a per-row weights table. Spark-side this is pure
+    * composition — decode the blob (`WeightsCodec.decodeWhole`) into
+    * the standard weights frame and run the normal kernel; output is
+    * identical to `localMoran` over the same graph.
+    */
+  def localMoranB(values: DataFrame, wholeBlob: Array[Byte],
+                  conf: Conf = Conf()): DataFrame = {
+    val spark = values.sparkSession
+    import spark.implicits._
+    val recs = graft.weights.WeightsCodec.decodeWhole(wholeBlob)._2
+    val weights = recs.map { case (g, nbrs, w) =>
+      (g, nbrs.toSeq, w.map(_.map(_.toDouble).toSeq)) }
+      .toDF("gid", "nbrs", "wts")
+    localMoran(values, weights, conf)
+  }
+
   /** Getis-Ord G_i / G_i* → (gid, stat, p, c). */
   def localG(values: DataFrame, weights: DataFrame, star: Boolean,
              conf: Conf = Conf()): DataFrame = {

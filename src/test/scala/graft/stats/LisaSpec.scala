@@ -52,6 +52,21 @@ class LisaSpec extends AnyFunSuite {
     }
   }
 
+  test("localMoranB (whole-blob weights, moran.sql:36-43) equals localMoran") {
+    import spark.implicits._
+    val pts = points(80)
+    val w = KnnWeights.build(pts, KnnWeights.Conf(k = 4, cellSize = Some(4.0)))
+    val v = values(80)
+    val blob = graft.weights.WeightsCodec.encodeWhole(
+      w.select(col("gid").cast("long"), col("nbrs"))
+        .as[(Long, Seq[Long])].collect().toSeq
+        .map { case (g, n) => (g, n.toArray, None) },
+      valued = false)
+    val direct = Lisa.localMoran(v, w).orderBy("gid").collect()
+    val viaBlob = Lisa.localMoranB(v, blob).orderBy("gid").collect()
+    assert(viaBlob.sameElements(direct) && direct.length == 80)
+  }
+
   test("p-values bounded in [1/(perms+1), 0.5]") {
     import spark.implicits._
     val pts = points(80)
