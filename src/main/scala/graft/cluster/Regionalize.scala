@@ -63,7 +63,7 @@ object Regionalize {
 
     val labels =
       if (conf.distributedMst && conf.method == "firstorder-singlelinkage") {
-        val tree = firstOrderTreeDistributed(weights, scaled, gidIdx,
+        val tree = firstOrderTreeDistributed(weights, scaled, gids,
           conf.distType == "manhattan")
         require(tree.length == n - 1,
           "The weights graph is disconnected (skater.c:165-168): regionalization requires one connected component")
@@ -96,33 +96,46 @@ object Regionalize {
     * `solve`. This path removes the O(E) collect + local sort.)
     */
   private def firstOrderTreeDistributed(weights: DataFrame,
-      scaled: Array[Array[Double]], gidIdx: Map[Long, Int],
+      scaled: Array[Array[Double]], gids: Array[Long],
       manhattan: Boolean): Array[(Int, Int)] = {
     val spark = weights.sparkSession
     import spark.implicits._
-    val n = gidIdx.size
+    val n = gids.length
+    // gid→index via binarySearch over the sorted primitive gid array —
+    // 8 B/entry to broadcast vs ~40-50 B/entry for a boxed Map (the same
+    // pattern Lisa.runKernel uses for its gid lookups)
     val bScaled = spark.sparkContext.broadcast(scaled)
-    val bIdx = spark.sparkContext.broadcast(gidIdx)
-    val sorted = weights.select(col("gid").cast("long"),
-        explode(col("nbrs")).as("nbr"))
-      .select(col("gid"), col("nbr").cast("long").as("nbr"))
-      .where(col("gid") < col("nbr")).distinct()
-      .as[(Long, Long)]
-      .map { case (ga, gb) =>
-        val ia = bIdx.value(ga); val ib = bIdx.value(gb)
-        val (a, b) = if (ia < ib) (ia, ib) else (ib, ia)
-        (dist(bScaled.value, a, b, manhattan), a, b)
-      }.toDF("d", "a", "b")
-      .orderBy("d", "a", "b")
-      .as[(Double, Int, Int)]
+    val bGids = spark.sparkContext.broadcast(gids)
+    try {
+      val sorted = weights.select(col("gid").cast("long"),
+          explode(col("nbrs")).as("nbr"))
+        .select(col("gid"), col("nbr").cast("long").as("nbr"))
+        .where(col("gid") < col("nbr")).distinct()
+        .as[(Long, Long)]
+        .map { case (ga, gb) =>
+          val ia = java.util.Arrays.binarySearch(bGids.value, ga)
+          val ib = java.util.Arrays.binarySearch(bGids.value, gb)
+          val (a, b) = if (ia < ib) (ia, ib) else (ib, ia)
+          (dist(bScaled.value, a, b, manhattan), a, b)
+        }.toDF("d", "a", "b")
+        .orderBy("d", "a", "b")
+        .as[(Double, Int, Int)]
+      import scala.jdk.CollectionConverters._
+      kruskal(n, sorted.toLocalIterator().asScala)
+    } finally { bScaled.destroy(); bGids.destroy() }
+  }
+
+  /** Streaming Kruskal accept loop — THE tie-break source of truth for
+    * both SKATER tree builds (edges must arrive sorted by (d, a, b)).
+    */
+  private def kruskal(n: Int,
+      it: Iterator[(Double, Int, Int)]): Array[(Int, Int)] = {
     val uf = new UnionFind(n)
     val out = mutable.ArrayBuffer.empty[(Int, Int)]
-    val it = sorted.toLocalIterator()
     while (it.hasNext && out.length < n - 1) {
       val (_, a, b) = it.next()
       if (uf.find(a) != uf.find(b)) { uf.union(a, b); out += ((a, b)) }
     }
-    bScaled.destroy(); bIdx.destroy()
     out.toArray
   }
 
@@ -153,12 +166,7 @@ object Regionalize {
         // MST over first-order edges = single-linkage constrained tree
         val sorted = edges.map { case (a, b) =>
           (dist(scaled, a, b, manhattan), a, b) }.sortBy(t => (t._1, t._2, t._3))
-        val u2 = new UnionFind(n)
-        val out = mutable.ArrayBuffer.empty[(Int, Int)]
-        sorted.foreach { case (_, a, b) =>
-          if (u2.find(a) != u2.find(b)) { u2.union(a, b); out += ((a, b)) }
-        }
-        out.toArray
+        kruskal(n, sorted.iterator)
       case m if m.startsWith("fullorder-") =>
         fullOrderTree(n, scaled, edges, m.stripPrefix("fullorder-"), manhattan)
       case other => throw new IllegalArgumentException(

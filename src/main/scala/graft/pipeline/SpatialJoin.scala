@@ -26,6 +26,10 @@ import org.apache.spark.sql.functions._
   */
 object SpatialJoin {
 
+  /** Default polygon-layer byte budget for the broadcast path — one
+    * source of truth for every caller (batch + streaming wrappers). */
+  val DefaultBroadcastLimit: Long = 256L * 1024 * 1024
+
   /** points(gid,x,y) × polys(pid, geom WKB) → (gid, pid).
     *
     * The broadcast/partitioned choice is BYTE-based: one cheap agg sums
@@ -36,7 +40,7 @@ object SpatialJoin {
     * autoBroadcastJoinThreshold philosophy scaled to a hash index.
     */
   def pip(points: DataFrame, polys: DataFrame, cellSize: Double,
-          broadcastLimitBytes: Long = 256L * 1024 * 1024,
+          broadcastLimitBytes: Long = DefaultBroadcastLimit,
           nSalt: Int = 1): DataFrame = {
     require(nSalt >= 1, s"nSalt must be >= 1, got $nSalt")
     val spark = points.sparkSession

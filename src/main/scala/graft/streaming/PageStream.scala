@@ -36,7 +36,8 @@ object PageStream {
     */
   def pipStream(pages: DataFrame, polys: DataFrame,
                 cellSize: Double = SynthGeo.CellW,
-                broadcastLimitBytes: Long = 256L * 1024 * 1024,
+                broadcastLimitBytes: Long =
+                  graft.pipeline.SpatialJoin.DefaultBroadcastLimit,
                 nSalt: Int = 1): DataFrame =
     graft.pipeline.SpatialJoin.pip(Webtext.geocode(pages, cellSize), polys,
       cellSize, broadcastLimitBytes, nSalt)
