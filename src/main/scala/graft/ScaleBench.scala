@@ -72,9 +72,17 @@ object ScaleBench {
       val (_, tJc) = time {
         Lisa.localJoinCount(binVals, w).agg(sum("stat")).head()
       }
+      // beyond-broadcast execution mode: per-tile windows (TileLisa,
+      // reference window-trim semantics) — zero broadcast/gather, the
+      // path LISA takes past ~10^8 rows. Timed over the same weights.
+      val tileSize = side / 8.0 // 64 super-tiles
+      val (_, tTile) = time {
+        graft.stats.TileLisa.localMoran(points, vals, w, tileSize)
+          .agg(sum("stat")).head()
+      }
       val rate = (t: Double) => math.round(n / t)
       println(
-        s"""{"metric":"scale_pipeline","n":$n,"cpus":"$cpus","unit":"sec","knn10_sec":$tKnn,"knn10_rows_per_sec":${rate(tKnn)},"moran_sec":$tMoran,"moran_rows_per_sec":${rate(tMoran)},"moran_lookup_sec":$tMoranLk,"moran_lookup_rows_per_sec":${rate(tMoranLk)},"gather_sec":$tGather,"joincount_sec":$tJc,"joincount_rows_per_sec":${rate(tJc)}}""")
+        s"""{"metric":"scale_pipeline","n":$n,"cpus":"$cpus","unit":"sec","knn10_sec":$tKnn,"knn10_rows_per_sec":${rate(tKnn)},"moran_sec":$tMoran,"moran_rows_per_sec":${rate(tMoran)},"moran_lookup_sec":$tMoranLk,"moran_lookup_rows_per_sec":${rate(tMoranLk)},"gather_sec":$tGather,"joincount_sec":$tJc,"joincount_rows_per_sec":${rate(tJc)},"tile_moran_sec":$tTile,"tile_moran_rows_per_sec":${rate(tTile)}}""")
     } finally spark.stop()
   }
 }
