@@ -74,6 +74,40 @@ object WeightsCodec {
     (valued, out)
   }
 
+  /** S5 `geoda_weights_at(fid, bytea)` (`weights_cont.c:950-1007`;
+    * deprecated in the reference but still exported): slice ONE
+    * observation's raw record bytes (idx + n_nbrs + nbrs [+ wts]) out
+    * of a whole-weights blob; None when the fid is absent — the
+    * reference returns SQL NULL there.
+    */
+  def at(blob: Array[Byte], fid: Long): Option[Array[Byte]] = {
+    val bb = ByteBuffer.wrap(blob).order(ByteOrder.LITTLE_ENDIAN)
+    val valued = bb.get() == 'w'.toByte
+    val numObs = bb.getInt()
+    var i = 0
+    while (i < numObs) {
+      val start = bb.position()
+      val idx = bb.getInt().toLong & 0xFFFFFFFFL
+      val nn = bb.getShort().toInt & 0xFFFF
+      bb.position(bb.position() + 4 * nn + (if (valued) 4 * nn else 0))
+      if (idx == fid)
+        return Some(java.util.Arrays.copyOfRange(blob, start, bb.position()))
+      i += 1
+    }
+    None
+  }
+
+  /** S5 `geoda_queenweights_set(bytea)` (`weights_cont.c:1020-1113`;
+    * deprecated): explode a whole blob into (fid, per-row record blob)
+    * pairs — byte-compatible with `encodeRecord`/`toRecords`.
+    */
+  def blobToSet(blob: Array[Byte]): Seq[(Long, Array[Byte])] = {
+    val (valued, recs) = decodeWhole(blob)
+    recs.map { case (g, nbrs, w) =>
+      (g, encodeRecord(g, nbrs, if (valued) w else None))
+    }
+  }
+
   /** S1 `geoda_weights_toset`: per-row blob column from a weights table —
     * in Spark just a typed map (the explode the reference needs a SRF for
     * is the Dataset's natural row form already).

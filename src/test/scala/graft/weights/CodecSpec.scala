@@ -27,6 +27,39 @@ class CodecSpec extends AnyFunSuite {
     assert(decoded.head._3.get.sameElements(Array(0.25f)))
   }
 
+  test("geoda_weights_at slices the exact record bytes; absent fid → None") {
+    val rows = Seq(
+      (1L, Array(2L, 3L), None),
+      (2L, Array(1L, 3L), None),
+      (3L, Array(1L, 2L), None))
+    val blob = WeightsCodec.encodeWhole(rows, valued = false)
+    for ((g, nbrs, _) <- rows) {
+      val sliced = WeightsCodec.at(blob, g).get
+      assert(sliced.sameElements(WeightsCodec.encodeRecord(g, nbrs, None)))
+    }
+    assert(WeightsCodec.at(blob, 99L).isEmpty)
+    // valued blob: slice must include the float weights
+    val vblob = WeightsCodec.encodeWhole(
+      Seq((1L, Array(2L), Some(Array(0.25f))),
+        (2L, Array(1L), Some(Array(0.75f)))), valued = true)
+    assert(WeightsCodec.at(vblob, 2L).get.sameElements(
+      WeightsCodec.encodeRecord(2L, Array(1L), Some(Array(0.75f)))))
+  }
+
+  test("geoda_queenweights_set explodes a whole blob to per-row records") {
+    val rows = Seq(
+      (1L, Array(2L, 3L), None),
+      (2L, Array(1L, 3L), None),
+      (3L, Array(1L, 2L), None))
+    val blob = WeightsCodec.encodeWhole(rows, valued = false)
+    val set = WeightsCodec.blobToSet(blob)
+    assert(set.map(_._1) == Seq(1L, 2L, 3L))
+    for (((g, nbrs, _), (sg, rec)) <- rows.zip(set)) {
+      assert(g == sg)
+      assert(rec.sameElements(WeightsCodec.encodeRecord(g, nbrs, None)))
+    }
+  }
+
   test("per-row record roundtrip + uint16 cap enforced") {
     val b = WeightsCodec.encodeRecord(7L, Array(1L, 2L, 3L), None)
     val (idx, nbrs, w) = WeightsCodec.decodeRecord(b)
