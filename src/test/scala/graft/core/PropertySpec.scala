@@ -107,4 +107,22 @@ class PropertySpec extends AnyFunSuite {
       sym && kernelsOk
     })
   }
+
+  test("TextExtract: arbitrary markup-ish input never throws, canonical output") {
+    val soup = Gen.listOf(Gen.frequency(
+      (6, Gen.alphaNumChar),
+      (2, Gen.oneOf('<', '>', '&', ';', '/', '!', '-', '#', '"', '\'')),
+      (2, Gen.oneOf(' ', '\t', '\n', '\r')),
+      (1, Gen.oneOf("script style p div amp lt nbsp x".toSeq))))
+      .map(_.mkString)
+    check(Prop.forAll(soup) { s =>
+      val a = graft.pipeline.TextExtract.fromHtml(s)
+      val b = graft.pipeline.TextExtract.fromHtml(s)
+      // deterministic + canonical whitespace (no runs, trimmed edges).
+      // NOT idempotent in general: a decoded &lt; legitimately
+      // reintroduces markup — the unit spec pins idempotence on
+      // markup-free output instead.
+      a == b && !a.contains("  ") && !a.contains("\n\n") && a == a.trim
+    }, tests = 500)
+  }
 }
