@@ -96,6 +96,35 @@ class RegionalizeSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("disconnected"))
   }
 
+  test("min-bound spatial constraint overrides the value-optimal cut") {
+    import spark.implicits._
+    val polys = (0 until 6).map { cx =>
+      ((cx + 1).toLong, Wkb.writePolygon(Array((cx * 1.0, 0.0),
+        (cx + 1.0, 0.0), (cx + 1.0, 1.0), (cx * 1.0, 1.0))))
+    }.toDF("gid", "geom")
+    val w = ContiguityWeights.build(polys, ContiguityWeights.Conf(queen = true))
+    // values want the cut between gid 3 and 4 (sharp break)…
+    val vals = Seq((1L, Seq(1.0)), (2L, Seq(1.1)), (3L, Seq(0.9)),
+      (4L, Seq(10.0)), (5L, Seq(10.2)), (6L, Seq(9.8)))
+      .toDF("gid", "vals")
+    // …but the bound (e.g. population) makes that side too small:
+    // left of 3|4 sums to 3 < 12, so the only feasible cut is 4|5
+    val bound = Seq((1L, 1.0), (2L, 1.0), (3L, 1.0),
+      (4L, 10.0), (5L, 10.0), (6L, 10.0)).toDF("gid", "value")
+    val r = Regionalize.run(vals, w,
+        Regionalize.Conf(k = 2, minBound = 12.0), Some(bound))
+      .orderBy("gid").as[(Long, Int)].collect()
+    val left = r.take(4).map(_._2).toSet
+    val right = r.drop(4).map(_._2).toSet
+    assert(left.size == 1 && right.size == 1 && left != right,
+      s"expected cut at 4|5, got ${r.mkString(",")}")
+    // sanity: without the bound the cut lands on the value break 3|4
+    val r0 = Regionalize.run(vals, w, Regionalize.Conf(k = 2))
+      .orderBy("gid").as[(Long, Int)].collect()
+    assert(r0.take(3).map(_._2).toSet.size == 1 &&
+      r0.drop(3).map(_._2).toSet.size == 1)
+  }
+
   test("min region size constraint respected") {
     import spark.implicits._
     val polys = (0 until 8).map { cx =>
