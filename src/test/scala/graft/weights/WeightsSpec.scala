@@ -99,6 +99,40 @@ class WeightsSpec extends AnyFunSuite {
     assert(DistanceWeights.minDistThreshold(df) == want)
   }
 
+  test("inverse-distance / power kNN weights match brute-force distances") {
+    import spark.implicits._
+    val df = points(120).cache()
+    val local = df.as[(Long, Double, Double)].collect().toSeq
+    val byGid = local.map(p => p._1 -> p).toMap
+    def d(a: Long, b: Long): Double = {
+      val (_, x1, y1) = byGid(a); val (_, x2, y2) = byGid(b)
+      math.sqrt((x1 - x2) * (x1 - x2) + (y1 - y2) * (y1 - y2))
+    }
+    val brute = bruteKnn(local, 3)
+    // inverse with power 2: w = 1 / d^2 (weights_knn.c power/is_inverse)
+    val inv = KnnWeights.build(df, KnnWeights.Conf(k = 3,
+        power = 2.0, isInverse = true, cellSize = Some(4.0)))
+      .select("gid", "nbrs", "wts")
+      .as[(Long, Seq[Long], Seq[Double])].collect()
+    inv.foreach { case (g, nbrs, wts) =>
+      assert(nbrs == brute(g))
+      nbrs.zip(wts).foreach { case (nb, w) =>
+        assert(math.abs(w - 1.0 / math.pow(d(g, nb), 2.0)) < 1e-12,
+          s"gid $g nbr $nb")
+      }
+    }
+    // power only (no inverse): w = d^p
+    val pw = KnnWeights.build(df, KnnWeights.Conf(k = 3,
+        power = 1.5, cellSize = Some(4.0)))
+      .select("gid", "nbrs", "wts")
+      .as[(Long, Seq[Long], Seq[Double])].collect()
+    pw.foreach { case (g, nbrs, wts) =>
+      nbrs.zip(wts).foreach { case (nb, w) =>
+        assert(math.abs(w - math.pow(d(g, nb), 1.5)) < 1e-12)
+      }
+    }
+  }
+
   test("kernel knn weights: values in (0,1], adaptive bandwidth kth dist") {
     import spark.implicits._
     val df = points(50)
