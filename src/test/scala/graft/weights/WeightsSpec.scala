@@ -133,6 +133,31 @@ class WeightsSpec extends AnyFunSuite {
     }
   }
 
+  test("inverse-distance band weights match brute-force distances") {
+    import spark.implicits._
+    val df = points(120).cache()
+    val local = df.as[(Long, Double, Double)].collect().toSeq
+    val byGid = local.map(p => p._1 -> p).toMap
+    def d(a: Long, b: Long): Double = {
+      val (_, x1, y1) = byGid(a); val (_, x2, y2) = byGid(b)
+      math.sqrt((x1 - x2) * (x1 - x2) + (y1 - y2) * (y1 - y2))
+    }
+    val t = 12.0
+    val got = DistanceWeights.build(df,
+        DistanceWeights.Conf(threshold = t, power = 2.0, isInverse = true))
+      .select("gid", "nbrs", "wts")
+      .as[(Long, Seq[Long], Seq[Double])].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (g, nbrs, wts) =>
+      val want = local.filter(p => p._1 != g && d(g, p._1) <= t)
+        .map(_._1).sorted
+      assert(nbrs == want, s"gid $g neighbor set")
+      nbrs.zip(wts).foreach { case (nb, w) =>
+        assert(math.abs(w - 1.0 / math.pow(d(g, nb), 2.0)) < 1e-12)
+      }
+    }
+  }
+
   test("kernel knn weights: values in (0,1], adaptive bandwidth kth dist") {
     import spark.implicits._
     val df = points(50)
