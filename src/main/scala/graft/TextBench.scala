@@ -1,0 +1,88 @@
+package graft
+
+import graft.pipeline.{Dedup, Similarity, TextAnalysis, TextExtract}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Throughput bench for the LLM-training-data pipeline ops (dedup /
+  * ANN / text analysis) — the non-spatial half of the engine's surface.
+  *
+  * Deterministic synthetic corpus: ~40-token docs, 5% planted exact
+  * duplicates (every 20th doc reuses its successor's text → dup
+  * clusters of size 2, a realistic near-dup rate; large clusters would
+  * make the OUTPUT quadratic and measure pair enumeration instead of
+  * signature/bucket cost). Embeddings: 64-dim xxhash64-derived floats.
+  *
+  * Env: SPARK_GRAFT_TEXT_N docs (default 1,000,000);
+  * SPARK_GRAFT_TEXT_EMB corpus size for ANN (default 200,000);
+  * SPARK_GRAFT_CPUS. One JSON line out, seconds + rows/s per stage.
+  */
+object TextBench {
+  def main(args: Array[String]): Unit = {
+    val n = sys.env.getOrElse("SPARK_GRAFT_TEXT_N", "1000000").toLong
+    val nEmb = sys.env.getOrElse("SPARK_GRAFT_TEXT_EMB", "200000").toLong
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-textbench")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      // every 20th doc reuses its successor's text → 5% dup pairs
+      val textKey = when(pmod(col("id"), lit(20)) === 0,
+        col("id") + 1).otherwise(col("id"))
+      val docs = spark.range(n).select(
+          col("id").as("doc_id"),
+          concat_ws(" ", transform(sequence(lit(1), lit(40)),
+            i => concat(lit("w"),
+              pmod(xxhash64(textKey * lit(41) + i), lit(5000)))))
+            .as("text"))
+        .cache()
+      docs.count() // materialize input outside timings
+
+      def time(f: => Long): (Long, Double) = {
+        val t0 = System.nanoTime()
+        val r = f
+        (r, (System.nanoTime() - t0) / 1e9)
+      }
+
+      val (_, tExact) = time(Dedup.exact(docs).count())
+      val (mhPairs, tMinhash) = time(Dedup.minhashLsh(docs).count())
+      val (shPairs, tSimhash) = time(Dedup.simhashDup(docs).count())
+      val (_, tLang) = time(TextAnalysis.languageId(docs).count())
+      val (_, tQual) = time(TextAnalysis.qualityScore(docs).count())
+      val (_, tFp) = time(TextAnalysis.fingerprint(docs).count())
+      // html wrap + extract (the WARC ingest path's per-page cost)
+      val html = docs.select(col("doc_id"),
+        concat(lit("<html><body><p>"), col("text"),
+          lit("</p><script>var x=1;</script></body></html>"))
+          .cast("binary").as("html"),
+        lit(null).cast("string").as("text")).cache()
+      html.count()
+      val (_, tExtract) = time(TextExtract.withText(html)
+        .select(sum(length(col("text")))).head().getLong(0))
+      html.unpersist(false)
+
+      val emb = spark.range(nEmb).select(
+          col("id").as("vec_id"),
+          transform(sequence(lit(1), lit(64)),
+            d => (pmod(xxhash64(col("id") * lit(67) + d), lit(2000L))
+              .cast("float") / 1000.0f - 1.0f)).as("embedding"))
+        .cache()
+      emb.count()
+      val queries = emb.filter(pmod(col("vec_id"), lit(nEmb / 256)) === 0)
+      val (_, tBrute) = time(
+        Similarity.bruteTopK(emb, queries, k = 10).count())
+      val (_, tIvf) = time(
+        Similarity.ivfTopK(emb, queries, k = 10).count())
+      docs.unpersist(false); emb.unpersist(false)
+
+      val r = (t: Double) => math.round(n / t)
+      println(s"""{"metric":"text_pipeline","n":$n,"n_emb":$nEmb,"cpus":"$cpus","unit":"sec","exact_dedup_sec":$tExact,"exact_dedup_rows_per_sec":${r(tExact)},"minhash_sec":$tMinhash,"minhash_rows_per_sec":${r(tMinhash)},"minhash_pairs":$mhPairs,"simhash_sec":$tSimhash,"simhash_rows_per_sec":${r(tSimhash)},"simhash_pairs":$shPairs,"langid_sec":$tLang,"langid_rows_per_sec":${r(tLang)},"quality_sec":$tQual,"quality_rows_per_sec":${r(tQual)},"fingerprint_sec":$tFp,"fingerprint_rows_per_sec":${r(tFp)},"extract_sec":$tExtract,"extract_rows_per_sec":${r(tExtract)},"ann_brute_sec":$tBrute,"ann_ivf_sec":$tIvf}""")
+    } finally spark.stop()
+  }
+}
