@@ -104,6 +104,10 @@ class GuerrySpec extends AnyFunSuite {
     check(graft.stats.Lisa.localG(vals, w, star = false), 3, "g")
     check(graft.stats.Lisa.localG(vals, w, star = true), 6, "gstar")
     check(graft.stats.Lisa.localGeary(vals, w), 9, "geary")
+    // multivariate Geary over (crm_prs, litercy), harness cols 19-21
+    val mvals = guerry.toSeq.map(t => (t._1, Seq(t._3, t._5)))
+      .toDF("gid", "vals")
+    check(graft.stats.Lisa.localMultiGeary(mvals, w), 19, "multigeary")
     w.unpersist()
   }
 

@@ -134,6 +134,23 @@ static double stat_geary(const int *ids, int m, int idx, const double *z,
     for (int i = 0; i < m; i++) { double d = z[idx] - z[ids[i]]; s += d * d; }
     return s / m;
 }
+/* multivariate Geary: average of per-variable local Geary over the
+ * standardized variables (engine kernel LisaKernels.multiGeary; second
+ * variable passed via file-static to fit the stat_fn shape). FP order
+ * matches the kernel: per-variable accumulation, then sv/m terms summed,
+ * then / nv. */
+static const double *mg_z2;
+static double stat_mgeary(const int *ids, int m, int idx, const double *z,
+                          double aux) {
+    (void)aux;
+    double s1 = 0, s2 = 0;
+    for (int i = 0; i < m; i++) {
+        double d1 = z[idx] - z[ids[i]]; s1 += d1 * d1;
+        double d2 = mg_z2[idx] - mg_z2[ids[i]]; s2 += d2 * d2;
+    }
+    return (s1 / m + s2 / m) / 2.0;
+}
+
 /* join count family: xi (aux) times the sum of the DRAWN side's variable */
 static double stat_jc(const int *ids, int m, int idx, const double *x,
                       double xi) {
@@ -219,6 +236,10 @@ int main(void) {
     double z[N_OBS];                      /* standardized (moran, geary) */
     memcpy(z, raw, sizeof(z));
     standardize(z, N_OBS);
+    double z2[N_OBS];                     /* standardized litercy (mgeary) */
+    memcpy(z2, lit, sizeof(z2));
+    standardize(z2, N_OBS);
+    mg_z2 = z2;
     double sum_all = 0;                   /* raw sum (G family) */
     for (int i = 0; i < N_OBS; i++) sum_all += raw[i];
 
@@ -235,7 +256,7 @@ int main(void) {
     set_t work; set_init(&work, N_OBS);
     int drawn[64];
 
-    printf("gid\tmoran_i\tmoran_p\tmoran_c\tg\tg_p\tg_c\tgstar\tgstar_p\tgstar_c\tgeary\tgeary_p\tgeary_c\tjc\tjc_p\tbjc\tbjc_p\tmjc\tmjc_p\tnn\n");
+    printf("gid\tmoran_i\tmoran_p\tmoran_c\tg\tg_p\tg_c\tgstar\tgstar_p\tgstar_c\tgeary\tgeary_p\tgeary_c\tjc\tjc_p\tbjc\tbjc_p\tmjc\tmjc_p\tnn\tmg\tmg_p\tmg_c\n");
     for (int i = 0; i < N_OBS; i++) {
         int m = n_nbrs[i];
         double pm;
@@ -285,9 +306,15 @@ int main(void) {
             else jc[s] = permutation_p(i, m, N_OBS, obs, stat_jc, side2[s],
                                        xi, &work, drawn, &pm);
         }
-        printf("%d\t%.17g\t%.17g\t%d\t%.17g\t%.17g\t%d\t%.17g\t%.17g\t%d\t%.17g\t%.17g\t%d\t%.17g\t%.17g\t%.17g\t%.17g\t%.17g\t%.17g\t%d\n",
+        /* multivariate Geary (crm_prs + litercy standardized); cluster =
+         * significance flag (LisaKernels.multiGeary) */
+        double mgobs = stat_mgeary(nbrs[i], m, i, z, 0);
+        double mgp = permutation_p(i, m, N_OBS, mgobs, stat_mgeary, z, 0,
+                                   &work, drawn, &pm);
+        int mgc = mgp <= CUTOFF ? 1 : 0;
+        printf("%d\t%.17g\t%.17g\t%d\t%.17g\t%.17g\t%d\t%.17g\t%.17g\t%d\t%.17g\t%.17g\t%d\t%.17g\t%.17g\t%.17g\t%.17g\t%.17g\t%.17g\t%d\t%.17g\t%.17g\t%d\n",
                i, mo, mp, mc, gobs, gp, gc, gsobs, gsp, gsc, geobs, gep, gec,
-               st[0], jc[0], st[1], jc[1], st[2], jc[2], m);
+               st[0], jc[0], st[1], jc[1], st[2], jc[2], m, mgobs, mgp, mgc);
     }
     return 0;
 }
