@@ -74,7 +74,8 @@ object TextBench {
               .cast("float") / 1000.0f - 1.0f)).as("embedding"))
         .cache()
       emb.count()
-      val queries = emb.filter(pmod(col("vec_id"), lit(nEmb / 256)) === 0)
+      val queries = emb.filter(
+        pmod(col("vec_id"), lit(math.max(1L, nEmb / 256))) === 0)
       val (_, tBrute) = time(
         Similarity.bruteTopK(emb, queries, k = 10).count())
       val (_, tIvf) = time(

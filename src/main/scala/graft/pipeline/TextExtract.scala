@@ -41,38 +41,56 @@ object TextExtract {
     val out = new java.lang.StringBuilder(n / 4)
     var i = 0
     var skipUntil: String = null // lowercase tag whose close we await
+
+    // real tag end: first unquoted '>' ('>' inside a quoted attribute
+    // value is legal HTML and must not terminate the tag)
+    def tagEnd(from: Int): Int = {
+      var j = from
+      var quote: Char = 0
+      while (j < n) {
+        val ch = html.charAt(j)
+        if (quote != 0) { if (ch == quote) quote = 0 }
+        else if (ch == '"' || ch == '\'') quote = ch
+        else if (ch == '>') return j + 1
+        j += 1
+      }
+      n
+    }
+
     while (i < n) {
       val c = html.charAt(i)
-      if (c == '<') {
+      if (skipUntil != null) {
+        // inside a raw-text element (script/style/...): HTML parsers only
+        // leave on the matching close tag — a bare '<' (e.g. `a<b` in JS)
+        // is content, NOT a tag, and must not be tag-parsed.
+        val after = i + 2 + skipUntil.length // char right after the name
+        if (c == '<' && i + 1 < n && html.charAt(i + 1) == '/' &&
+            html.regionMatches(true, i + 2, skipUntil, 0, skipUntil.length) &&
+            (after >= n || !html.charAt(after).isLetterOrDigit)) {
+          skipUntil = null
+          i = tagEnd(i + 2)
+        } else i += 1
+      } else if (c == '<') {
         // comment / doctype / CDATA?
         if (html.startsWith("<!--", i)) {
           val e = html.indexOf("-->", i + 4)
           i = if (e < 0) n else e + 3
         } else if (i + 1 < n && (html.charAt(i + 1) == '!' ||
             html.charAt(i + 1) == '?')) {
-          val e = html.indexOf('>', i + 1)
-          i = if (e < 0) n else e + 1
+          i = tagEnd(i + 1)
         } else {
           val close = i + 1 < n && html.charAt(i + 1) == '/'
           val nameStart = if (close) i + 2 else i + 1
           var j = nameStart
           while (j < n && (html.charAt(j).isLetterOrDigit)) j += 1
           val name = html.substring(nameStart, j).toLowerCase
-          val e = html.indexOf('>', j)
-          val tagEnd = if (e < 0) n else e + 1
-          if (skipUntil != null) {
-            if (close && name == skipUntil) skipUntil = null
-            i = tagEnd
-          } else if (!close && Skip(name)) {
-            skipUntil = name
-            i = tagEnd
-          } else {
-            if (Block(name)) out.append('\n')
-            i = tagEnd
-          }
+          val e = tagEnd(j)
+          // self-closing (<script/>) never opens a raw-text body
+          val selfClosing = e - 2 >= i && html.charAt(e - 2) == '/'
+          if (!close && !selfClosing && Skip(name)) skipUntil = name
+          else if (Block(name)) out.append('\n')
+          i = e
         }
-      } else if (skipUntil != null) {
-        i += 1
       } else if (c == '&') {
         val (s, adv) = entity(html, i)
         out.append(s); i += adv
@@ -85,8 +103,13 @@ object TextExtract {
 
   /** Decode one entity at `pos` ('&'); returns (replacement, chars consumed). */
   private def entity(s: String, pos: Int): (String, Int) = {
-    val semi = s.indexOf(';', pos + 1)
-    if (semi < 0 || semi - pos > 10) return ("&", 1)
+    // bounded scan: entities are ≤10 chars; an unbounded indexOf would be
+    // O(n²) on '&'-dense semicolon-free text (the adversarial-crawl case)
+    val limit = math.min(s.length, pos + 12)
+    var semi = pos + 1
+    while (semi < limit && s.charAt(semi) != ';') semi += 1
+    if (semi >= limit || s.charAt(semi) != ';' || semi - pos > 10)
+      return ("&", 1)
     val body = s.substring(pos + 1, semi)
     val rep = body match {
       case "amp" => "&"

@@ -48,87 +48,109 @@ object Warc {
   }
 
   /** Parse every kept record of one (possibly gzipped) WARC file.
-    * Returns (url, iso-ts, payload-bytes).
+    * Returns (url, iso-ts, payload-bytes). Streaming: decompressed bytes
+    * are never materialized whole — memory is bounded by ONE record's
+    * payload, so a segment whose decompressed size exceeds 2 GB (typical
+    * for ~1 GB .warc.gz) parses fine; only a single record over 2 GB is
+    * skipped (streamed past, not buffered).
     */
   def parseAll(raw: Array[Byte]): Seq[(String, String, Array[Byte])] = {
-    val bytes = if (isGzip(raw)) gunzipAll(raw) else raw
+    val base = new java.io.ByteArrayInputStream(raw)
+    val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+      if (isGzip(raw)) new GZIPInputStream(base, 1 << 16) else base, 1 << 16))
     val out = Seq.newBuilder[(String, String, Array[Byte])]
-    var pos = 0
-    var ok = true
-    while (ok && pos < bytes.length) {
-      parseRecord(bytes, pos) match {
-        case Some((next, rec)) =>
-          rec.foreach(out += _)
-          pos = next
-        case None => ok = false // malformed tail: stop, keep what parsed
+    try {
+      var ok = true
+      while (ok) readRecord(in) match {
+        case Parsed(rec) => rec.foreach(out += _)
+        case Eof => ok = false
+        case Malformed => ok = false // truncated tail: keep what parsed
       }
-    }
+    } catch { case _: java.io.IOException => () } // corrupt gzip tail
     out.result()
   }
 
-  /** Parse one record at `pos`; returns (positionAfterRecord,
-    * Some(row) if the record type is kept). None = malformed.
-    */
-  private def parseRecord(bytes: Array[Byte], pos: Int)
-      : Option[(Int, Option[(String, String, Array[Byte])])] = {
-    val headEnd = indexOf(bytes, "\r\n\r\n", pos)
-    if (headEnd < 0) return None
-    val head = new String(bytes, pos, headEnd - pos, StandardCharsets.UTF_8)
-    val lines = head.split("\r\n")
-    if (!lines.headOption.exists(_.startsWith("WARC/"))) return None
-    val hdrs = lines.tail.flatMap { l =>
-      val i = l.indexOf(':')
-      if (i < 0) None else Some(l.substring(0, i).trim.toLowerCase ->
-        l.substring(i + 1).trim)
-    }.toMap
+  private sealed trait ReadResult
+  private case class Parsed(rec: Option[(String, String, Array[Byte])])
+      extends ReadResult
+  private case object Eof extends ReadResult
+  private case object Malformed extends ReadResult
+
+  /** Read one CRLF-terminated header line; null at EOF. */
+  private def readLine(in: java.io.InputStream): String = {
+    val sb = new java.lang.StringBuilder(64)
+    var c = in.read()
+    if (c < 0) return null
+    while (c >= 0 && c != '\n') {
+      if (c != '\r') sb.append(c.toChar)
+      c = in.read()
+    }
+    sb.toString
+  }
+
+  private def readRecord(in: java.io.DataInputStream): ReadResult = {
+    // skip inter-record blank lines, find the version line
+    var line = readLine(in)
+    while (line != null && line.isEmpty) line = readLine(in)
+    if (line == null) return Eof
+    if (!line.startsWith("WARC/")) return Malformed
+    val hdrs = scala.collection.mutable.HashMap.empty[String, String]
+    line = readLine(in)
+    while (line != null && line.nonEmpty) {
+      val i = line.indexOf(':')
+      if (i > 0)
+        hdrs(line.substring(0, i).trim.toLowerCase) = line.substring(i + 1).trim
+      line = readLine(in)
+    }
+    if (line == null) return Malformed
     val len = hdrs.get("content-length").flatMap(_.toLongOption)
-      .getOrElse(return None)
-    if (len < 0 || len > Int.MaxValue - headEnd - 4) return None
-    val bodyStart = headEnd + 4
-    val bodyEnd = bodyStart + len.toInt
-    if (bodyEnd > bytes.length) return None
-    // each record is terminated by two CRLFs after the payload
-    var next = bodyEnd
-    while (next + 1 < bytes.length &&
-      bytes(next) == '\r' && bytes(next + 1) == '\n') next += 2
-    val row =
-      if (hdrs.get("warc-type").exists(KeptTypes)) {
-        for (url <- hdrs.get("warc-target-uri"); ts <- hdrs.get("warc-date"))
-          yield (url, ts,
-            java.util.Arrays.copyOfRange(bytes, bodyStart, bodyEnd))
-      } else None
-    Some((next, row))
+      .getOrElse(return Malformed)
+    if (len < 0) return Malformed
+    val keep = hdrs.get("warc-type").exists(KeptTypes) &&
+      hdrs.contains("warc-target-uri") && hdrs.contains("warc-date") &&
+      len <= Int.MaxValue - 16 // single >2GB record: stream past it
+    if (!keep) { skipFully(in, len); return Parsed(None) }
+    val payload = new Array[Byte](len.toInt)
+    try in.readFully(payload)
+    catch { case _: EOFException => return Malformed }
+    val body =
+      if (hdrs("warc-type") == "response") stripHttpEnvelope(payload)
+      else payload
+    Parsed(Some((hdrs("warc-target-uri"), hdrs("warc-date"), body)))
+  }
+
+  private def skipFully(in: java.io.InputStream, n: Long): Unit = {
+    var left = n
+    val buf = new Array[Byte](1 << 16)
+    while (left > 0) {
+      val r = in.read(buf, 0, math.min(left, buf.length.toLong).toInt)
+      if (r < 0) return
+      left -= r
+    }
+  }
+
+  /** WARC `response` records carry a full HTTP message
+    * (Content-Type: application/http): status line + headers + body.
+    * The page bytes are the body — drop through the first blank line.
+    * Records whose payload is not an HTTP message pass through as-is.
+    */
+  private[sources] def stripHttpEnvelope(payload: Array[Byte]): Array[Byte] = {
+    if (payload.length < 5 ||
+      !(payload(0) == 'H' && payload(1) == 'T' && payload(2) == 'T' &&
+        payload(3) == 'P' && payload(4) == '/')) return payload
+    var i = 0
+    val n = payload.length
+    while (i + 3 < n) {
+      if (payload(i) == '\r' && payload(i + 1) == '\n' &&
+          payload(i + 2) == '\r' && payload(i + 3) == '\n')
+        return java.util.Arrays.copyOfRange(payload, i + 4, n)
+      i += 1
+    }
+    payload // headers never terminated: keep raw rather than drop bytes
   }
 
   private def isGzip(b: Array[Byte]): Boolean =
     b.length > 2 && b(0) == 0x1f.toByte && b(1) == 0x8b.toByte
-
-  /** Inflate all concatenated gzip members (Common Crawl writes one
-    * member per record; GZIPInputStream chains them).
-    */
-  private def gunzipAll(b: Array[Byte]): Array[Byte] = {
-    val in = new GZIPInputStream(new ByteArrayInputStream(b), 1 << 16)
-    val out = new ByteArrayOutputStream(b.length * 4)
-    val buf = new Array[Byte](1 << 16)
-    try {
-      var n = in.read(buf)
-      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-    } catch { case _: EOFException => () } // truncated member: keep prefix
-    out.toByteArray
-  }
-
-  private def indexOf(hay: Array[Byte], needle: String, from: Int): Int = {
-    val nb = needle.getBytes(StandardCharsets.US_ASCII)
-    var i = from
-    val last = hay.length - nb.length
-    while (i <= last) {
-      var j = 0
-      while (j < nb.length && hay(i + j) == nb(j)) j += 1
-      if (j == nb.length) return i
-      i += 1
-    }
-    -1
-  }
 
   /** Test/fixture helper: serialize records into WARC/1.0 bytes. */
   def write(records: Seq[(String, String, String, Array[Byte])])

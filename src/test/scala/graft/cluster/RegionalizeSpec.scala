@@ -121,8 +121,9 @@ class RegionalizeSpec extends AnyFunSuite {
     // sanity: without the bound the cut lands on the value break 3|4
     val r0 = Regionalize.run(vals, w, Regionalize.Conf(k = 2))
       .orderBy("gid").as[(Long, Int)].collect()
-    assert(r0.take(3).map(_._2).toSet.size == 1 &&
-      r0.drop(3).map(_._2).toSet.size == 1)
+    val l0 = r0.take(3).map(_._2).toSet
+    val r0s = r0.drop(3).map(_._2).toSet
+    assert(l0.size == 1 && r0s.size == 1 && l0 != r0s)
   }
 
   test("min region size constraint respected") {

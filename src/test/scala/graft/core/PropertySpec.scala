@@ -110,10 +110,11 @@ class PropertySpec extends AnyFunSuite {
 
   test("TextExtract: arbitrary markup-ish input never throws, canonical output") {
     val soup = Gen.listOf(Gen.frequency(
-      (6, Gen.alphaNumChar),
-      (2, Gen.oneOf('<', '>', '&', ';', '/', '!', '-', '#', '"', '\'')),
-      (2, Gen.oneOf(' ', '\t', '\n', '\r')),
-      (1, Gen.oneOf("script style p div amp lt nbsp x".toSeq))))
+      (6, Gen.alphaNumChar.map(_.toString)),
+      (2, Gen.oneOf('<', '>', '&', ';', '/', '!', '-', '#', '"', '\'')
+        .map(_.toString)),
+      (2, Gen.oneOf(' ', '\t', '\n', '\r').map(_.toString)),
+      (1, Gen.oneOf("script style p div amp lt nbsp x".split(' ').toSeq))))
       .map(_.mkString)
     check(Prop.forAll(soup) { s =>
       val a = graft.pipeline.TextExtract.fromHtml(s)

@@ -38,6 +38,41 @@ class TextExtractSpec extends AnyFunSuite {
     assert(TextExtract.fromHtml(once) == once)
   }
 
+  test("raw-text bodies with '<' survive (real crawl JS/CSS)") {
+    // bare '<' in JS must not be tag-parsed past the real close tag
+    assert(TextExtract.fromHtml(
+      "<script>if(a<b)x=1;</script><p>article text</p>") == "article text")
+    // '<!--' inside a script likewise
+    assert(TextExtract.fromHtml(
+      "<script>a <!-- b</script><p>kept</p>") == "kept")
+    // '</scripty>' is not the close tag; '</script >' is
+    assert(TextExtract.fromHtml(
+      "<script>x</scripty></script><p>ok</p>") == "ok")
+    assert(TextExtract.fromHtml(
+      "<script>x</script ><p>ok</p>") == "ok")
+  }
+
+  test("self-closing script tag does not eat the document") {
+    assert(TextExtract.fromHtml(
+      "<script src=\"a.js\"/><p>all the content</p>") == "all the content")
+  }
+
+  test("'>' inside a quoted attribute does not terminate the tag") {
+    assert(TextExtract.fromHtml(
+      "<img alt=\"x > y\"><p>real</p>") == "real")
+    assert(TextExtract.fromHtml(
+      "<a href='q?a>b'>link</a> text") == "link text")
+  }
+
+  test("'&'-dense semicolon-free text stays linear") {
+    val s = "x&" * 200000
+    val t0 = System.nanoTime()
+    val out = TextExtract.fromHtml(s)
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(out.length == s.length && ms < 2000.0,
+      s"took $ms ms — entity scan must be bounded")
+  }
+
   test("malformed html never throws and is deterministic") {
     val cases = Seq("<p", "<", "</", "<script>never closed",
       "<!-- open comment", "a & b;", "&#xZZ;", "<p>&#55296;</p>", "")

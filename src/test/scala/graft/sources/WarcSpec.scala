@@ -43,6 +43,22 @@ class WarcSpec extends AnyFunSuite {
     assert(parsed(1)._3.sameElements(recs(3)._4))
   }
 
+  test("response records drop the HTTP envelope, conversion stays raw") {
+    val htmlBody = "<html>real page</html>"
+    val httpMsg = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+      "X-Crawl: test\r\n\r\n" + htmlBody).getBytes(StandardCharsets.UTF_8)
+    val blob = Warc.write(Seq(
+      ("response", "https://h.example/p", "2026-03-01T00:00:00Z", httpMsg),
+      ("conversion", "https://h.example/t", "2026-03-01T00:00:01Z",
+        "plain text".getBytes(StandardCharsets.UTF_8))))
+    val parsed = Warc.parseAll(blob)
+    assert(new String(parsed(0)._3, StandardCharsets.UTF_8) == htmlBody)
+    assert(new String(parsed(1)._3, StandardCharsets.UTF_8) == "plain text")
+    // non-HTTP response payload passes through untouched
+    assert(Warc.stripHttpEnvelope("just bytes".getBytes).sameElements(
+      "just bytes".getBytes))
+  }
+
   test("truncated tail record is dropped, prefix survives") {
     val whole = Warc.write(recs)
     val cut = java.util.Arrays.copyOfRange(whole, 0, whole.length - 20)
