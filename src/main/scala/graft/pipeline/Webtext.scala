@@ -60,6 +60,20 @@ object Webtext {
       .withColumn("cell", Tiling.cellIdCol(col("x"), col("y"), cellSize))
       .select("gid", "url", "x", "y", "cell", "text")
 
+  /** Ingest real Common-Crawl-style WARC segments into the page schema:
+    * parse records (`sources.Warc`), extract `text` from `html`
+    * (`TextExtract`, deterministic), fill `lang` by the n-gram language
+    * ID. The result feeds `geocode`/`runAll` exactly like the synthetic
+    * pages — and `text` is derived from byte-identical `html`, so the
+    * per-url byte-identity invariant holds end to end.
+    */
+  def fromWarc(spark: SparkSession, path: String): DataFrame = {
+    val langFn = udf((t: String) =>
+      TextAnalysis.langOf(if (t == null) "" else t)._1)
+    val withText = TextExtract.withText(graft.sources.Warc.read(spark, path))
+    withText.withColumn("lang", langFn(col("text")))
+  }
+
   case class Result(joined: DataFrame, weights: DataFrame, moran: DataFrame)
 
   /** Full checkpointed pipeline. `ckptRoot` holds stage outputs; re-run

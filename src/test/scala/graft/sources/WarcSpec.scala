@@ -59,6 +59,22 @@ class WarcSpec extends AnyFunSuite {
       "just bytes".getBytes))
   }
 
+  test("Webtext.fromWarc: WARC → page schema with text + lang filled") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("warcw").toFile
+    val html = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+      "<html><body><p>the quick brown fox and the lazy dog with a cat" +
+      "</p></body></html>").getBytes(StandardCharsets.UTF_8)
+    Files.write(new java.io.File(dir, "s.warc").toPath, Warc.write(Seq(
+      ("response", "https://f.example/en", "2026-04-01T00:00:00Z", html))))
+    val pages = graft.pipeline.Webtext.fromWarc(spark, dir.getAbsolutePath)
+    val r = pages.select("url", "text", "lang")
+      .as[(String, String, String)].head()
+    assert(r._1 == "https://f.example/en")
+    assert(r._2 == "the quick brown fox and the lazy dog with a cat")
+    assert(r._3 == "en")
+  }
+
   test("truncated tail record is dropped, prefix survives") {
     val whole = Warc.write(recs)
     val cut = java.util.Arrays.copyOfRange(whole, 0, whole.length - 20)
