@@ -151,6 +151,11 @@ class GuerrySpec extends AnyFunSuite {
       guerry.toSeq.map(t => (t._1, Seq(x1(t), x3(t)))).toDF("gid", "vals"), w)
       .as[(Long, Double, Double, Double)].collect()
       .map(r => r._1 -> ((r._2, r._3))).toMap
+    // quantile LISA: top quintile of crm_prs (k=5, q=5), harness cols 22-23
+    val qlGot = graft.stats.Lisa.quantileLisa(5, 5,
+      guerry.toSeq.map(t => (t._1, t._3)).toDF("gid", "value"), w)
+      .as[(Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
     (0L until 85L).foreach { g =>
       val e = expectedLisa(g) // cols 12.. = jc, jc_p, bjc, bjc_p, mjc, mjc_p, nn
       assert(jcGot(g) == ((e(12), e(13), e(18))),
@@ -159,6 +164,8 @@ class GuerrySpec extends AnyFunSuite {
         s"bjc gid $g: got ${bjcGot(g)} want (${e(14)},${e(15)})")
       assert(mjcGot(g) == ((e(16), e(17))),
         s"mjc gid $g: got ${mjcGot(g)} want (${e(16)},${e(17)})")
+      assert(qlGot(g) == ((e(22), e(23))),
+        s"ql gid $g: got ${qlGot(g)} want (${e(22)},${e(23)})")
     }
     w.unpersist()
   }

@@ -160,6 +160,42 @@ static double stat_jc(const int *ids, int m, int idx, const double *x,
     return xi * s;
 }
 
+/* GeoDa percentile (plotting positions p_i = 100*(i+0.5)/n, linear
+ * interpolation, clamped) — FP-order identical to Stat0.percentileSorted */
+static int cmp_dbl(const void *a, const void *b) {
+    double x = *(const double *)a, y = *(const double *)b;
+    return x < y ? -1 : x > y ? 1 : 0;
+}
+static double percentile_sorted(double x, const double *s, int n) {
+    double nd = (double)n;
+    double p0 = (100.0 / nd) * 0.5;
+    double pN = (100.0 / nd) * (nd - 0.5);
+    if (x <= p0) return s[0];
+    if (x >= pN) return s[n - 1];
+    double idx = x * nd / 100.0 - 0.5;
+    int i = (int)floor(idx);
+    double frac = idx - i;
+    if (i >= n - 1) return s[n - 1];
+    return s[i] + frac * (s[i + 1] - s[i]);
+}
+/* quantile-bin indicator: breaks at 100*i/k (i=1..k-1), bin = 1 +
+ * #{breaks <= x}, indicator = (bin == q) — Lisa.quantileIndicator */
+static void quantile_indicator(const double *v, int n, int k, int q,
+                               double *out) {
+    double *sorted = malloc(n * sizeof(double));
+    memcpy(sorted, v, n * sizeof(double));
+    qsort(sorted, n, sizeof(double), cmp_dbl);
+    double breaks[16];
+    for (int i = 1; i < k; i++)
+        breaks[i - 1] = percentile_sorted(100.0 * i / k, sorted, n);
+    for (int j = 0; j < n; j++) {
+        int bin = 1;
+        for (int b = 0; b < k - 1 && v[j] >= breaks[b]; b++) bin++;
+        out[j] = bin == q ? 1.0 : 0.0;
+    }
+    free(sorted);
+}
+
 static void standardize(double *x, int n) {
     double m = 0, s2 = 0;
     for (int i = 0; i < n; i++) m += x[i];
@@ -252,11 +288,14 @@ int main(void) {
         x2[i] = 1.0 - x1[i];
         mprod[i] = x1[i] * (lit[i] > 38.0 ? 1.0 : 0.0);
     }
+    /* quantile LISA indicator: top quintile of crm_prs (k=5, q=5) */
+    double ql_x[N_OBS];
+    quantile_indicator(raw, N_OBS, 5, 5, ql_x);
 
     set_t work; set_init(&work, N_OBS);
     int drawn[64];
 
-    printf("gid\tmoran_i\tmoran_p\tmoran_c\tg\tg_p\tg_c\tgstar\tgstar_p\tgstar_c\tgeary\tgeary_p\tgeary_c\tjc\tjc_p\tbjc\tbjc_p\tmjc\tmjc_p\tnn\tmg\tmg_p\tmg_c\n");
+    printf("gid\tmoran_i\tmoran_p\tmoran_c\tg\tg_p\tg_c\tgstar\tgstar_p\tgstar_c\tgeary\tgeary_p\tgeary_c\tjc\tjc_p\tbjc\tbjc_p\tmjc\tmjc_p\tnn\tmg\tmg_p\tmg_c\tql\tql_p\n");
     for (int i = 0; i < N_OBS; i++) {
         int m = n_nbrs[i];
         double pm;
@@ -295,10 +334,10 @@ int main(void) {
          * 1 AND the observed count is nonzero (else p = -1), third slot
          * = neighbor count — LisaKernels.joinCount semantics from
          * proxy_joincount.cpp:25-61 */
-        double jc[3], st[3];
-        const double *side1[3] = { x1, x1, mprod };   /* home indicator */
-        const double *side2[3] = { x1, x2, mprod };   /* neighbor side */
-        for (int s = 0; s < 3; s++) {
+        double jc[4], st[4];
+        const double *side1[4] = { x1, x1, mprod, ql_x }; /* home indicator */
+        const double *side2[4] = { x1, x2, mprod, ql_x }; /* neighbor side */
+        for (int s = 0; s < 4; s++) {
             double xi = side1[s][i];
             double obs = stat_jc(nbrs[i], m, i, side2[s], xi);
             st[s] = obs;
@@ -312,9 +351,10 @@ int main(void) {
         double mgp = permutation_p(i, m, N_OBS, mgobs, stat_mgeary, z, 0,
                                    &work, drawn, &pm);
         int mgc = mgp <= CUTOFF ? 1 : 0;
-        printf("%d\t%.17g\t%.17g\t%d\t%.17g\t%.17g\t%d\t%.17g\t%.17g\t%d\t%.17g\t%.17g\t%d\t%.17g\t%.17g\t%.17g\t%.17g\t%.17g\t%.17g\t%d\t%.17g\t%.17g\t%d\n",
+        printf("%d\t%.17g\t%.17g\t%d\t%.17g\t%.17g\t%d\t%.17g\t%.17g\t%d\t%.17g\t%.17g\t%d\t%.17g\t%.17g\t%.17g\t%.17g\t%.17g\t%.17g\t%d\t%.17g\t%.17g\t%d\t%.17g\t%.17g\n",
                i, mo, mp, mc, gobs, gp, gc, gsobs, gsp, gsc, geobs, gep, gec,
-               st[0], jc[0], st[1], jc[1], st[2], jc[2], m, mgobs, mgp, mgc);
+               st[0], jc[0], st[1], jc[1], st[2], jc[2], m, mgobs, mgp, mgc,
+               st[3], jc[3]);
     }
     return 0;
 }
