@@ -156,6 +156,12 @@ class GuerrySpec extends AnyFunSuite {
       guerry.toSeq.map(t => (t._1, t._3)).toDF("gid", "value"), w)
       .as[(Long, Double, Double, Double)].collect()
       .map(r => r._1 -> ((r._2, r._3))).toMap
+    // multiquantile LISA: above-median crm_prs AND below-median litercy
+    // (ks=[2,2], qs=[2,1]), harness data cols 24-25
+    val mqGot = graft.stats.Lisa.multiQuantileLisa(Array(2, 2), Array(2, 1),
+      guerry.toSeq.map(t => (t._1, Seq(t._3, t._5))).toDF("gid", "vals"), w)
+      .as[(Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
     (0L until 85L).foreach { g =>
       val e = expectedLisa(g) // cols 12.. = jc, jc_p, bjc, bjc_p, mjc, mjc_p, nn
       assert(jcGot(g) == ((e(12), e(13), e(18))),
@@ -166,6 +172,8 @@ class GuerrySpec extends AnyFunSuite {
         s"mjc gid $g: got ${mjcGot(g)} want (${e(16)},${e(17)})")
       assert(qlGot(g) == ((e(22), e(23))),
         s"ql gid $g: got ${qlGot(g)} want (${e(22)},${e(23)})")
+      assert(mqGot(g) == ((e(24), e(25))),
+        s"mq gid $g: got ${mqGot(g)} want (${e(24)},${e(25)})")
     }
     w.unpersist()
   }

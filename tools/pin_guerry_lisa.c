@@ -291,11 +291,17 @@ int main(void) {
     /* quantile LISA indicator: top quintile of crm_prs (k=5, q=5) */
     double ql_x[N_OBS];
     quantile_indicator(raw, N_OBS, 5, 5, ql_x);
+    /* multiquantile: above-median crm_prs AND below-median litercy
+     * (k=2,q=2 x k=2,q=1 — 23 ones, adjacency-rich on the queen map) */
+    double qa[N_OBS], qb[N_OBS], mq_x[N_OBS];
+    quantile_indicator(raw, N_OBS, 2, 2, qa);
+    quantile_indicator(lit, N_OBS, 2, 1, qb);
+    for (int i = 0; i < N_OBS; i++) mq_x[i] = qa[i] * qb[i];
 
     set_t work; set_init(&work, N_OBS);
     int drawn[64];
 
-    printf("gid\tmoran_i\tmoran_p\tmoran_c\tg\tg_p\tg_c\tgstar\tgstar_p\tgstar_c\tgeary\tgeary_p\tgeary_c\tjc\tjc_p\tbjc\tbjc_p\tmjc\tmjc_p\tnn\tmg\tmg_p\tmg_c\tql\tql_p\n");
+    printf("gid\tmoran_i\tmoran_p\tmoran_c\tg\tg_p\tg_c\tgstar\tgstar_p\tgstar_c\tgeary\tgeary_p\tgeary_c\tjc\tjc_p\tbjc\tbjc_p\tmjc\tmjc_p\tnn\tmg\tmg_p\tmg_c\tql\tql_p\tmq\tmq_p\n");
     for (int i = 0; i < N_OBS; i++) {
         int m = n_nbrs[i];
         double pm;
@@ -334,10 +340,10 @@ int main(void) {
          * 1 AND the observed count is nonzero (else p = -1), third slot
          * = neighbor count — LisaKernels.joinCount semantics from
          * proxy_joincount.cpp:25-61 */
-        double jc[4], st[4];
-        const double *side1[4] = { x1, x1, mprod, ql_x }; /* home indicator */
-        const double *side2[4] = { x1, x2, mprod, ql_x }; /* neighbor side */
-        for (int s = 0; s < 4; s++) {
+        double jc[5], st[5];
+        const double *side1[5] = { x1, x1, mprod, ql_x, mq_x };
+        const double *side2[5] = { x1, x2, mprod, ql_x, mq_x };
+        for (int s = 0; s < 5; s++) {
             double xi = side1[s][i];
             double obs = stat_jc(nbrs[i], m, i, side2[s], xi);
             st[s] = obs;
@@ -351,10 +357,10 @@ int main(void) {
         double mgp = permutation_p(i, m, N_OBS, mgobs, stat_mgeary, z, 0,
                                    &work, drawn, &pm);
         int mgc = mgp <= CUTOFF ? 1 : 0;
-        printf("%d\t%.17g\t%.17g\t%d\t%.17g\t%.17g\t%d\t%.17g\t%.17g\t%d\t%.17g\t%.17g\t%d\t%.17g\t%.17g\t%.17g\t%.17g\t%.17g\t%.17g\t%d\t%.17g\t%.17g\t%d\t%.17g\t%.17g\n",
+        printf("%d\t%.17g\t%.17g\t%d\t%.17g\t%.17g\t%d\t%.17g\t%.17g\t%d\t%.17g\t%.17g\t%d\t%.17g\t%.17g\t%.17g\t%.17g\t%.17g\t%.17g\t%d\t%.17g\t%.17g\t%d\t%.17g\t%.17g\t%.17g\t%.17g\n",
                i, mo, mp, mc, gobs, gp, gc, gsobs, gsp, gsc, geobs, gep, gec,
                st[0], jc[0], st[1], jc[1], st[2], jc[2], m, mgobs, mgp, mgc,
-               st[3], jc[3]);
+               st[3], jc[3], st[4], jc[4]);
     }
     return 0;
 }
