@@ -101,6 +101,17 @@ class GuerrySpec extends AnyFunSuite {
       }
     }
     check(graft.stats.Lisa.localMoran(vals, w), 0, "moran")
+    // 'lookup' permutation mode (the reference's own default): same
+    // statistic, p from the shared draw table — harness data cols 26-27
+    val lk = graft.stats.Lisa.localMoran(vals, w,
+        graft.stats.Lisa.Conf(permMethod = "lookup"))
+      .as[(Long, Double, Double, Double)].collect()
+    assert(lk.length == 85)
+    lk.foreach { case (g, stat, p, c) =>
+      val e = expectedLisa(g)
+      assert(stat == e(0) && p == e(26) && c == e(27),
+        s"moran-lookup gid $g: got ($stat,$p,$c) want (${e(0)},${e(26)},${e(27)})")
+    }
     check(graft.stats.Lisa.localG(vals, w, star = false), 3, "g")
     check(graft.stats.Lisa.localG(vals, w, star = true), 6, "gstar")
     check(graft.stats.Lisa.localGeary(vals, w), 9, "geary")

@@ -160,6 +160,45 @@ static double stat_jc(const int *ids, int m, int idx, const double *x,
     return xi * s;
 }
 
+/* 'lookup' permutation mode (the reference's own default, proxy.cpp:315,
+ * as specified in LisaKernels.LookupTable): ONE shared PERMS x maxK
+ * table of distinct draws in [0, N-2] (self never in the reduced
+ * domain), consumed per row with the self-skip shift cand>=idx ? cand+1
+ * : cand. Same ThomasWang stream, same two-sided fold. */
+static int *build_lookup(int num_obs, int maxk) {
+    int *t = malloc((size_t)PERMS * maxk * sizeof(int));
+    set_t work; set_init(&work, num_obs);
+    int *tmp = malloc(maxk * sizeof(int));
+    int seed_start = SEED;
+    for (int p = 0; p < PERMS; p++) {
+        seed_start = draw_distinct(seed_start, num_obs - 1, -1, maxk,
+                                   &work, tmp);
+        memcpy(t + (size_t)p * maxk, tmp, maxk * sizeof(int));
+    }
+    free(tmp); free(work.flags); free(work.stack);
+    return t;
+}
+static double lookup_p(int idx, int n_nbrs, const int *table, int maxk,
+                       double observed, stat_fn f, const double *v,
+                       double aux, int *drawn, double *perm_mean) {
+    uint64_t count_larger = 0;
+    double sum = 0.0;
+    for (int p = 0; p < PERMS; p++) {
+        const int *base = table + (size_t)p * maxk;
+        for (int j = 0; j < n_nbrs; j++) {
+            int cand = base[j];
+            drawn[j] = cand >= idx ? cand + 1 : cand;
+        }
+        double s = f(drawn, n_nbrs, idx, v, aux);
+        sum += s;
+        if (s >= observed) count_larger++;
+    }
+    *perm_mean = sum / PERMS;
+    if (PERMS - count_larger <= count_larger)
+        count_larger = PERMS - count_larger;
+    return (count_larger + 1.0) / (PERMS + 1.0);
+}
+
 /* GeoDa percentile (plotting positions p_i = 100*(i+0.5)/n, linear
  * interpolation, clamped) — FP-order identical to Stat0.percentileSorted */
 static int cmp_dbl(const void *a, const void *b) {
@@ -300,8 +339,12 @@ int main(void) {
 
     set_t work; set_init(&work, N_OBS);
     int drawn[64];
+    /* lookup-mode shared table sized by the global max degree */
+    int maxk = 0;
+    for (int i = 0; i < N_OBS; i++) if (n_nbrs[i] > maxk) maxk = n_nbrs[i];
+    int *lk_table = build_lookup(N_OBS, maxk);
 
-    printf("gid\tmoran_i\tmoran_p\tmoran_c\tg\tg_p\tg_c\tgstar\tgstar_p\tgstar_c\tgeary\tgeary_p\tgeary_c\tjc\tjc_p\tbjc\tbjc_p\tmjc\tmjc_p\tnn\tmg\tmg_p\tmg_c\tql\tql_p\tmq\tmq_p\n");
+    printf("gid\tmoran_i\tmoran_p\tmoran_c\tg\tg_p\tg_c\tgstar\tgstar_p\tgstar_c\tgeary\tgeary_p\tgeary_c\tjc\tjc_p\tbjc\tbjc_p\tmjc\tmjc_p\tnn\tmg\tmg_p\tmg_c\tql\tql_p\tmq\tmq_p\tmo_lkp\tmo_lkc\n");
     for (int i = 0; i < N_OBS; i++) {
         int m = n_nbrs[i];
         double pm;
@@ -351,16 +394,26 @@ int main(void) {
             else jc[s] = permutation_p(i, m, N_OBS, obs, stat_jc, side2[s],
                                        xi, &work, drawn, &pm);
         }
+        /* moran with the 'lookup' permutation mode: same statistic,
+         * p from the shared table, same quadrant cluster rule */
+        double lk_pm;
+        double mo_lkp = lookup_p(i, m, lk_table, maxk, mo, stat_moran, z, 0,
+                                 drawn, &lk_pm);
+        int mo_lkc = mo_lkp > CUTOFF ? 0
+                   : (z[i] > 0 && lag > 0) ? 1
+                   : (z[i] < 0 && lag < 0) ? 2
+                   : (z[i] < 0 && lag > 0) ? 3
+                   : (z[i] > 0 && lag < 0) ? 4 : 0;
         /* multivariate Geary (crm_prs + litercy standardized); cluster =
          * significance flag (LisaKernels.multiGeary) */
         double mgobs = stat_mgeary(nbrs[i], m, i, z, 0);
         double mgp = permutation_p(i, m, N_OBS, mgobs, stat_mgeary, z, 0,
                                    &work, drawn, &pm);
         int mgc = mgp <= CUTOFF ? 1 : 0;
-        printf("%d\t%.17g\t%.17g\t%d\t%.17g\t%.17g\t%d\t%.17g\t%.17g\t%d\t%.17g\t%.17g\t%d\t%.17g\t%.17g\t%.17g\t%.17g\t%.17g\t%.17g\t%d\t%.17g\t%.17g\t%d\t%.17g\t%.17g\t%.17g\t%.17g\n",
+        printf("%d\t%.17g\t%.17g\t%d\t%.17g\t%.17g\t%d\t%.17g\t%.17g\t%d\t%.17g\t%.17g\t%d\t%.17g\t%.17g\t%.17g\t%.17g\t%.17g\t%.17g\t%d\t%.17g\t%.17g\t%d\t%.17g\t%.17g\t%.17g\t%.17g\t%.17g\t%d\n",
                i, mo, mp, mc, gobs, gp, gc, gsobs, gsp, gsc, geobs, gep, gec,
                st[0], jc[0], st[1], jc[1], st[2], jc[2], m, mgobs, mgp, mgc,
-               st[3], jc[3], st[4], jc[4]);
+               st[3], jc[3], st[4], jc[4], mo_lkp, mo_lkc);
     }
     return 0;
 }
