@@ -53,6 +53,7 @@ object TileLisa {
     val permutations = conf.permutations
     val seed = conf.seed
     val cutoff = conf.cutoff
+    val permMethod = conf.permMethod
     val which = stat
 
     joined.groupByKey(_._1).flatMapGroups { (tile, it) =>
@@ -78,13 +79,25 @@ object TileLisa {
       Stat0.standardize(z)
       var sumAll = 0.0
       x.foreach(sumAll += _)
-      val scratch = new LisaKernels.Scratch(n, 65536)
-      rows.iterator.zipWithIndex.map { case ((_, gid, _, nbrOpt), idx) =>
-        // window-trim: drop neighbors not present in this tile
-        // (binweight.cpp:153-183 semantics), remap to window positions
-        val nbrs = nbrOpt.getOrElse(Seq.empty).iterator
+      // window-trim all rows first: drop neighbors not present in this
+      // tile (binweight.cpp:153-183 semantics), remap to window
+      // positions — and learn the window's max degree so 'lookup' mode
+      // can size its shared draw table (per window, exactly as the
+      // broadcast engine sizes it globally)
+      val trimmed = rows.map { case (_, _, _, nbrOpt) =>
+        nbrOpt.getOrElse(Seq.empty).iterator
           .map(nb => java.util.Arrays.binarySearch(gids, nb))
           .filter(_ >= 0).toArray
+      }
+      var maxK = 0
+      trimmed.foreach(a => if (a.length > maxK) maxK = a.length)
+      val lt =
+        if (permMethod == "lookup" && maxK > 0 && maxK < n - 1)
+          new LisaKernels.LookupTable(n, maxK, permutations, seed)
+        else null // dense/tiny window: 'complete' fallback, as in runKernel
+      val scratch = new LisaKernels.Scratch(n, 65536, lt)
+      rows.iterator.zipWithIndex.map { case ((_, gid, _, _), idx) =>
+        val nbrs = trimmed(idx)
         val t = which match {
           case Moran => LisaKernels.moran(idx, nbrs, z, permutations,
             seed, cutoff, scratch)

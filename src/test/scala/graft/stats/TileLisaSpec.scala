@@ -33,6 +33,29 @@ class TileLisaSpec extends AnyFunSuite {
     assert(tiled.sameElements(broadcastMode))
   }
 
+  test("lookup mode: single tile equals broadcast lookup; multi-tile deterministic") {
+    import spark.implicits._
+    val pts = points(120)
+    val w = KnnWeights.build(pts, KnnWeights.Conf(k = 4, cellSize = Some(4.0)))
+    val v = values(120)
+    val conf = Lisa.Conf(permMethod = "lookup")
+    val broadcastMode = Lisa.localMoran(v, w, conf).orderBy("gid")
+      .as[(Long, Double, Double, Double)].collect()
+    val tiled = TileLisa.localMoran(pts, v, w, tileSize = 1e6, conf)
+      .orderBy("gid").select("gid", "stat", "p", "c")
+      .as[(Long, Double, Double, Double)].collect()
+    assert(tiled.sameElements(broadcastMode),
+      "one-window tile lookup must equal broadcast lookup bit-exactly")
+    // multi-tile: per-window tables must be deterministic across runs
+    // and across input partitioning
+    val a = TileLisa.localMoran(pts, v, w, tileSize = 40.0, conf)
+      .orderBy("gid").collect()
+    val b = TileLisa.localMoran(pts.repartition(7), v.repartition(3), w,
+        tileSize = 40.0, conf)
+      .orderBy("gid").collect()
+    assert(a.sameElements(b))
+  }
+
   test("single tile equals broadcast mode for G*, Geary, join count") {
     import spark.implicits._
     val pts = points(100)
