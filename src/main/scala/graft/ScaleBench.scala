@@ -80,9 +80,14 @@ object ScaleBench {
         graft.stats.TileLisa.localMoran(points, vals, w, tileSize)
           .agg(sum("stat")).head()
       }
+      val (_, tTileLk) = time {
+        graft.stats.TileLisa.localMoran(points, vals, w, tileSize,
+          Lisa.Conf(permMethod = "lookup"))
+          .agg(sum("stat")).head()
+      }
       val rate = (t: Double) => math.round(n / t)
       println(
-        s"""{"metric":"scale_pipeline","n":$n,"cpus":"$cpus","unit":"sec","knn10_sec":$tKnn,"knn10_rows_per_sec":${rate(tKnn)},"moran_sec":$tMoran,"moran_rows_per_sec":${rate(tMoran)},"moran_lookup_sec":$tMoranLk,"moran_lookup_rows_per_sec":${rate(tMoranLk)},"gather_sec":$tGather,"joincount_sec":$tJc,"joincount_rows_per_sec":${rate(tJc)},"tile_moran_sec":$tTile,"tile_moran_rows_per_sec":${rate(tTile)}}""")
+        s"""{"metric":"scale_pipeline","n":$n,"cpus":"$cpus","unit":"sec","knn10_sec":$tKnn,"knn10_rows_per_sec":${rate(tKnn)},"moran_sec":$tMoran,"moran_rows_per_sec":${rate(tMoran)},"moran_lookup_sec":$tMoranLk,"moran_lookup_rows_per_sec":${rate(tMoranLk)},"gather_sec":$tGather,"joincount_sec":$tJc,"joincount_rows_per_sec":${rate(tJc)},"tile_moran_sec":$tTile,"tile_moran_rows_per_sec":${rate(tTile)},"tile_moran_lookup_sec":$tTileLk,"tile_moran_lookup_rows_per_sec":${rate(tTileLk)}}""")
     } finally spark.stop()
   }
 }
