@@ -102,16 +102,25 @@ class GuerrySpec extends AnyFunSuite {
     }
     check(graft.stats.Lisa.localMoran(vals, w), 0, "moran")
     // 'lookup' permutation mode (the reference's own default): same
-    // statistic, p from the shared draw table — harness data cols 26-27
-    val lk = graft.stats.Lisa.localMoran(vals, w,
-        graft.stats.Lisa.Conf(permMethod = "lookup"))
-      .as[(Long, Double, Double, Double)].collect()
-    assert(lk.length == 85)
-    lk.foreach { case (g, stat, p, c) =>
-      val e = expectedLisa(g)
-      assert(stat == e(0) && p == e(26) && c == e(27),
-        s"moran-lookup gid $g: got ($stat,$p,$c) want (${e(0)},${e(26)},${e(27)})")
+    // statistics, p/cluster from the shared draw table. Harness data
+    // cols: moran 26-27, g 28-29, gstar 30-31, geary 32-33 (stat is
+    // mode-independent — compare against the complete-mode stat col).
+    val confLk = graft.stats.Lisa.Conf(permMethod = "lookup")
+    def checkLk(df: org.apache.spark.sql.DataFrame, statOff: Int,
+                pOff: Int, what: String): Unit = {
+      val r = df.as[(Long, Double, Double, Double)].collect()
+      assert(r.length == 85)
+      r.foreach { case (g, stat, p, c) =>
+        val e = expectedLisa(g)
+        assert(stat == e(statOff) && p == e(pOff) && c == e(pOff + 1),
+          s"$what-lookup gid $g: got ($stat,$p,$c) " +
+            s"want (${e(statOff)},${e(pOff)},${e(pOff + 1)})")
+      }
     }
+    checkLk(graft.stats.Lisa.localMoran(vals, w, confLk), 0, 26, "moran")
+    checkLk(graft.stats.Lisa.localG(vals, w, star = false, confLk), 3, 28, "g")
+    checkLk(graft.stats.Lisa.localG(vals, w, star = true, confLk), 6, 30, "gstar")
+    checkLk(graft.stats.Lisa.localGeary(vals, w, confLk), 9, 32, "geary")
     check(graft.stats.Lisa.localG(vals, w, star = false), 3, "g")
     check(graft.stats.Lisa.localG(vals, w, star = true), 6, "gstar")
     check(graft.stats.Lisa.localGeary(vals, w), 9, "geary")

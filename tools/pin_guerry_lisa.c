@@ -344,7 +344,7 @@ int main(void) {
     for (int i = 0; i < N_OBS; i++) if (n_nbrs[i] > maxk) maxk = n_nbrs[i];
     int *lk_table = build_lookup(N_OBS, maxk);
 
-    printf("gid\tmoran_i\tmoran_p\tmoran_c\tg\tg_p\tg_c\tgstar\tgstar_p\tgstar_c\tgeary\tgeary_p\tgeary_c\tjc\tjc_p\tbjc\tbjc_p\tmjc\tmjc_p\tnn\tmg\tmg_p\tmg_c\tql\tql_p\tmq\tmq_p\tmo_lkp\tmo_lkc\n");
+    printf("gid\tmoran_i\tmoran_p\tmoran_c\tg\tg_p\tg_c\tgstar\tgstar_p\tgstar_c\tgeary\tgeary_p\tgeary_c\tjc\tjc_p\tbjc\tbjc_p\tmjc\tmjc_p\tnn\tmg\tmg_p\tmg_c\tql\tql_p\tmq\tmq_p\tmo_lkp\tmo_lkc\tg_lkp\tg_lkc\tgs_lkp\tgs_lkc\tge_lkp\tge_lkc\n");
     for (int i = 0; i < N_OBS; i++) {
         int m = n_nbrs[i];
         double pm;
@@ -404,16 +404,31 @@ int main(void) {
                    : (z[i] < 0 && lag < 0) ? 2
                    : (z[i] < 0 && lag > 0) ? 3
                    : (z[i] > 0 && lag < 0) ? 4 : 0;
+        /* lookup-mode G / G* / Geary (same shared table; G-family
+         * cluster split on the lookup permutation mean) */
+        double g_lkp = lookup_p(i, m, lk_table, maxk, gobs, stat_g, raw,
+                                denom, drawn, &lk_pm);
+        int g_lkc = g_lkp > CUTOFF ? 0 : (gobs > lk_pm ? 1 : 2);
+        double gs_lkp = lookup_p(i, m, lk_table, maxk, gsobs, stat_gstar,
+                                 raw, sum_all, drawn, &lk_pm);
+        int gs_lkc = gs_lkp > CUTOFF ? 0 : (gsobs > lk_pm ? 1 : 2);
+        double ge_lkp = lookup_p(i, m, lk_table, maxk, geobs, stat_geary,
+                                 z, 0, drawn, &lk_pm);
+        int ge_lkc = ge_lkp > CUTOFF ? 0
+                   : (geobs > lk_pm) ? 4
+                   : (z[i] > 0 && lag > 0) ? 1
+                   : (z[i] < 0 && lag < 0) ? 2 : 3;
         /* multivariate Geary (crm_prs + litercy standardized); cluster =
          * significance flag (LisaKernels.multiGeary) */
         double mgobs = stat_mgeary(nbrs[i], m, i, z, 0);
         double mgp = permutation_p(i, m, N_OBS, mgobs, stat_mgeary, z, 0,
                                    &work, drawn, &pm);
         int mgc = mgp <= CUTOFF ? 1 : 0;
-        printf("%d\t%.17g\t%.17g\t%d\t%.17g\t%.17g\t%d\t%.17g\t%.17g\t%d\t%.17g\t%.17g\t%d\t%.17g\t%.17g\t%.17g\t%.17g\t%.17g\t%.17g\t%d\t%.17g\t%.17g\t%d\t%.17g\t%.17g\t%.17g\t%.17g\t%.17g\t%d\n",
+        printf("%d\t%.17g\t%.17g\t%d\t%.17g\t%.17g\t%d\t%.17g\t%.17g\t%d\t%.17g\t%.17g\t%d\t%.17g\t%.17g\t%.17g\t%.17g\t%.17g\t%.17g\t%d\t%.17g\t%.17g\t%d\t%.17g\t%.17g\t%.17g\t%.17g\t%.17g\t%d\t%.17g\t%d\t%.17g\t%d\t%.17g\t%d\n",
                i, mo, mp, mc, gobs, gp, gc, gsobs, gsp, gsc, geobs, gep, gec,
                st[0], jc[0], st[1], jc[1], st[2], jc[2], m, mgobs, mgp, mgc,
-               st[3], jc[3], st[4], jc[4], mo_lkp, mo_lkc);
+               st[3], jc[3], st[4], jc[4], mo_lkp, mo_lkc,
+               g_lkp, g_lkc, gs_lkp, gs_lkc, ge_lkp, ge_lkc);
     }
     return 0;
 }
