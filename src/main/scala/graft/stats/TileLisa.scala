@@ -14,20 +14,43 @@ import org.apache.spark.sql.functions._
   * window, RENUMBERS observations to window positions 0..N-1, and
   * standardizes over the window — so per-tile output is reference-defined
   * behavior (each tile IS a window), not an approximation of the global
-  * statistic.
+  * statistic. The same argument extends to every window-level derivation:
+  * quantile bins are computed over the window's values, multivariate
+  * scaling per window, join-count binary validation per window row.
   *
   * Shape: one shuffle keyed by tile; within each tile group the same
   * LisaKernels run as in broadcast mode. Tiles are independent → no
   * broadcast, no global state, arbitrarily many tiles.
+  *
+  * All 12 reference LISA statistics are supported (the univariate five
+  * — moran, g, g-star, geary, joincount — via [[run]]; the multivariate
+  * and quantile families via [[runMulti]]).
   */
 object TileLisa {
 
-  sealed trait Stat
+  sealed trait Stat extends Serializable
   case object Moran extends Stat
   case object G extends Stat
   case object GStar extends Stat
   case object Geary extends Stat
   case object JoinCount extends Stat
+  /** Multivariate Geary over `vals: array<double>` (q39 semantics). */
+  case object MultiGeary extends Stat
+  /** Bivariate join count over vals = [x1, x2]; errors on co-location
+    * per window row (`postgeoda/src/joincount.c:193-197`).
+    */
+  case object BiJoinCount extends Stat
+  /** Co-location join count over `vals: array<double>` of binary vars. */
+  case object MultiJoinCount extends Stat
+  /** Quantile LISA: per-WINDOW quantile binning (breaks at percentiles
+    * 100*i/k over the window's values — the window-trim analogue of
+    * `quantilelisa.c:37-140`), then local join count.
+    */
+  final case class Quantile(k: Int, q: Int) extends Stat
+  /** Multivariate quantile LISA: AND of per-variable per-window bin
+    * indicators, then join count (`quantilelisa.c:143-300`).
+    */
+  final case class MultiQuantile(ks: Seq[Int], qs: Seq[Int]) extends Stat
 
   /** Per-tile LISA for any univariate statistic.
     * points:  (gid, x, y) — tile assignment source
@@ -38,22 +61,32 @@ object TileLisa {
     */
   def run(stat: Stat, points: DataFrame, values: DataFrame,
           weights: DataFrame, tileSize: Double,
-          conf: Lisa.Conf = Lisa.Conf()): DataFrame = {
+          conf: Lisa.Conf = Lisa.Conf()): DataFrame =
+    runMulti(stat, points,
+      values.select(col("gid"), array(col("value").cast("double")).as("vals")),
+      weights, tileSize, conf)
+
+  /** Per-tile LISA over a multivariate value frame (gid, vals:
+    * array<double>). Univariate statistics read vals(0).
+    */
+  def runMulti(stat: Stat, points: DataFrame, values: DataFrame,
+               weights: DataFrame, tileSize: Double,
+               conf: Lisa.Conf = Lisa.Conf()): DataFrame = {
     val spark = points.sparkSession
     import spark.implicits._
     val tiles = points.select(col("gid").cast("long"),
       Tiling.cellIdCol(col("x"), col("y"), tileSize).as("tile"))
     val joined = tiles
-      .join(values.select(col("gid").cast("long"),
-        col("value").cast("double")), Seq("gid"))
+      .join(values.select(col("gid").cast("long"), col("vals")), Seq("gid"))
       .join(weights.select(col("gid").cast("long"), col("nbrs")), Seq("gid"))
-      .select(col("tile"), col("gid"), col("value"), col("nbrs"))
-      .as[(Long, Long, Double, Option[Seq[Long]])]
+      .select(col("tile"), col("gid"), col("vals"), col("nbrs"))
+      .as[(Long, Long, Seq[Double], Option[Seq[Long]])]
 
     val permutations = conf.permutations
     val seed = conf.seed
     val cutoff = conf.cutoff
     val permMethod = conf.permMethod
+    val scaleMethod = conf.scaleMethod
     val which = stat
 
     joined.groupByKey(_._1).flatMapGroups { (tile, it) =>
@@ -61,24 +94,107 @@ object TileLisa {
       val rows = it.toArray.sortBy(_._2)
       val n = rows.length
       val gids = new Array[Long](n)
-      val x = new Array[Double](n)
       var i = 0
-      while (i < n) { gids(i) = rows(i)._2; x(i) = rows(i)._3; i += 1 }
-      if (which == JoinCount) {
-        // same 0/1 validation broadcast-mode Lisa.localJoinCount enforces
-        i = 0
-        while (i < n) {
-          require(x(i) == 0.0 || x(i) == 1.0,
-            s"tile join count variable must be binary 0/1 (joincount.c " +
-              s"semantics); found ${x(i)} at gid ${gids(i)}")
-          i += 1
+      while (i < n) { gids(i) = rows(i)._2; i += 1 }
+      // column-major value matrix for this window
+      val nv = rows(0)._3.length
+      val mat = Array.ofDim[Double](nv, n)
+      i = 0
+      while (i < n) {
+        val vs = rows(i)._3
+        require(vs.length == nv,
+          s"ragged vals array at gid ${gids(i)} ($nv vs ${vs.length})")
+        var v = 0
+        while (v < nv) { mat(v)(i) = vs(v); v += 1 }
+        i += 1
+      }
+      def requireBinary(x: Array[Double], what: String): Unit = {
+        var j = 0
+        while (j < n) {
+          require(x(j) == 0.0 || x(j) == 1.0,
+            s"$what must be binary 0/1 (joincount.c semantics); " +
+              s"found ${x(j)} at gid ${gids(j)}")
+          j += 1
         }
       }
-      // window standardization / moments (reference: whole-window stats)
-      val z = x.clone()
-      Stat0.standardize(z)
-      var sumAll = 0.0
-      x.foreach(sumAll += _)
+      // per-window preparation + kernel selection — everything that the
+      // broadcast engine derives globally is derived over the window here
+      // (window-trim semantics, see object doc)
+      val kernelOf: (Int, Array[Int], LisaKernels.Scratch) => LisaKernels.Triple =
+        which match {
+          case Moran =>
+            val z = mat(0).clone(); Stat0.standardize(z)
+            (idx, nbrs, s) => LisaKernels.moran(idx, nbrs, z, permutations,
+              seed, cutoff, s)
+          case Geary =>
+            val z = mat(0).clone(); Stat0.standardize(z)
+            (idx, nbrs, s) => LisaKernels.geary(idx, nbrs, z, permutations,
+              seed, cutoff, s)
+          case G =>
+            val x = mat(0)
+            var sumAll = 0.0; x.foreach(sumAll += _)
+            (idx, nbrs, s) => LisaKernels.localG(idx, nbrs, x, sumAll,
+              permutations, seed, cutoff, s)
+          case GStar =>
+            val x = mat(0)
+            var sumAll = 0.0; x.foreach(sumAll += _)
+            (idx, nbrs, s) => LisaKernels.localGStar(idx, nbrs, x, sumAll,
+              permutations, seed, cutoff, s)
+          case JoinCount =>
+            val x = mat(0)
+            requireBinary(x, "tile join count variable")
+            (idx, nbrs, s) => LisaKernels.joinCount(idx, nbrs, x,
+              permutations, seed, s)
+          case MultiGeary =>
+            val zs = mat.map(v => Stat0.scale(v, scaleMethod))
+            (idx, nbrs, s) => LisaKernels.multiGeary(idx, nbrs, zs,
+              permutations, seed, cutoff, s)
+          case BiJoinCount =>
+            require(nv == 2, s"tile bijoincount needs 2 variables, got $nv")
+            val x1 = mat(0); val x2 = mat(1)
+            requireBinary(x1, "tile bijoincount first variable")
+            requireBinary(x2, "tile bijoincount second variable")
+            var j = 0
+            while (j < n) {
+              require(x1(j) != x2(j),
+                "local bivariate join count works only when two events " +
+                  "cannot happen in the same location " +
+                  s"(joincount.c:193-197); x1 == x2 at gid ${gids(j)}")
+              j += 1
+            }
+            (idx, nbrs, s) => LisaKernels.biJoinCount(idx, nbrs, x1, x2,
+              permutations, seed, s)
+          case MultiJoinCount =>
+            mat.zipWithIndex.foreach { case (v, vi) =>
+              requireBinary(v, s"tile multijoincount variable $vi") }
+            val prods = new Array[Double](n)
+            var j = 0
+            while (j < n) {
+              var p = 1.0; var v = 0
+              while (v < nv) { p *= mat(v)(j); v += 1 }
+              prods(j) = p; j += 1
+            }
+            (idx, nbrs, s) => LisaKernels.multiJoinCount(idx, nbrs, prods,
+              permutations, seed, s)
+          case Quantile(k, q) =>
+            val x = Lisa.quantileIndicator(mat(0), k, q)
+            (idx, nbrs, s) => LisaKernels.joinCount(idx, nbrs, x,
+              permutations, seed, s)
+          case MultiQuantile(ks, qs) =>
+            require(ks.length == nv && qs.length == nv,
+              "ks/qs/vars arity mismatch")
+            val ind = mat.zipWithIndex.map { case (v, vi) =>
+              Lisa.quantileIndicator(v, ks(vi), qs(vi)) }
+            val prods = new Array[Double](n)
+            var j = 0
+            while (j < n) {
+              var p = 1.0; var v = 0
+              while (v < nv) { p *= ind(v)(j); v += 1 }
+              prods(j) = p; j += 1
+            }
+            (idx, nbrs, s) => LisaKernels.joinCount(idx, nbrs, prods,
+              permutations, seed, s)
+        }
       // window-trim all rows first: drop neighbors not present in this
       // tile (binweight.cpp:153-183 semantics), remap to window
       // positions — and learn the window's max degree so 'lookup' mode
@@ -97,19 +213,7 @@ object TileLisa {
         else null // dense/tiny window: 'complete' fallback, as in runKernel
       val scratch = new LisaKernels.Scratch(n, 65536, lt)
       rows.iterator.zipWithIndex.map { case ((_, gid, _, _), idx) =>
-        val nbrs = trimmed(idx)
-        val t = which match {
-          case Moran => LisaKernels.moran(idx, nbrs, z, permutations,
-            seed, cutoff, scratch)
-          case G => LisaKernels.localG(idx, nbrs, x, sumAll, permutations,
-            seed, cutoff, scratch)
-          case GStar => LisaKernels.localGStar(idx, nbrs, x, sumAll,
-            permutations, seed, cutoff, scratch)
-          case Geary => LisaKernels.geary(idx, nbrs, z, permutations,
-            seed, cutoff, scratch)
-          case JoinCount => LisaKernels.joinCount(idx, nbrs, x,
-            permutations, seed, scratch)
-        }
+        val t = kernelOf(idx, trimmed(idx), scratch)
         (gid, tile, t.stat, t.p, t.c)
       }
     }.toDF("gid", "tile", "stat", "p", "c")

@@ -2,6 +2,7 @@ package graft.stats
 
 import graft.SparkFixture
 import graft.weights.KnnWeights
+import org.apache.spark.sql.functions.{array, col}
 import org.scalatest.funsuite.AnyFunSuite
 
 class TileLisaSpec extends AnyFunSuite {
@@ -81,6 +82,94 @@ class TileLisaSpec extends AnyFunSuite {
       .orderBy("gid").select("gid", "stat", "p", "c")
       .as[(Long, Double, Double, Double)].collect()
     assert(jcT.sameElements(jcB))
+  }
+
+  test("single tile equals broadcast mode for the multivariate family") {
+    import spark.implicits._
+    val n = 100
+    val pts = points(n)
+    val w = KnnWeights.build(pts, KnnWeights.Conf(k = 4, cellSize = Some(4.0)))
+    val mv = (1 to n).map(i => (i.toLong,
+      Seq((i * 37 % 101).toDouble, (i * 17 % 1000).toDouble)))
+      .toDF("gid", "vals")
+    // multigeary
+    val mgB = Lisa.localMultiGeary(mv, w).orderBy("gid")
+      .as[(Long, Double, Double, Double)].collect()
+    val mgT = TileLisa.runMulti(TileLisa.MultiGeary, pts, mv, w, tileSize = 1e6)
+      .orderBy("gid").select("gid", "stat", "p", "c")
+      .as[(Long, Double, Double, Double)].collect()
+    assert(mgT.sameElements(mgB))
+    // bivariate join count (complementary indicators → never co-located)
+    val bi = (1 to n).map { i =>
+      val x1 = if ((i * 13) % 7 < 3) 1.0 else 0.0
+      (i.toLong, x1, 1.0 - x1)
+    }.toDF("gid", "value", "value2")
+    val bjB = Lisa.localBiJoinCount(bi, w).orderBy("gid")
+      .as[(Long, Double, Double, Double)].collect()
+    val bjT = TileLisa.runMulti(TileLisa.BiJoinCount, pts,
+        bi.select(col("gid"), array(col("value"), col("value2")).as("vals")),
+        w, tileSize = 1e6)
+      .orderBy("gid").select("gid", "stat", "p", "c")
+      .as[(Long, Double, Double, Double)].collect()
+    assert(bjT.sameElements(bjB))
+    // co-location (multivariate) join count
+    val mjv = (1 to n).map { i =>
+      (i.toLong, Seq(if ((i * 13) % 7 < 3) 1.0 else 0.0,
+        if ((i * 11) % 5 < 2) 1.0 else 0.0))
+    }.toDF("gid", "vals")
+    val mjB = Lisa.localMultiJoinCount(mjv, w).orderBy("gid")
+      .as[(Long, Double, Double, Double)].collect()
+    val mjT = TileLisa.runMulti(TileLisa.MultiJoinCount, pts, mjv, w,
+        tileSize = 1e6)
+      .orderBy("gid").select("gid", "stat", "p", "c")
+      .as[(Long, Double, Double, Double)].collect()
+    assert(mjT.sameElements(mjB))
+  }
+
+  test("single tile equals broadcast mode for the quantile family") {
+    import spark.implicits._
+    val n = 100
+    val pts = points(n)
+    val w = KnnWeights.build(pts, KnnWeights.Conf(k = 4, cellSize = Some(4.0)))
+    val v = values(n)
+    val qB = Lisa.quantileLisa(5, 5, v, w).orderBy("gid")
+      .as[(Long, Double, Double, Double)].collect()
+    val qT = TileLisa.run(TileLisa.Quantile(5, 5), pts, v, w, tileSize = 1e6)
+      .orderBy("gid").select("gid", "stat", "p", "c")
+      .as[(Long, Double, Double, Double)].collect()
+    assert(qT.sameElements(qB))
+    val mv = (1 to n).map(i => (i.toLong,
+      Seq((i * 37 % 101).toDouble, (i * 17 % 1000).toDouble)))
+      .toDF("gid", "vals")
+    val mqB = Lisa.multiQuantileLisa(Array(4, 4), Array(4, 1), mv, w)
+      .orderBy("gid").as[(Long, Double, Double, Double)].collect()
+    val mqT = TileLisa.runMulti(TileLisa.MultiQuantile(Seq(4, 4), Seq(4, 1)),
+        pts, mv, w, tileSize = 1e6)
+      .orderBy("gid").select("gid", "stat", "p", "c")
+      .as[(Long, Double, Double, Double)].collect()
+    assert(mqT.sameElements(mqB))
+  }
+
+  test("multi-tile multivariate/quantile runs are partitioning-invariant") {
+    import spark.implicits._
+    val n = 200
+    val pts = points(n)
+    val w = KnnWeights.build(pts, KnnWeights.Conf(k = 4, cellSize = Some(4.0)))
+    val mv = (1 to n).map(i => (i.toLong,
+      Seq((i * 37 % 101).toDouble, (i * 17 % 1000).toDouble)))
+      .toDF("gid", "vals")
+    for (stat <- Seq[TileLisa.Stat](TileLisa.MultiGeary,
+        TileLisa.MultiQuantile(Seq(4, 4), Seq(4, 1)))) {
+      val a = TileLisa.runMulti(stat, pts, mv, w, tileSize = 40.0)
+        .orderBy("gid").collect()
+      val b = TileLisa.runMulti(stat, pts.repartition(7), mv.repartition(3),
+          w.repartition(5), tileSize = 40.0)
+        .orderBy("gid").collect()
+      assert(a.sameElements(b), s"$stat not partitioning-invariant")
+      assert(a.length == n)
+      // several tiles actually exist at this tile size
+      assert(a.map(_.getLong(1)).distinct.length > 1)
+    }
   }
 
   test("per-tile mode: window-trim drops cross-tile neighbors") {
