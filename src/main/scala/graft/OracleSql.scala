@@ -104,6 +104,40 @@ object OracleSql {
       s AS (SELECT val, row_number() OVER (ORDER BY val) - 1 AS rk FROM t),
       n AS (SELECT CAST(count(*) AS DOUBLE) AS cnt FROM t)"""
 
+  /** super-tile assignment over `pts` — mirrors Tiling.cellIdCol at
+    * tileSize 40.0 (the tile queries q67-q74).
+    */
+  private val TILES40 =
+    """tiles AS (SELECT gid,
+         (CAST(floor(x / 40.0) AS BIGINT) + 1048576) * 2097152 +
+         (CAST(floor(y / 40.0) AS BIGINT) + 1048576) AS tile
+       FROM pts)"""
+
+  /** Per-TILE GeoDa percentile break: one row per tile with the break at
+    * `pctExpr` over rank table `sT(tile, val, rk)` and count table
+    * `tc(tile, cnt)`. The sa/sb join ranks are clamped into [0, cnt-1] —
+    * out-of-range ranks only arise when a WHEN branch (not ELSE) is
+    * taken, so clamping never changes the selected value but keeps the
+    * inner joins from dropping single-row tiles.
+    */
+  private def tileBrkCte(name: String, pctExpr: String, sT: String): String =
+    s"""$name AS (
+       SELECT c.tile,
+         CASE WHEN $pctExpr <= 100.0 / c.cnt * 0.5 THEN s0.val
+              WHEN $pctExpr >= 100.0 / c.cnt * (c.cnt - 0.5) THEN sl.val
+              ELSE sa.val + ($pctExpr * c.cnt / 100.0 - 0.5
+                     - floor($pctExpr * c.cnt / 100.0 - 0.5))
+                   * (sb.val - sa.val)
+         END AS brk
+       FROM tc c
+       JOIN $sT s0 ON s0.tile = c.tile AND s0.rk = 0
+       JOIN $sT sl ON sl.tile = c.tile AND sl.rk = CAST(c.cnt AS BIGINT) - 1
+       JOIN $sT sa ON sa.tile = c.tile AND sa.rk =
+         CAST(greatest(floor($pctExpr * c.cnt / 100.0 - 0.5), 0) AS BIGINT)
+       JOIN $sT sb ON sb.tile = c.tile AND sb.rk =
+         CAST(least(greatest(floor($pctExpr * c.cnt / 100.0 - 0.5), 0) + 1,
+                    c.cnt - 1) AS BIGINT))"""
+
   private def hingeSql(h: String): String =
     s"""WITH $SORTED_VALS,
        qs AS (SELECT ${pct("25.0")} AS q1, ${pct("50.0")} AS q2,
@@ -651,6 +685,152 @@ object OracleSql {
                           AND t.x * coalesce(s.snbr, 0) > 0
                      THEN 1 ELSE 0 END AS BIGINT) AS sig_def
          FROM tb t LEFT JOIN s ON t.gid = s.gid ORDER BY gid""",
+
+    "q70_tile_multigeary" ->
+      s"""WITH $KNN4,
+         mv AS (SELECT CAST(c_custkey AS BIGINT) AS gid,
+                       CAST(c_acctbal AS DOUBLE) AS v1,
+                       CAST((c_custkey * 17) % 1000 AS DOUBLE) AS v2
+                FROM customer),
+         $TILES40,
+         tv AS (SELECT t.gid, t.tile, m.v1, m.v2
+                FROM tiles t JOIN mv m ON t.gid = m.gid),
+         tmom AS (SELECT tile, avg(v1) AS m1, stddev_samp(v1) AS s1,
+                         avg(v2) AS m2, stddev_samp(v2) AS s2,
+                         count(*) AS cnt
+                  FROM tv GROUP BY tile),
+         zt AS (SELECT tv.gid, tv.tile,
+                  CASE WHEN q.cnt <= 1 THEN tv.v1
+                       WHEN q.s1 = 0 OR q.s1 IS NULL THEN tv.v1 - q.m1
+                       ELSE (tv.v1 - q.m1) / q.s1 END AS z1,
+                  CASE WHEN q.cnt <= 1 THEN tv.v2
+                       WHEN q.s2 = 0 OR q.s2 IS NULL THEN tv.v2 - q.m2
+                       ELSE (tv.v2 - q.m2) / q.s2 END AS z2
+                FROM tv JOIN tmom q ON tv.tile = q.tile),
+         tn AS (SELECT k.gid, k.nbr FROM knn k
+                JOIN zt a ON k.gid = a.gid
+                JOIN zt b ON k.nbr = b.gid AND a.tile = b.tile),
+         g AS (SELECT tn.gid,
+                 (avg((za.z1 - zb.z1) * (za.z1 - zb.z1)) +
+                  avg((za.z2 - zb.z2) * (za.z2 - zb.z2))) / 2.0 AS c
+               FROM tn JOIN zt za ON tn.gid = za.gid
+                       JOIN zt zb ON tn.nbr = zb.gid
+               GROUP BY tn.gid)
+         SELECT zt.gid AS gid, zt.tile AS tile,
+                round(coalesce(g.c, 0.0), 4) AS mgeary
+         FROM zt LEFT JOIN g ON zt.gid = g.gid ORDER BY gid""",
+
+    "q71_tile_quantile" ->
+      s"""WITH $KNN4, $VALS,
+         $TILES40,
+         tv AS (SELECT t.gid, t.tile, v.value
+                FROM tiles t JOIN vals v ON t.gid = v.gid),
+         ts AS (SELECT tile, value AS val,
+                  row_number() OVER (PARTITION BY tile ORDER BY value) - 1
+                    AS rk
+                FROM tv),
+         tc AS (SELECT tile, CAST(count(*) AS DOUBLE) AS cnt
+                FROM tv GROUP BY tile),
+         bis AS (SELECT unnest([1, 2, 3, 4]) AS bi),
+         ${tileBrkCte("brks", "(20.0 * g.bi)", "ts")
+           .replace("FROM tc c", "FROM tc c CROSS JOIN bis g")},
+         ind AS (SELECT tv.gid, tv.tile,
+                   CASE WHEN (SELECT count(*) FROM brks b
+                              WHERE b.tile = tv.tile AND tv.value >= b.brk)
+                        = 4 THEN 1.0 ELSE 0.0 END AS x
+                 FROM tv),
+         tn AS (SELECT k.gid, k.nbr FROM knn k
+                JOIN ind a ON k.gid = a.gid
+                JOIN ind b ON k.nbr = b.gid AND a.tile = b.tile),
+         s AS (SELECT tn.gid, sum(i2.x) AS snbr, count(*) AS nn
+               FROM tn JOIN ind i2 ON tn.nbr = i2.gid GROUP BY tn.gid)
+         SELECT i.gid AS gid, i.tile AS tile,
+                CAST(i.x * coalesce(s.snbr, 0) AS BIGINT) AS qjc,
+                CAST(coalesce(s.nn, 0) AS BIGINT) AS nn,
+                CAST(CASE WHEN coalesce(s.nn, 0) > 0 AND i.x = 1.0
+                          AND i.x * coalesce(s.snbr, 0) > 0
+                     THEN 1 ELSE 0 END AS BIGINT) AS sig_def
+         FROM ind i LEFT JOIN s ON i.gid = s.gid ORDER BY gid""",
+
+    "q72_tile_bijoincount" ->
+      s"""WITH $KNN4, $BINVAR,
+         $TILES40,
+         tb AS (SELECT t.gid, t.tile, b.x AS x1, 1.0 - b.x AS x2
+                FROM tiles t JOIN bin b ON t.gid = b.gid),
+         tn AS (SELECT k.gid, k.nbr FROM knn k
+                JOIN tb a ON k.gid = a.gid
+                JOIN tb b ON k.nbr = b.gid AND a.tile = b.tile),
+         s AS (SELECT tn.gid, sum(nb.x2) AS snbr, count(*) AS nn
+               FROM tn JOIN tb nb ON tn.nbr = nb.gid GROUP BY tn.gid)
+         SELECT t.gid AS gid, t.tile AS tile,
+                CAST(t.x1 * coalesce(s.snbr, 0) AS BIGINT) AS bjc,
+                CAST(coalesce(s.nn, 0) AS BIGINT) AS nn,
+                CAST(CASE WHEN coalesce(s.nn, 0) > 0 AND t.x1 = 1.0
+                          AND t.x1 * coalesce(s.snbr, 0) > 0
+                     THEN 1 ELSE 0 END AS BIGINT) AS sig_def
+         FROM tb t LEFT JOIN s ON t.gid = s.gid ORDER BY gid""",
+
+    "q73_tile_multijoincount" ->
+      s"""WITH $KNN4,
+         mv AS (SELECT CAST(c_custkey AS BIGINT) AS gid,
+                  (CASE WHEN (c_custkey * 13) % 7 < 3 THEN 1.0 ELSE 0.0 END) *
+                  (CASE WHEN (c_custkey * 11) % 5 < 2 THEN 1.0 ELSE 0.0 END)
+                    AS prod
+                FROM customer),
+         $TILES40,
+         tb AS (SELECT t.gid, t.tile, m.prod
+                FROM tiles t JOIN mv m ON t.gid = m.gid),
+         tn AS (SELECT k.gid, k.nbr FROM knn k
+                JOIN tb a ON k.gid = a.gid
+                JOIN tb b ON k.nbr = b.gid AND a.tile = b.tile),
+         s AS (SELECT tn.gid, sum(nb.prod) AS snbr, count(*) AS nn
+               FROM tn JOIN tb nb ON tn.nbr = nb.gid GROUP BY tn.gid)
+         SELECT t.gid AS gid, t.tile AS tile,
+                CAST(t.prod * coalesce(s.snbr, 0) AS BIGINT) AS mjc,
+                CAST(coalesce(s.nn, 0) AS BIGINT) AS nn,
+                CAST(CASE WHEN coalesce(s.nn, 0) > 0 AND t.prod = 1.0
+                          AND t.prod * coalesce(s.snbr, 0) > 0
+                     THEN 1 ELSE 0 END AS BIGINT) AS sig_def
+         FROM tb t LEFT JOIN s ON t.gid = s.gid ORDER BY gid""",
+
+    "q74_tile_multiquantile" ->
+      s"""WITH $KNN4,
+         mv AS (SELECT CAST(c_custkey AS BIGINT) AS gid,
+                       CAST(c_acctbal AS DOUBLE) AS v1,
+                       CAST((c_custkey * 17) % 1000 AS DOUBLE) AS v2
+                FROM customer),
+         $TILES40,
+         tv AS (SELECT t.gid, t.tile, m.v1, m.v2
+                FROM tiles t JOIN mv m ON t.gid = m.gid),
+         s1r AS (SELECT tile, v1 AS val,
+                   row_number() OVER (PARTITION BY tile ORDER BY v1) - 1
+                     AS rk
+                 FROM tv),
+         s2r AS (SELECT tile, v2 AS val,
+                   row_number() OVER (PARTITION BY tile ORDER BY v2) - 1
+                     AS rk
+                 FROM tv),
+         tc AS (SELECT tile, CAST(count(*) AS DOUBLE) AS cnt
+                FROM tv GROUP BY tile),
+         ${tileBrkCte("b1", "75.0", "s1r")},
+         ${tileBrkCte("b2", "25.0", "s2r")},
+         ind AS (SELECT tv.gid, tv.tile,
+                   (CASE WHEN tv.v1 >= b1.brk THEN 1.0 ELSE 0.0 END) *
+                   (CASE WHEN tv.v2 < b2.brk THEN 1.0 ELSE 0.0 END) AS x
+                 FROM tv JOIN b1 ON tv.tile = b1.tile
+                         JOIN b2 ON tv.tile = b2.tile),
+         tn AS (SELECT k.gid, k.nbr FROM knn k
+                JOIN ind a ON k.gid = a.gid
+                JOIN ind b ON k.nbr = b.gid AND a.tile = b.tile),
+         s AS (SELECT tn.gid, sum(i2.x) AS snbr, count(*) AS nn
+               FROM tn JOIN ind i2 ON tn.nbr = i2.gid GROUP BY tn.gid)
+         SELECT i.gid AS gid, i.tile AS tile,
+                CAST(i.x * coalesce(s.snbr, 0) AS BIGINT) AS mqjc,
+                CAST(coalesce(s.nn, 0) AS BIGINT) AS nn,
+                CAST(CASE WHEN coalesce(s.nn, 0) > 0 AND i.x = 1.0
+                          AND i.x * coalesce(s.snbr, 0) > 0
+                     THEN 1 ELSE 0 END AS BIGINT) AS sig_def
+         FROM ind i LEFT JOIN s ON i.gid = s.gid ORDER BY gid""",
 
     // ---- webtext north-rule chain (md5 geocode replayed in SQL) ----
     "q62_webtext_moran" ->

@@ -540,6 +540,81 @@ object SparkEntry {
           (col("p") >= 0).cast("long").as("sig_def"))
         .orderBy("gid")
     }),
+    "q70_tile_multigeary" -> ((s, dir) => {
+      // per-tile multivariate Geary: per-tile per-variable standardize +
+      // in-tile-trimmed neighbor average — plain SQL → oracle-checked
+      val pts = SynthGeo.customerPoints(s, dir)
+      val v = SynthGeo.table(s, dir, "customer").select(
+        col("c_custkey").cast("long").as("gid"),
+        array(col("c_acctbal").cast("double"),
+          ((col("c_custkey") * 17) % 1000).cast("double")).as("vals"))
+      graft.stats.TileLisa.runMulti(graft.stats.TileLisa.MultiGeary, pts, v,
+          knnWeights4(s, dir), tileSize = 40.0)
+        .select(col("gid"), col("tile"), round(col("stat"), 4).as("mgeary"))
+        .orderBy("gid")
+    }),
+    "q71_tile_quantile" -> ((s, dir) => {
+      // per-tile quantile LISA: per-WINDOW quantile breaks (GeoDa
+      // plotting-position percentiles over the tile's values), indicator
+      // join count with in-tile-trimmed neighbors — integer-exact
+      val pts = SynthGeo.customerPoints(s, dir)
+      graft.stats.TileLisa.run(graft.stats.TileLisa.Quantile(5, 5), pts,
+          SynthGeo.customerValues(s, dir), knnWeights4(s, dir),
+          tileSize = 40.0)
+        .select(col("gid"), col("tile"),
+          col("stat").cast("long").as("qjc"),
+          col("c").cast("long").as("nn"),
+          (col("p") >= 0).cast("long").as("sig_def"))
+        .orderBy("gid")
+    }),
+    "q72_tile_bijoincount" -> ((s, dir) => {
+      // per-tile bivariate join count (complementary indicators — never
+      // co-located, satisfying the joincount.c:193-197 validation)
+      val pts = SynthGeo.customerPoints(s, dir)
+      val v = binaryVar(s, dir)
+        .select(col("gid"),
+          array(col("value"), lit(1.0) - col("value")).as("vals"))
+      graft.stats.TileLisa.runMulti(graft.stats.TileLisa.BiJoinCount, pts, v,
+          knnWeights4(s, dir), tileSize = 40.0)
+        .select(col("gid"), col("tile"),
+          col("stat").cast("long").as("bjc"),
+          col("c").cast("long").as("nn"),
+          (col("p") >= 0).cast("long").as("sig_def"))
+        .orderBy("gid")
+    }),
+    "q73_tile_multijoincount" -> ((s, dir) => {
+      // per-tile co-location join count over two binary indicators
+      val pts = SynthGeo.customerPoints(s, dir)
+      val v = SynthGeo.table(s, dir, "customer").select(
+        col("c_custkey").cast("long").as("gid"),
+        array(((col("c_custkey") * 13) % 7 < 3).cast("double"),
+          ((col("c_custkey") * 11) % 5 < 2).cast("double")).as("vals"))
+      graft.stats.TileLisa.runMulti(graft.stats.TileLisa.MultiJoinCount,
+          pts, v, knnWeights4(s, dir), tileSize = 40.0)
+        .select(col("gid"), col("tile"),
+          col("stat").cast("long").as("mjc"),
+          col("c").cast("long").as("nn"),
+          (col("p") >= 0).cast("long").as("sig_def"))
+        .orderBy("gid")
+    }),
+    "q74_tile_multiquantile" -> ((s, dir) => {
+      // per-tile multivariate quantile LISA: AND of per-window
+      // per-variable bin indicators (v1 in top quartile, v2 in bottom
+      // quartile of its tile), then join count
+      val pts = SynthGeo.customerPoints(s, dir)
+      val v = SynthGeo.table(s, dir, "customer").select(
+        col("c_custkey").cast("long").as("gid"),
+        array(col("c_acctbal").cast("double"),
+          ((col("c_custkey") * 17) % 1000).cast("double")).as("vals"))
+      graft.stats.TileLisa.runMulti(
+          graft.stats.TileLisa.MultiQuantile(Seq(4, 4), Seq(4, 1)),
+          pts, v, knnWeights4(s, dir), tileSize = 40.0)
+        .select(col("gid"), col("tile"),
+          col("stat").cast("long").as("mqjc"),
+          col("c").cast("long").as("nn"),
+          (col("p") >= 0).cast("long").as("sig_def"))
+        .orderBy("gid")
+    }),
     "q62_webtext_moran" -> ((s, dir) => {
       // north-rule pipeline, hermetic (no checkpoint dir): webpages →
       // geocode (md5 slices → SQL-replicable) → kNN weights → local
