@@ -24,29 +24,34 @@ object Bench {
     else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
   }
 
-  /** Time `body` up to `runs` times; (median, min) seconds. A run that
-    * throws contributes -1 (sorts first, keeping the median
-    * pessimistic-honest). Repeats stop once `repeatBudgetSec` of
-    * cumulative time is spent — re-running a 60-second driver-side solve
-    * three times triples the suite wall without fixing anything (the
-    * host's contention windows persist for minutes, longer than any
-    * back-to-back repeat), while the sub-second queries that r02's noise
-    * actually corrupted always get their full median.
+  /** Time `body` up to `runs` times; (median, min) seconds over the
+    * SUCCESSFUL runs only — a transient failure must not publish a
+    * negative min/median next to otherwise-good repeats. Only when every
+    * run fails do both stats report -1 (the explicit all-failed marker).
+    * Repeats stop once `repeatBudgetSec` of cumulative time is spent —
+    * re-running a 60-second driver-side solve three times triples the
+    * suite wall without fixing anything (the host's contention windows
+    * persist for minutes, longer than any back-to-back repeat), while
+    * the sub-second queries that r02's noise actually corrupted always
+    * get their full median.
     */
   private def timed(runs: Int, repeatBudgetSec: Double = 45.0)
                    (body: => Unit): (Double, Double) = {
-    val ts = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val ok = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var failures = 0
     var spent = 0.0
     var i = 0
     while (i < runs && (i == 0 || spent < repeatBudgetSec)) {
       val t0 = System.nanoTime()
-      val t = try { body; (System.nanoTime() - t0) / 1e9 }
-        catch { case _: Throwable => -1.0 }
-      ts += t
-      spent += math.max(0.0, t)
+      try { body; ok += (System.nanoTime() - t0) / 1e9 }
+      catch { case _: Throwable => failures += 1 }
+      spent += (System.nanoTime() - t0) / 1e9
       i += 1
     }
-    (median(ts.toSeq), ts.min)
+    if (failures > 0)
+      System.err.println(s"[bench] WARN: $failures/${ok.length + failures} " +
+        "runs failed")
+    if (ok.isEmpty) (-1.0, -1.0) else (median(ok.toSeq), ok.min)
   }
 
   def main(args: Array[String]): Unit = {

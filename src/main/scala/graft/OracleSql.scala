@@ -3,8 +3,10 @@ package graft
 /** DuckDB-runnable ANSI SQL oracles for SparkEntry.queries. Each mirrors
   * the Spark computation exactly (same arithmetic order, same rounding,
   * same column names/types) so the driver's sorted-column value-hash
-  * compare passes. LISA permutation queries have no SQL equivalent and
-  * are intentionally omitted (rows-only check).
+  * compare passes. LISA queries oracle-check their statistic columns in
+  * SQL; the permutation p-values and cluster labels (no SQL equivalent)
+  * are value-checked by committed goldens plus the independent C-harness
+  * pins on Guerry (GuerrySpec).
   */
 object OracleSql {
 

@@ -1,0 +1,46 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+
+/** Scoped cache release for multi-pass builders.
+  *
+  * Several builders (kNN, contiguity, dedup, IVF) cache intermediate
+  * frames that the final plan reads more than once. Returning a lazy
+  * frame while leaving those caches pinned leaks CacheManager entries
+  * for the life of the session (callers have no handle to unpersist).
+  * The pattern: materialize the RESULT once, truncating lineage, then
+  * unpersist every internal cache — the checkpoint blocks are owned by
+  * the result RDD alone, so the ContextCleaner reclaims them when the
+  * caller drops the frame, and the unpersists can never trigger a
+  * recompute.
+  *
+  * Two checkpoint modes, selected by `spark.graft.checkpoint.reliable`:
+  *   - false (default): `localCheckpoint` — executor-local blocks, no
+  *     extra I/O. Right for local mode and short-lived jobs; on a real
+  *     cluster an executor loss makes the result unrecoverable (lineage
+  *     is gone).
+  *   - true: reliable `checkpoint` to the SparkContext checkpoint dir —
+  *     survives executor loss; the mode a 1000-executor run should set
+  *     (together with `sparkContext.setCheckpointDir` on durable
+  *     storage).
+  */
+object Materialize {
+
+  val ReliableConfKey = "spark.graft.checkpoint.reliable"
+
+  /** Eagerly materialize `out`, then release `internal` caches. */
+  def releasing(out: DataFrame, internal: Seq[Dataset[_]]): DataFrame = {
+    val spark = out.sparkSession
+    val reliable =
+      spark.conf.getOption(ReliableConfKey).exists(_.trim.toBoolean)
+    val mat =
+      if (reliable) {
+        require(spark.sparkContext.getCheckpointDir.isDefined,
+          s"$ReliableConfKey=true needs sparkContext.setCheckpointDir " +
+            "(durable storage on a real cluster)")
+        out.checkpoint(eager = true)
+      } else out.localCheckpoint(eager = true)
+    internal.foreach(_.unpersist(blocking = false))
+    mat
+  }
+}

@@ -87,11 +87,12 @@ object Dedup {
     val withSig = cand
       .join(sigs.select($"id".as("id_a"), $"sig".as("sig_a")), "id_a")
       .join(sigs.select($"id".as("id_b"), $"sig".as("sig_b")), "id_b")
-    withSig.select(col("id_a"), col("id_b"),
+    val out = withSig.select(col("id_a"), col("id_b"),
         (aggregate(zip_with(col("sig_a"), col("sig_b"),
           (x, y) => when(x === y, 1).otherwise(0)), lit(0),
           (acc, v) => acc + v).cast("double") / numHashes).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
+    graft.core.Materialize.releasing(out, Seq(sigs))
   }
 
   /** 64-bit SimHash over word shingles. */
@@ -138,7 +139,7 @@ object Dedup {
         (id, h, r, rot >>> (64 - prefixBits))
       }
     }.toDF("id", "sh", "rot", "bucket")
-    rotated.as("a").join(rotated.as("b"),
+    val out = rotated.as("a").join(rotated.as("b"),
         $"a.rot" === $"b.rot" && $"a.bucket" === $"b.bucket" &&
           $"a.id" < $"b.id")
       .select($"a.id".as("id_a"), $"b.id".as("id_b"),
@@ -146,6 +147,7 @@ object Dedup {
       .withColumn("hamming", bit_count(col("sha").bitwiseXOR(col("shb"))))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
+    graft.core.Materialize.releasing(out, Seq(hashed))
   }
 
   /** Exact n-gram Jaccard similarity for candidate pairs (id_a, id_b):
@@ -207,11 +209,12 @@ object Dedup {
         }
         (id, unit, sig)
       }.toDF("id", "unit", "sig").cache()
-    sigs.as("a").join(sigs.as("b"),
+    val out = sigs.as("a").join(sigs.as("b"),
         $"a.sig" === $"b.sig" && $"a.id" < $"b.id")
       .select($"a.id".as("id_a"), $"b.id".as("id_b"),
         aggregate(zip_with($"a.unit", $"b.unit", (x, y) => x * y),
           lit(0.0), (acc, v) => acc + v).as("cosine"))
       .filter(col("cosine") >= threshold)
+    graft.core.Materialize.releasing(out, Seq(sigs))
   }
 }

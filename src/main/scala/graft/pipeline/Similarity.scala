@@ -79,9 +79,10 @@ object Similarity {
     // with map-side partials (dim fixed, small).
     val assigned = assignNearest(c, seeds)
     val dim = c.select(size(col("unit"))).head().getInt(0)
-    assigned.groupBy("cid")
+    val out = assigned.groupBy("cid")
       .agg(array((0 until dim).map(i =>
         avg(col("unit")(i))): _*).as("cunit"))
+    graft.core.Materialize.releasing(out, Seq(c))
   }
 
   /** IVF ANN: bucket corpus by nearest centroid; queries probe the
@@ -106,8 +107,10 @@ object Similarity {
     val scored = qProbes.join(cBucketed, "cid")
       .filter(col("id") =!= col("qid"))
       .select(col("qid"), col("id"), dot("unit", "qunit").as("cosine"))
-    scored.withColumn("rk", row_number().over(Window.partitionBy("qid")
-        .orderBy(col("cosine").desc, col("id"))))
+    val out = scored.withColumn("rk",
+        row_number().over(Window.partitionBy("qid")
+          .orderBy(col("cosine").desc, col("id"))))
       .filter(col("rk") <= k)
+    graft.core.Materialize.releasing(out, Seq(cents))
   }
 }

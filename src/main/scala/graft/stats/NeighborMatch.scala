@@ -234,9 +234,7 @@ object NeighborMatch {
       }
     }
     // same scoped-release pattern as KnnWeights.knnRows
-    val out = done.localCheckpoint(true)
-    pts.unpersist(blocking = false)
-    loopCaches.foreach(_.unpersist(blocking = false))
+    val out = graft.core.Materialize.releasing(done, pts +: loopCaches.toSeq)
     out.select(col("gid"), explode(col("anbrs")).as("anbr"))
   }
 

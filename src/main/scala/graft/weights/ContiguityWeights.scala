@@ -36,13 +36,26 @@ object ContiguityWeights {
 
   /** First-order adjacency pairs `(gid, nbr)`, both directions. */
   def adjacency(polys: DataFrame, conf: Conf): DataFrame = {
+    val (pairs, cachedSrc) = adjacencyLazy(polys, conf)
+    // materialize once, release the vertex/edge cache (scoped-release
+    // pattern — see graft.core.Materialize)
+    graft.core.Materialize.releasing(pairs, Seq(cachedSrc))
+  }
+
+  /** Pre-materialization adjacency: (lazy pairs frame, the internal
+    * cache backing it). Test seam — plan-shape assertions must look at
+    * this frame, because [[adjacency]] returns a checkpointed frame
+    * whose executed plan is just a scan of the materialized blocks.
+    */
+  private[graft] def adjacencyLazy(polys: DataFrame,
+                                   conf: Conf): (DataFrame, Dataset[_]) = {
     val spark = polys.sparkSession
     import spark.implicits._
     val prec = conf.precision
     val geoms: Dataset[(Long, Array[Byte])] =
       polys.select(col("gid").cast("long"), col("geom")).as[(Long, Array[Byte])]
 
-    val pairs: DataFrame =
+    val pairs: (DataFrame, Dataset[_]) =
       if (conf.queen) {
         val verts = geoms.flatMap { case (gid, wkb) =>
           Wkb.read(wkb) match {
@@ -60,10 +73,10 @@ object ContiguityWeights {
             case _ => Nil
           }
         }.toDF("gid", "kx", "ky").cache() // both sides of the self-join
-        verts.as("a").join(verts.as("b"),
+        (verts.as("a").join(verts.as("b"),
             $"a.kx" === $"b.kx" && $"a.ky" === $"b.ky" &&
               $"a.gid" =!= $"b.gid")
-          .select($"a.gid".as("gid"), $"b.gid".as("nbr"))
+          .select($"a.gid".as("gid"), $"b.gid".as("nbr")), verts)
       } else {
         val edges = geoms.flatMap { case (gid, wkb) =>
           Wkb.read(wkb) match {
@@ -91,13 +104,13 @@ object ContiguityWeights {
             case _ => Nil
           }
         }.toDF("gid", "ax", "ay", "bx", "by").cache()
-        edges.as("a").join(edges.as("b"),
+        (edges.as("a").join(edges.as("b"),
             $"a.ax" === $"b.ax" && $"a.ay" === $"b.ay" &&
               $"a.bx" === $"b.bx" && $"a.by" === $"b.by" &&
               $"a.gid" =!= $"b.gid")
-          .select($"a.gid".as("gid"), $"b.gid".as("nbr"))
+          .select($"a.gid".as("gid"), $"b.gid".as("nbr")), edges)
       }
-    pairs.distinct()
+    (pairs._1.distinct(), pairs._2)
   }
 
   /** Order-k adjacency with optional lower orders (BFS by self-joins). */
@@ -105,6 +118,7 @@ object ContiguityWeights {
     val adj1 = adjacency(polys, conf)
     if (conf.order <= 1) return adj1
     adj1.cache()
+    val loopCaches = scala.collection.mutable.ArrayBuffer[Dataset[_]](adj1)
     val hop = adj1.select(col("gid").as("__m"), col("nbr").as("__n"))
     var frontier = adj1          // exactly order-o pairs
     var visited = adj1           // all pairs of order <= o
@@ -120,12 +134,13 @@ object ContiguityWeights {
           col("gid") === col("__vg") && col("nbr") === col("__vn"),
           "left_anti")
         .cache()
+      loopCaches += next
       visited = visited.unionByName(next)
       accum = if (conf.includeLowerOrder) accum.unionByName(next) else next
       frontier = next
       o += 1
     }
-    accum.distinct()
+    graft.core.Materialize.releasing(accum.distinct(), loopCaches.toSeq)
   }
 
   /** Per-row binary weights `(gid, nbrs array<long> sorted, wts=null)`.

@@ -59,7 +59,15 @@ object DistanceWeights {
     */
   def pairs(points: DataFrame, conf: Conf): DataFrame = {
     if (!conf.isArc) {
-      val cellSize = conf.threshold
+      // Cell edge strictly > threshold (relative 1e-9 slack): the 3×3
+      // block is provably complete when cell >= threshold in EXACT
+      // arithmetic, but at cell == threshold a pair at distance exactly
+      // == threshold sits in a sub-ulp window where fl(x/cell) can round
+      // across an integer boundary and put the endpoints 2 cells apart.
+      // The slack (~1e-9 rel, >> the ~1e-10 worst-case fp index error at
+      // the Tiling index range) restores a real margin for the inclusive
+      // boundary without the 5×5 fanout.
+      val cellSize = conf.threshold * (1 + 1e-9)
       val pts = points.select(col("gid"), col("x"), col("y"))
         .withColumn("cell", Tiling.cellIdCol(col("x"), col("y"), cellSize))
       val deltas = (for (dx <- -1 to 1; dy <- -1 to 1)
@@ -78,7 +86,8 @@ object DistanceWeights {
     } else {
       val degLen = (if (conf.isMile) Dist.EarthMiles else Dist.EarthKm) *
         math.Pi / 180.0 // one degree of latitude (or of a great circle)
-      val cellSize = math.max(conf.threshold / degLen, 1e-9)
+      // same 1e-9 inclusive-boundary slack as the planar grid above
+      val cellSize = math.max(conf.threshold / degLen, 1e-9) * (1 + 1e-9)
       // number of longitude cells in the full ring (antimeridian wrap)
       val nLonCells = math.max(1L, math.ceil(360.0 / cellSize).toLong)
       val latExtent = cellSize // the band spans ≤ cellSize degrees of lat

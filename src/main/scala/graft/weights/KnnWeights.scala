@@ -305,16 +305,9 @@ object KnnWeights {
       }
     }
     // Materialize once (one pass over the already-cached parents), then
-    // release the internal caches. cache() here would pin the result in
-    // the CacheManager forever — callers receive a lazy frame and have no
-    // reason to unpersist it; localCheckpoint blocks are owned by the RDD
-    // alone, so the ContextCleaner reclaims them as soon as the caller
-    // drops the frame. Lineage truncation also means the unpersists below
-    // can never trigger a recompute of the 9N-row shuffle.
-    val out = done.localCheckpoint(true)
-    round1.unpersist(blocking = false)
-    loopCaches.foreach(_.unpersist(blocking = false))
-    out
+    // release the internal caches — see graft.core.Materialize for the
+    // rationale and the reliable-checkpoint cluster mode.
+    graft.core.Materialize.releasing(done, round1 +: loopCaches.toSeq)
   }
 
   /** `knn_weights_sub(gid, geom, k, start, end)` parity

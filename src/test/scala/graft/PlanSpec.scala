@@ -65,11 +65,14 @@ class PlanSpec extends AnyFunSuite {
     // classes must not trip Janino (which would WARN + fall back to
     // interpreted encoders); assert results still flow and the plan is
     // the expected equi-join shape
-    val adj = graft.weights.ContiguityWeights.adjacency(polys,
-      graft.weights.ContiguityWeights.Conf(queen = true))
-    val plan = adj.queryExecution.executedPlan.toString
+    // plan shape must be read from the PRE-checkpoint frame: adjacency()
+    // returns a materialized frame whose plan is just a scan
+    val (lazyAdj, cachedSrc) = graft.weights.ContiguityWeights.adjacencyLazy(
+      polys, graft.weights.ContiguityWeights.Conf(queen = true))
+    val plan = lazyAdj.queryExecution.executedPlan.toString
     assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
       || plan.contains("BroadcastHashJoin"), plan)
-    assert(adj.limit(5).count() > 0)
+    assert(lazyAdj.limit(5).count() > 0)
+    cachedSrc.unpersist(blocking = false)
   }
 }

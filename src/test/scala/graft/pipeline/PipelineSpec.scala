@@ -256,4 +256,48 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.sharedState.cacheManager.isEmpty,
       "knnRows must unpersist round1 and per-iteration topk caches")
   }
+
+  test("dedup / IVF / contiguity builds leave no cached DF behind") {
+    val docs = SynthGeo.table(spark, dir, "documents")
+    val emb = SynthGeo.table(spark, dir, "embeddings")
+    spark.sharedState.cacheManager.clearCache()
+    assert(Dedup.minhashLsh(docs).count() >= 0)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "minhashLsh must release its signature cache")
+    assert(Dedup.simhashDup(docs).count() >= 0)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "simhashDup must release its hash cache")
+    assert(Dedup.embeddingNearDup(emb.limit(100)).count() >= 0)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "embeddingNearDup must release its signature cache")
+    val q = emb.limit(5).select(col("vec_id"), col("embedding"))
+    assert(Similarity.ivfTopK(emb.limit(200), q, k = 3).count() > 0)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "ivfTopK/ivfCentroids must release the corpus and centroid caches")
+    val polys = SynthGeo.partPolygons(spark, dir)
+    val adj = graft.weights.ContiguityWeights.build(polys,
+      graft.weights.ContiguityWeights.Conf(queen = true, order = 2,
+        includeLowerOrder = true))
+    assert(adj.count() > 0)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "contiguity adjacency/orderedAdjacency must release vertex and " +
+        "BFS-iteration caches")
+  }
+
+  test("reliable-checkpoint flag produces identical results") {
+    val pts = SynthGeo.customerPoints(spark, dir)
+    val base = graft.weights.KnnWeights.build(pts,
+      graft.weights.KnnWeights.Conf(k = 4, cellSize = Some(4.0)))
+      .orderBy("gid").collect()
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-ck").toString
+    spark.sparkContext.setCheckpointDir(ckDir)
+    spark.conf.set(graft.core.Materialize.ReliableConfKey, "true")
+    try {
+      val reliable = graft.weights.KnnWeights.build(pts,
+        graft.weights.KnnWeights.Conf(k = 4, cellSize = Some(4.0)))
+        .orderBy("gid").collect()
+      assert(reliable.sameElements(base),
+        "reliable-checkpoint mode must be result-identical")
+    } finally spark.conf.set(graft.core.Materialize.ReliableConfKey, "false")
+  }
 }
