@@ -16,12 +16,15 @@ import org.apache.spark.sql.functions._
   * input_hint invariant), `text`/`lang` left null for the pipeline's
   * own extraction stages.
   *
-  * Parsing is per-file on executors (Spark's `binaryFile` source:
-  * one task per file, files ≤2 GB — Common Crawl segments are ~1 GB,
-  * so one segment = one task is exactly the parallelism a 100 TB crawl
-  * wants: ~10^5 segment files spread over the cluster). `.warc.gz` is
-  * handled transparently: Common Crawl gzips each record as its own
-  * member, and `GZIPInputStream` reads concatenated members natively.
+  * Parsing is per-file on executors through the streaming DataSource V2
+  * ([[WarcDataSource]]): one segment file = one input partition —
+  * exactly the parallelism a 100 TB crawl wants (~10^5 segment files
+  * spread over the cluster) — with records decoded incrementally off
+  * the open file stream, so neither the compressed segment nor the
+  * decompressed stream is ever materialized (no 2 GB cap; task memory
+  * is bounded by one record's payload). `.warc.gz` is handled
+  * transparently: Common Crawl gzips each record as its own member, and
+  * `GZIPInputStream` reads concatenated members natively.
   *
   * Malformed tails/records are skipped, not fatal — a crawl segment
   * with a truncated last record must not kill a 10^5-file read.
@@ -33,41 +36,68 @@ object Warc {
     */
   private val KeptTypes = Set("response", "conversion")
 
-  def read(spark: SparkSession, path: String): DataFrame = {
-    import spark.implicits._
-    spark.read.format("binaryFile").load(path)
-      .select(col("path"), col("content"))
-      .as[(String, Array[Byte])]
-      .flatMap { case (_, bytes) => parseAll(bytes) }
-      .toDF("url", "warc_ts_s", "html")
+  /** Read WARC files through the streaming DataSource V2
+    * ([[WarcDataSource]], short name "warc"): one file = one input
+    * partition, records decoded incrementally off the open file stream —
+    * the compressed segment is never materialized, so there is no 2 GB
+    * file cap and task memory is bounded by ONE record's payload.
+    */
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("warc").load(path)
       .select(col("url"),
         to_timestamp(col("warc_ts_s")).as("warc_ts"),
         col("html"),
         lit(null).cast("string").as("text"),
         lit(null).cast("string").as("lang"))
+
+  /** Incrementally parse kept records off an open (possibly gzipped)
+    * WARC stream. LAZY: each `next()` reads exactly one record off the
+    * stream, so memory is bounded by one record's payload regardless of
+    * file size — the contract the DSv2 reader and any flatMap caller
+    * rely on. The caller owns closing the underlying stream.
+    */
+  def records(in0: java.io.InputStream): Iterator[(String, String, Array[Byte])] = {
+    val in = new java.io.DataInputStream(
+      new java.io.BufferedInputStream(maybeGunzip(in0), 1 << 16))
+    new Iterator[(String, String, Array[Byte])] {
+      private var nextRec: (String, String, Array[Byte]) = _
+      private var done = false
+      private def advance(): Unit =
+        while (nextRec == null && !done) {
+          try readRecord(in) match {
+            case Parsed(Some(r)) => nextRec = r
+            case Parsed(None)    => () // skipped type
+            case Eof             => done = true
+            case Malformed       => done = true // truncated tail: keep parsed
+          } catch { case _: java.io.IOException => done = true } // corrupt gz
+        }
+      override def hasNext: Boolean = { advance(); nextRec != null }
+      override def next(): (String, String, Array[Byte]) = {
+        advance()
+        if (nextRec == null) throw new NoSuchElementException("WARC EOF")
+        val r = nextRec; nextRec = null; r
+      }
+    }
   }
 
-  /** Parse every kept record of one (possibly gzipped) WARC file.
-    * Returns (url, iso-ts, payload-bytes). Streaming: decompressed bytes
-    * are never materialized whole — memory is bounded by ONE record's
-    * payload, so a segment whose decompressed size exceeds 2 GB (typical
-    * for ~1 GB .warc.gz) parses fine; only a single record over 2 GB is
-    * skipped (streamed past, not buffered).
+  /** Parse every kept record of one in-memory (possibly gzipped) WARC
+    * blob — the hermetic-test twin of the streaming path. Lazy: the
+    * returned iterator decodes one record per `next()`.
     */
-  def parseAll(raw: Array[Byte]): Seq[(String, String, Array[Byte])] = {
-    val base = new java.io.ByteArrayInputStream(raw)
-    val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
-      if (isGzip(raw)) new GZIPInputStream(base, 1 << 16) else base, 1 << 16))
-    val out = Seq.newBuilder[(String, String, Array[Byte])]
-    try {
-      var ok = true
-      while (ok) readRecord(in) match {
-        case Parsed(rec) => rec.foreach(out += _)
-        case Eof => ok = false
-        case Malformed => ok = false // truncated tail: keep what parsed
-      }
-    } catch { case _: java.io.IOException => () } // corrupt gzip tail
-    out.result()
+  def parseAll(raw: Array[Byte]): Iterator[(String, String, Array[Byte])] =
+    records(new ByteArrayInputStream(raw))
+
+  /** Transparent member-wise gunzip: Common Crawl gzips each record as
+    * its own member and GZIPInputStream reads concatenated members
+    * natively. Detection peeks 2 bytes (pushback), so plain WARC streams
+    * pass through untouched.
+    */
+  private[sources] def maybeGunzip(in: java.io.InputStream): java.io.InputStream = {
+    val pb = new java.io.PushbackInputStream(in, 2)
+    val b1 = pb.read(); val b2 = pb.read()
+    if (b2 >= 0) pb.unread(b2)
+    if (b1 >= 0) pb.unread(b1)
+    if (b1 == 0x1f && b2 == 0x8b) new GZIPInputStream(pb, 1 << 16) else pb
   }
 
   private sealed trait ReadResult
@@ -76,16 +106,20 @@ object Warc {
   private case object Eof extends ReadResult
   private case object Malformed extends ReadResult
 
-  /** Read one CRLF-terminated header line; null at EOF. */
+  /** Read one CRLF-terminated header line; null at EOF. Bytes are
+    * UTF-8-decoded (ISO 28500 §4: WARC header fields are UTF-8), so a
+    * WARC-Target-URI with non-ASCII bytes survives intact rather than
+    * being mojibaked by per-byte char casts.
+    */
   private def readLine(in: java.io.InputStream): String = {
-    val sb = new java.lang.StringBuilder(64)
+    val buf = new ByteArrayOutputStream(64)
     var c = in.read()
     if (c < 0) return null
     while (c >= 0 && c != '\n') {
-      if (c != '\r') sb.append(c.toChar)
+      if (c != '\r') buf.write(c)
       c = in.read()
     }
-    sb.toString
+    new String(buf.toByteArray, StandardCharsets.UTF_8)
   }
 
   private def readRecord(in: java.io.DataInputStream): ReadResult = {
@@ -148,9 +182,6 @@ object Warc {
     }
     payload // headers never terminated: keep raw rather than drop bytes
   }
-
-  private def isGzip(b: Array[Byte]): Boolean =
-    b.length > 2 && b(0) == 0x1f.toByte && b(1) == 0x8b.toByte
 
   /** Test/fixture helper: serialize records into WARC/1.0 bytes. */
   def write(records: Seq[(String, String, String, Array[Byte])])

@@ -5,6 +5,7 @@ import java.io.ByteArrayOutputStream
 import java.nio.charset.StandardCharsets
 import java.nio.file.Files
 import java.util.zip.GZIPOutputStream
+import org.apache.spark.sql.functions.{col, length}
 import org.scalatest.funsuite.AnyFunSuite
 
 class WarcSpec extends AnyFunSuite {
@@ -23,7 +24,7 @@ class WarcSpec extends AnyFunSuite {
       "extracted text".getBytes(StandardCharsets.UTF_8)))
 
   test("parseAll keeps response/conversion, skips warcinfo/request") {
-    val parsed = Warc.parseAll(Warc.write(recs))
+    val parsed = Warc.parseAll(Warc.write(recs)).toSeq
     assert(parsed.map(_._1) ==
       Seq("https://a.example/1", "https://a.example/2", "https://a.example/3"))
     assert(parsed(0)._3.sameElements(recs(2)._4)) // payload byte-identity
@@ -38,8 +39,8 @@ class WarcSpec extends AnyFunSuite {
       val gz = new GZIPOutputStream(out)
       gz.write(Warc.write(Seq(r))); gz.finish()
     }
-    val parsed = Warc.parseAll(out.toByteArray)
-    assert(parsed.map(_._1) == Warc.parseAll(Warc.write(recs)).map(_._1))
+    val parsed = Warc.parseAll(out.toByteArray).toSeq
+    assert(parsed.map(_._1) == Warc.parseAll(Warc.write(recs)).toSeq.map(_._1))
     assert(parsed(1)._3.sameElements(recs(3)._4))
   }
 
@@ -51,7 +52,7 @@ class WarcSpec extends AnyFunSuite {
       ("response", "https://h.example/p", "2026-03-01T00:00:00Z", httpMsg),
       ("conversion", "https://h.example/t", "2026-03-01T00:00:01Z",
         "plain text".getBytes(StandardCharsets.UTF_8))))
-    val parsed = Warc.parseAll(blob)
+    val parsed = Warc.parseAll(blob).toSeq
     assert(new String(parsed(0)._3, StandardCharsets.UTF_8) == htmlBody)
     assert(new String(parsed(1)._3, StandardCharsets.UTF_8) == "plain text")
     // non-HTTP response payload passes through untouched
@@ -78,10 +79,113 @@ class WarcSpec extends AnyFunSuite {
   test("truncated tail record is dropped, prefix survives") {
     val whole = Warc.write(recs)
     val cut = java.util.Arrays.copyOfRange(whole, 0, whole.length - 20)
-    val parsed = Warc.parseAll(cut)
+    val parsed = Warc.parseAll(cut).toSeq
     // last record (conversion) was cut mid-payload → first two survive
     assert(parsed.map(_._1) ==
       Seq("https://a.example/1", "https://a.example/2"))
+  }
+
+  test("DSv2 streaming read parses byte-identically to the in-memory path") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("warcdsv2").toFile
+    // multi-member .warc.gz (CC layout) + a plain .warc side file
+    val out = new ByteArrayOutputStream()
+    recs.foreach { r =>
+      val gz = new GZIPOutputStream(out)
+      gz.write(Warc.write(Seq(r))); gz.finish()
+    }
+    Files.write(new java.io.File(dir, "seg-0.warc.gz").toPath, out.toByteArray)
+    val recs2 = Seq(("response", "https://b.example/x",
+      "2026-05-01T00:00:00Z", "<html>two</html>".getBytes("UTF-8")))
+    Files.write(new java.io.File(dir, "seg-1.warc").toPath, Warc.write(recs2))
+    // short-name registration works
+    val df = spark.read.format("warc").load(dir.getAbsolutePath)
+    assert(df.columns.toSeq == Seq("url", "warc_ts_s", "html"))
+    val got = df.select("url", "warc_ts_s", "html")
+      .as[(String, String, Array[Byte])].collect()
+      .sortBy(r => (r._1, r._2)).toSeq
+    val want = (Warc.parseAll(out.toByteArray) ++
+        Warc.parseAll(Warc.write(recs2))).toSeq
+      .sortBy(r => (r._1, r._2))
+    assert(got.map(_._1) == want.map(_._1))
+    assert(got.map(_._2) == want.map(_._2))
+    got.zip(want).foreach { case (g, w) =>
+      assert(g._3.sameElements(w._3), s"payload mismatch for ${g._1}") }
+    // one file = one input partition
+    assert(df.rdd.getNumPartitions == 2)
+  }
+
+  test("DSv2 read preserves non-ASCII UTF-8 target URIs") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("warcutf8").toFile
+    val url = "https://u.example/café/日本語"
+    Files.write(new java.io.File(dir, "s.warc").toPath, Warc.write(Seq(
+      ("response", url, "2026-06-01T00:00:00Z",
+        "<html>x</html>".getBytes(StandardCharsets.UTF_8)))))
+    val got = spark.read.format("warc").load(dir.getAbsolutePath)
+      .select("url").as[String].head()
+    assert(got == url, "WARC headers are UTF-8 (ISO 28500)")
+  }
+
+  test("records() is lazy: one record per next(), stream position bounded") {
+    // a counting stream proves next() does not read ahead past the
+    // current record: after consuming record 1 of 3, the bytes read must
+    // be well under the full stream length
+    val blob = Warc.write(Seq(
+      ("response", "https://l.example/1", "2026-01-01T00:00:00Z",
+        Array.fill[Byte](100000)('a')),
+      ("response", "https://l.example/2", "2026-01-01T00:00:01Z",
+        Array.fill[Byte](100000)('b')),
+      ("response", "https://l.example/3", "2026-01-01T00:00:02Z",
+        Array.fill[Byte](100000)('c'))))
+    var pos = 0L
+    val counting = new java.io.InputStream {
+      private val in = new java.io.ByteArrayInputStream(blob)
+      override def read(): Int = { val r = in.read(); if (r >= 0) pos += 1; r }
+      override def read(b: Array[Byte], off: Int, len: Int): Int = {
+        val r = in.read(b, off, len); if (r > 0) pos += r; r
+      }
+    }
+    val it = Warc.records(counting)
+    assert(it.next()._1 == "https://l.example/1")
+    // one 64 KiB buffer of readahead is allowed; the remaining two
+    // 100 KB records must NOT have been pulled
+    assert(pos < 100000 + (1 << 16) + 4096,
+      s"records() read $pos of ${blob.length} bytes after one record")
+    assert(it.toSeq.map(_._1) ==
+      Seq("https://l.example/2", "https://l.example/3"))
+  }
+
+  test("large multi-member segment streams through the DSv2 reader") {
+    // Size-parameterized stand-in for the >2GB case (set
+    // SPARK_GRAFT_BIG_WARC=1 for the real 2.2 GB run): the reader path
+    // is identical at any size — per-member streaming gunzip, no
+    // whole-file materialization — so parsing a segment of N members
+    // with bounded heap at 64 MB exercises the same code path that
+    // lifts the binaryFile 2 GB cap.
+    import spark.implicits._
+    val big = sys.env.get("SPARK_GRAFT_BIG_WARC").contains("1")
+    val members = if (big) 2400 else 64
+    val payload = new Array[Byte](1 << 20) // 1 MiB, poorly compressible
+    val rnd = new java.util.Random(42)
+    rnd.nextBytes(payload)
+    val dir = Files.createTempDirectory("warcbig").toFile
+    val f = new java.io.File(dir, "big.warc.gz")
+    val fout = new java.io.BufferedOutputStream(
+      new java.io.FileOutputStream(f), 1 << 16)
+    (0 until members).foreach { i =>
+      val gz = new GZIPOutputStream(fout)
+      gz.write(Warc.write(Seq(("response", s"https://big.example/$i",
+        "2026-07-01T00:00:00Z", payload))))
+      gz.finish()
+    }
+    fout.close()
+    if (big) assert(f.length() > (1L << 31), s"want >2GB, got ${f.length()}")
+    val rows = spark.read.format("warc").load(f.getAbsolutePath)
+      .select(col("url"), length(col("html")).as("len"))
+      .as[(String, Long)].collect()
+    assert(rows.length == members)
+    assert(rows.forall(_._2 == payload.length))
   }
 
   test("Spark read maps to the page schema with byte-identical html") {
