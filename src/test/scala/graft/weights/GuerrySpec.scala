@@ -195,6 +195,52 @@ class GuerrySpec extends AnyFunSuite {
       assert(mqGot(g) == ((e(24), e(25))),
         s"mq gid $g: got ${mqGot(g)} want (${e(24)},${e(25)})")
     }
+    // 'lookup' permutation mode for the same five statistics (harness
+    // cols: jc_lkp 34, bjc_lkp 35, mjc_lkp 36, ql_lkp 37, mq_lkp 38) —
+    // stat columns are mode-independent, so only p changes
+    val confLk = graft.stats.Lisa.Conf(permMethod = "lookup")
+    def lkMap(df: org.apache.spark.sql.DataFrame): Map[Long, (Double, Double)] =
+      df.as[(Long, Double, Double, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+    val jcLk = lkMap(graft.stats.Lisa.localJoinCount(
+      guerry.toSeq.map(t => (t._1, x1(t))).toDF("gid", "value"), w, confLk))
+    val bjcLk = lkMap(graft.stats.Lisa.localBiJoinCount(
+      guerry.toSeq.map(t => (t._1, x1(t), 1.0 - x1(t)))
+        .toDF("gid", "value", "value2"), w, confLk))
+    val mjcLk = lkMap(graft.stats.Lisa.localMultiJoinCount(
+      guerry.toSeq.map(t => (t._1, Seq(x1(t), x3(t)))).toDF("gid", "vals"),
+      w, confLk))
+    val qlLk = lkMap(graft.stats.Lisa.quantileLisa(5, 5,
+      guerry.toSeq.map(t => (t._1, t._3)).toDF("gid", "value"), w, confLk))
+    val mqLk = lkMap(graft.stats.Lisa.multiQuantileLisa(Array(2, 2),
+      Array(2, 1),
+      guerry.toSeq.map(t => (t._1, Seq(t._3, t._5))).toDF("gid", "vals"),
+      w, confLk))
+    (0L until 85L).foreach { g =>
+      val e = expectedLisa(g)
+      assert(jcLk(g) == ((e(12), e(34))),
+        s"jc-lookup gid $g: got ${jcLk(g)} want (${e(12)},${e(34)})")
+      assert(bjcLk(g) == ((e(14), e(35))),
+        s"bjc-lookup gid $g: got ${bjcLk(g)} want (${e(14)},${e(35)})")
+      assert(mjcLk(g) == ((e(16), e(36))),
+        s"mjc-lookup gid $g: got ${mjcLk(g)} want (${e(16)},${e(36)})")
+      assert(qlLk(g) == ((e(22), e(37))),
+        s"ql-lookup gid $g: got ${qlLk(g)} want (${e(22)},${e(37)})")
+      assert(mqLk(g) == ((e(24), e(38))),
+        s"mq-lookup gid $g: got ${mqLk(g)} want (${e(24)},${e(38)})")
+    }
+    // lookup-mode multivariate Geary (harness cols mg 19, mg_lkp 39,
+    // mg_lkc 40)
+    val mvalsLk = guerry.toSeq.map(t => (t._1, Seq(t._3, t._5)))
+      .toDF("gid", "vals")
+    graft.stats.Lisa.localMultiGeary(mvalsLk, w, confLk)
+      .as[(Long, Double, Double, Double)].collect()
+      .foreach { case (g, stat, p, c) =>
+        val e = expectedLisa(g)
+        assert(stat == e(19) && p == e(39) && c == e(40),
+          s"multigeary-lookup gid $g: got ($stat,$p,$c) " +
+            s"want (${e(19)},${e(39)},${e(40)})")
+      }
     w.unpersist()
   }
 

@@ -344,7 +344,7 @@ int main(void) {
     for (int i = 0; i < N_OBS; i++) if (n_nbrs[i] > maxk) maxk = n_nbrs[i];
     int *lk_table = build_lookup(N_OBS, maxk);
 
-    printf("gid\tmoran_i\tmoran_p\tmoran_c\tg\tg_p\tg_c\tgstar\tgstar_p\tgstar_c\tgeary\tgeary_p\tgeary_c\tjc\tjc_p\tbjc\tbjc_p\tmjc\tmjc_p\tnn\tmg\tmg_p\tmg_c\tql\tql_p\tmq\tmq_p\tmo_lkp\tmo_lkc\tg_lkp\tg_lkc\tgs_lkp\tgs_lkc\tge_lkp\tge_lkc\n");
+    printf("gid\tmoran_i\tmoran_p\tmoran_c\tg\tg_p\tg_c\tgstar\tgstar_p\tgstar_c\tgeary\tgeary_p\tgeary_c\tjc\tjc_p\tbjc\tbjc_p\tmjc\tmjc_p\tnn\tmg\tmg_p\tmg_c\tql\tql_p\tmq\tmq_p\tmo_lkp\tmo_lkc\tg_lkp\tg_lkc\tgs_lkp\tgs_lkc\tge_lkp\tge_lkc\tjc_lkp\tbjc_lkp\tmjc_lkp\tql_lkp\tmq_lkp\tmg_lkp\tmg_lkc\n");
     for (int i = 0; i < N_OBS; i++) {
         int m = n_nbrs[i];
         double pm;
@@ -424,11 +424,26 @@ int main(void) {
         double mgp = permutation_p(i, m, N_OBS, mgobs, stat_mgeary, z, 0,
                                    &work, drawn, &pm);
         int mgc = mgp <= CUTOFF ? 1 : 0;
-        printf("%d\t%.17g\t%.17g\t%d\t%.17g\t%.17g\t%d\t%.17g\t%.17g\t%d\t%.17g\t%.17g\t%d\t%.17g\t%.17g\t%.17g\t%.17g\t%.17g\t%.17g\t%d\t%.17g\t%.17g\t%d\t%.17g\t%.17g\t%.17g\t%.17g\t%.17g\t%d\t%.17g\t%d\t%.17g\t%d\t%.17g\t%d\n",
+        /* lookup-mode join-count family: same shared table, p only
+         * defined where the home indicator is 1 and the observed count
+         * is nonzero (else -1), same as the 'complete' columns */
+        double jclk[5];
+        for (int s = 0; s < 5; s++) {
+            double xi = side1[s][i];
+            if (xi != 1.0 || st[s] == 0.0) jclk[s] = -1.0;
+            else jclk[s] = lookup_p(i, m, lk_table, maxk, st[s], stat_jc,
+                                    side2[s], xi, drawn, &lk_pm);
+        }
+        /* lookup-mode multivariate Geary */
+        double mg_lkp = lookup_p(i, m, lk_table, maxk, mgobs, stat_mgeary,
+                                 z, 0, drawn, &lk_pm);
+        int mg_lkc = mg_lkp <= CUTOFF ? 1 : 0;
+        printf("%d\t%.17g\t%.17g\t%d\t%.17g\t%.17g\t%d\t%.17g\t%.17g\t%d\t%.17g\t%.17g\t%d\t%.17g\t%.17g\t%.17g\t%.17g\t%.17g\t%.17g\t%d\t%.17g\t%.17g\t%d\t%.17g\t%.17g\t%.17g\t%.17g\t%.17g\t%d\t%.17g\t%d\t%.17g\t%d\t%.17g\t%d\t%.17g\t%.17g\t%.17g\t%.17g\t%.17g\t%.17g\t%d\n",
                i, mo, mp, mc, gobs, gp, gc, gsobs, gsp, gsc, geobs, gep, gec,
                st[0], jc[0], st[1], jc[1], st[2], jc[2], m, mgobs, mgp, mgc,
                st[3], jc[3], st[4], jc[4], mo_lkp, mo_lkc,
-               g_lkp, g_lkc, gs_lkp, gs_lkc, ge_lkp, ge_lkc);
+               g_lkp, g_lkc, gs_lkp, gs_lkc, ge_lkp, ge_lkc,
+               jclk[0], jclk[1], jclk[2], jclk[3], jclk[4], mg_lkp, mg_lkc);
     }
     return 0;
 }
