@@ -72,7 +72,16 @@ object Bench {
     try SparkEntry.queries("q14_spatial_lag")(spark, sfDir).count()
     catch { case _: Throwable => }
 
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q13,q27 → time only the named query prefixes
+    // (A/B debugging); unset = the full suite (driver mode)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+    val selected = only match {
+      case Some(ps) => SparkEntry.queries.filter { case (n, _) =>
+        ps.exists(n.startsWith) }
+      case None => SparkEntry.queries
+    }
+    val results = selected.map { case (name, fn) =>
       name -> timed(runs) { fn(spark, sfDir).count(): Unit }
     }
     val qs = results.map { case (k, (med, _)) => "\"" + k + "\":" + med }
@@ -80,6 +89,13 @@ object Bench {
     val qsMin = results.map { case (k, (_, mn)) => "\"" + k + "\":" + mn }
       .mkString("{", ",", "}")
     val total = results.values.map(_._1).sum
+
+    if (only.isDefined) {
+      // focused A/B run: skip the pipeline/Moran headline sections
+      println(s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$runs,"queries":$qs,"queries_min":$qsMin,"sf":"$sfDir","cpus":"$cpus"}""")
+      spark.stop()
+      return
+    }
 
     // north-rule headline: full webtext pipeline (no checkpoint IO),
     // rebuilt from scratch each run (fresh caches) so the median times

@@ -35,7 +35,15 @@ object Regionalize {
         * and stream the sorted edges to the driver's union-find instead
         * of collecting all E edges (first-order single linkage only;
         * result is bit-identical — same (d, a, b) tie-break order). */
-      distributedMst: Boolean = false)
+      distributedMst: Boolean = false,
+      /** Below this many observations the collect-path MST runs even
+        * when `distributedMst` is set: at toy N the Spark range-sort's
+        * fixed stage latency (~1 s) dwarfs the O(E log E) driver sort it
+        * replaces, and the two paths are bit-identical anyway (the
+        * distributed sort key (d, a, b) IS the driver tie-break). Set 0
+        * to force the distributed path (tests / benchmarking).
+        */
+      distributedMstMinRows: Int = 65536)
 
   /** values: (gid, vals array<double>); weights: (gid, nbrs). */
   def run(values: DataFrame, weights: DataFrame, conf: Conf,
@@ -62,7 +70,8 @@ object Regionalize {
     }
 
     val labels =
-      if (conf.distributedMst && conf.method == "firstorder-singlelinkage") {
+      if (conf.distributedMst && n >= conf.distributedMstMinRows &&
+          conf.method == "firstorder-singlelinkage") {
         val tree = firstOrderTreeDistributed(weights, scaled, gids,
           conf.distType == "manhattan")
         require(tree.length == n - 1,

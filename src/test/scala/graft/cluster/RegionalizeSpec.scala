@@ -45,7 +45,8 @@ class RegionalizeSpec extends AnyFunSuite {
       val conf = Regionalize.Conf(k = k)
       val drv = Regionalize.run(vals, w, conf)
         .orderBy("gid").as[(Long, Int)].collect()
-      val dist = Regionalize.run(vals, w, conf.copy(distributedMst = true))
+      val dist = Regionalize.run(vals, w, conf.copy(distributedMst = true,
+          distributedMstMinRows = 0))
         .orderBy("gid").as[(Long, Int)].collect()
       assert(drv.sameElements(dist), s"k=$k")
     }
@@ -56,7 +57,8 @@ class RegionalizeSpec extends AnyFunSuite {
       .toDF("gid", "vals")
     val e = intercept[Exception] {
       Regionalize.run(vBad, wBad,
-        Regionalize.Conf(k = 2, distributedMst = true)).collect()
+        Regionalize.Conf(k = 2, distributedMst = true,
+          distributedMstMinRows = 0)).collect()
     }
     assert(e.getMessage.contains("disconnected"))
   }
