@@ -85,9 +85,25 @@ object ScaleBench {
           Lisa.Conf(permMethod = "lookup"))
           .agg(sum("stat")).head()
       }
+      // the round-4 tile-mode additions: multivariate + quantile
+      // families at the same scale, lookup mode (the unbounded path)
+      val mvals = points.select(col("gid"), array(
+        pmod(xxhash64(col("gid"), lit(2)), lit(1000L)).cast("double"),
+        pmod(xxhash64(col("gid"), lit(5)), lit(1000L)).cast("double"))
+        .as("vals"))
+      val (_, tTileMg) = time {
+        graft.stats.TileLisa.runMulti(graft.stats.TileLisa.MultiGeary,
+          points, mvals, w, tileSize, Lisa.Conf(permMethod = "lookup"))
+          .agg(sum("stat")).head()
+      }
+      val (_, tTileQl) = time {
+        graft.stats.TileLisa.run(graft.stats.TileLisa.Quantile(5, 5),
+          points, vals, w, tileSize, Lisa.Conf(permMethod = "lookup"))
+          .agg(sum("stat")).head()
+      }
       val rate = (t: Double) => math.round(n / t)
       println(
-        s"""{"metric":"scale_pipeline","n":$n,"cpus":"$cpus","unit":"sec","knn10_sec":$tKnn,"knn10_rows_per_sec":${rate(tKnn)},"moran_sec":$tMoran,"moran_rows_per_sec":${rate(tMoran)},"moran_lookup_sec":$tMoranLk,"moran_lookup_rows_per_sec":${rate(tMoranLk)},"gather_sec":$tGather,"joincount_sec":$tJc,"joincount_rows_per_sec":${rate(tJc)},"tile_moran_sec":$tTile,"tile_moran_rows_per_sec":${rate(tTile)},"tile_moran_lookup_sec":$tTileLk,"tile_moran_lookup_rows_per_sec":${rate(tTileLk)}}""")
+        s"""{"metric":"scale_pipeline","n":$n,"cpus":"$cpus","unit":"sec","knn10_sec":$tKnn,"knn10_rows_per_sec":${rate(tKnn)},"moran_sec":$tMoran,"moran_rows_per_sec":${rate(tMoran)},"moran_lookup_sec":$tMoranLk,"moran_lookup_rows_per_sec":${rate(tMoranLk)},"gather_sec":$tGather,"joincount_sec":$tJc,"joincount_rows_per_sec":${rate(tJc)},"tile_moran_sec":$tTile,"tile_moran_rows_per_sec":${rate(tTile)},"tile_moran_lookup_sec":$tTileLk,"tile_moran_lookup_rows_per_sec":${rate(tTileLk)},"tile_multigeary_lookup_sec":$tTileMg,"tile_multigeary_lookup_rows_per_sec":${rate(tTileMg)},"tile_quantile_lookup_sec":$tTileQl,"tile_quantile_lookup_rows_per_sec":${rate(tTileQl)}}""")
     } finally spark.stop()
   }
 }
