@@ -122,7 +122,8 @@ object OracleSql {
     * taken, so clamping never changes the selected value but keeps the
     * inner joins from dropping single-row tiles.
     */
-  private def tileBrkCte(name: String, pctExpr: String, sT: String): String =
+  private def tileBrkCte(name: String, pctExpr: String, sT: String,
+                         extraFrom: String = ""): String =
     s"""$name AS (
        SELECT c.tile,
          CASE WHEN $pctExpr <= 100.0 / c.cnt * 0.5 THEN s0.val
@@ -131,7 +132,7 @@ object OracleSql {
                      - floor($pctExpr * c.cnt / 100.0 - 0.5))
                    * (sb.val - sa.val)
          END AS brk
-       FROM tc c
+       FROM tc c $extraFrom
        JOIN $sT s0 ON s0.tile = c.tile AND s0.rk = 0
        JOIN $sT sl ON sl.tile = c.tile AND sl.rk = CAST(c.cnt AS BIGINT) - 1
        JOIN $sT sa ON sa.tile = c.tile AND sa.rk =
@@ -734,8 +735,8 @@ object OracleSql {
          tc AS (SELECT tile, CAST(count(*) AS DOUBLE) AS cnt
                 FROM tv GROUP BY tile),
          bis AS (SELECT unnest([1, 2, 3, 4]) AS bi),
-         ${tileBrkCte("brks", "(20.0 * g.bi)", "ts")
-           .replace("FROM tc c", "FROM tc c CROSS JOIN bis g")},
+         ${tileBrkCte("brks", "(20.0 * g.bi)", "ts",
+           extraFrom = "CROSS JOIN bis g")},
          ind AS (SELECT tv.gid, tv.tile,
                    CASE WHEN (SELECT count(*) FROM brks b
                               WHERE b.tile = tv.tile AND tv.value >= b.brk)

@@ -68,19 +68,28 @@ object TileLisa {
 
   /** Per-tile LISA over a multivariate value frame (gid, vals:
     * array<double>). Univariate statistics read vals(0).
+    *
+    * Execution: ONE shuffle — `repartition(tile)` +
+    * `sortWithinPartitions(tile, gid)` — then a raw InternalRow pass
+    * that slices consecutive same-tile runs into windows (arrays read
+    * straight out of UnsafeRows; no boxed Seq encoders on the
+    * 10^12-row path). Window order is gid-ascending by the sort, which
+    * is exactly the order the kernels' per-row seed stream requires, so
+    * output is bit-identical under any partitioning.
     */
   def runMulti(stat: Stat, points: DataFrame, values: DataFrame,
                weights: DataFrame, tileSize: Double,
                conf: Lisa.Conf = Lisa.Conf()): DataFrame = {
     val spark = points.sparkSession
-    import spark.implicits._
     val tiles = points.select(col("gid").cast("long"),
       Tiling.cellIdCol(col("x"), col("y"), tileSize).as("tile"))
     val joined = tiles
       .join(values.select(col("gid").cast("long"), col("vals")), Seq("gid"))
       .join(weights.select(col("gid").cast("long"), col("nbrs")), Seq("gid"))
-      .select(col("tile"), col("gid"), col("vals"), col("nbrs"))
-      .as[(Long, Long, Seq[Double], Option[Seq[Long]])]
+      .select(col("tile"), col("gid").cast("long").as("gid"), col("vals"),
+        col("nbrs"))
+      .repartition(col("tile"))
+      .sortWithinPartitions("tile", "gid")
 
     val permutations = conf.permutations
     val seed = conf.seed
@@ -89,25 +98,81 @@ object TileLisa {
     val scaleMethod = conf.scaleMethod
     val which = stat
 
-    joined.groupByKey(_._1).flatMapGroups { (tile, it) =>
-      // materialize the tile window, sorted by gid (window order)
-      val rows = it.toArray.sortBy(_._2)
-      val n = rows.length
-      val gids = new Array[Long](n)
-      var i = 0
-      while (i < n) { gids(i) = rows(i)._2; i += 1 }
-      // column-major value matrix for this window
-      val nv = rows(0)._3.length
-      val mat = Array.ofDim[Double](nv, n)
-      i = 0
-      while (i < n) {
-        val vs = rows(i)._3
-        require(vs.length == nv,
-          s"ragged vals array at gid ${gids(i)} ($nv vs ${vs.length})")
-        var v = 0
-        while (v < nv) { mat(v)(i) = vs(v); v += 1 }
-        i += 1
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    val outRdd = org.apache.spark.sql.graftshim.ColumnShim
+      .toInternalRdd(joined)
+      .mapPartitions { it =>
+        val rowsIt = it.buffered
+        new Iterator[InternalRow] {
+          private var window: Iterator[InternalRow] = Iterator.empty
+          override def hasNext: Boolean = {
+            while (!window.hasNext && rowsIt.hasNext) window = nextWindow()
+            window.hasNext
+          }
+          override def next(): InternalRow = {
+            if (!hasNext) throw new NoSuchElementException
+            window.next()
+          }
+          /** Consume one consecutive same-tile run into a window. */
+          private def nextWindow(): Iterator[InternalRow] = {
+            val tile = rowsIt.head.getLong(0)
+            val gidsB = Array.newBuilder[Long]
+            val valsB = Array.newBuilder[Array[Double]]
+            val nbrsB = Array.newBuilder[Array[Long]]
+            while (rowsIt.hasNext && rowsIt.head.getLong(0) == tile) {
+              val row = rowsIt.next()
+              gidsB += row.getLong(1)
+              valsB += (if (row.isNullAt(2)) Array.emptyDoubleArray
+                        else row.getArray(2).toDoubleArray())
+              nbrsB += (if (row.isNullAt(3)) Array.emptyLongArray
+                        else row.getArray(3).toLongArray())
+            }
+            windowKernel(which, permutations, seed, cutoff, permMethod,
+              scaleMethod)(tile, gidsB.result(), valsB.result(),
+              nbrsB.result())
+          }
+        }
       }
+    org.apache.spark.sql.graftshim.ColumnShim.internalDf(spark, outRdd,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("gid",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("tile",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("stat",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("p",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("c",
+          org.apache.spark.sql.types.DoubleType))))
+  }
+
+  /** Run one tile window (rows already gid-sorted). Everything the
+    * broadcast engine derives globally is derived over the window here
+    * (window-trim semantics, see object doc).
+    */
+  private def windowKernel(which: Stat, permutations: Int, seed: Int,
+      cutoff: Double, permMethod: String, scaleMethod: String)(
+      tile: Long, gids: Array[Long], rowVals: Array[Array[Double]],
+      nbrGids: Array[Array[Long]])
+      : Iterator[org.apache.spark.sql.catalyst.InternalRow] = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    val n = gids.length
+    if (n == 0) return Iterator.empty
+    // column-major value matrix for this window
+    val nv = rowVals(0).length
+    val mat = Array.ofDim[Double](nv, n)
+    var mi = 0
+    while (mi < n) {
+      val vs = rowVals(mi)
+      require(vs.length == nv,
+        s"ragged vals array at gid ${gids(mi)} ($nv vs ${vs.length})")
+      var v = 0
+      while (v < nv) { mat(v)(mi) = vs(v); v += 1 }
+      mi += 1
+    }
       def requireBinary(x: Array[Double], what: String): Unit = {
         var j = 0
         while (j < n) {
@@ -200,8 +265,8 @@ object TileLisa {
       // positions — and learn the window's max degree so 'lookup' mode
       // can size its shared draw table (per window, exactly as the
       // broadcast engine sizes it globally)
-      val trimmed = rows.map { case (_, _, _, nbrOpt) =>
-        nbrOpt.getOrElse(Seq.empty).iterator
+      val trimmed = nbrGids.map { nbrs =>
+        nbrs.iterator
           .map(nb => java.util.Arrays.binarySearch(gids, nb))
           .filter(_ >= 0).toArray
       }
@@ -212,11 +277,11 @@ object TileLisa {
           new LisaKernels.LookupTable(n, maxK, permutations, seed)
         else null // dense/tiny window: 'complete' fallback, as in runKernel
       val scratch = new LisaKernels.Scratch(n, 65536, lt)
-      rows.iterator.zipWithIndex.map { case ((_, gid, _, _), idx) =>
+      Iterator.range(0, n).map { idx =>
         val t = kernelOf(idx, trimmed(idx), scratch)
-        (gid, tile, t.stat, t.p, t.c)
+        new GenericInternalRow(
+          Array[Any](gids(idx), tile, t.stat, t.p, t.c)): InternalRow
       }
-    }.toDF("gid", "tile", "stat", "p", "c")
   }
 
   /** Local Moran per tile (back-compat entry point). */
