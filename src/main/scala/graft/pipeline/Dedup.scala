@@ -39,15 +39,66 @@ object Dedup {
       (0 to words.length - w).map(i => words.slice(i, i + w).mkString(" ")).toArray
   }
 
-  /** MinHash signature: numHashes permutations via seeded FNV. */
+  /** splitmix64 finalizer — full-avalanche 64-bit mix. */
+  @inline private[pipeline] def mix64(x0: Long): Long = {
+    var x = x0
+    x ^= (x >>> 30); x *= 0xbf58476d1ce4e5b9L
+    x ^= (x >>> 27); x *= 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  /** One 64-bit hash per w-word shingle: per-word FNV-1a hashes combined
+    * by a rolling FNV polynomial over the window. Identical shingle-SET
+    * semantics to [[shingles]] (same tokenization, same short-text
+    * rule), but each character is hashed exactly ONCE and no shingle
+    * string is ever materialized — the per-row cost drops from
+    * O(len × w) to O(len + words × w). Any consistent 64-bit shingle
+    * hash family is equivalent for LSH/simhash purposes.
+    */
+  private[pipeline] def shingleHashes(text: String, w: Int): Array[Long] = {
+    val words = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    val nw = words.length
+    if (nw == 0) return Array.emptyLongArray
+    val wh = new Array[Long](nw)
+    var i = 0
+    while (i < nw) { wh(i) = fnv1a(words(i), 0L); i += 1 }
+    if (nw < w) {
+      var h = 0xcbf29ce484222325L
+      i = 0
+      while (i < nw) { h = (h ^ wh(i)) * 0x100000001b3L; i += 1 }
+      return Array(h)
+    }
+    val out = new Array[Long](nw - w + 1)
+    i = 0
+    while (i <= nw - w) {
+      var h = 0xcbf29ce484222325L
+      var j = i
+      while (j < i + w) { h = (h ^ wh(j)) * 0x100000001b3L; j += 1 }
+      out(i) = h
+      i += 1
+    }
+    out
+  }
+
+  /** MinHash signature: one rolling hash per shingle, then numHashes
+    * universal permutations `mix64(h ⊕ seed_i)` — 64 mixes per shingle
+    * instead of 64 full string re-hashes (the dominant dedup cost at
+    * corpus scale; see BENCH.md round 4).
+    */
   private[pipeline] def minhash(text: String, w: Int, numHashes: Int): Array[Long] = {
-    val sh = shingles(text, w)
+    val sh = shingleHashes(text, w)
     val sig = Array.fill(numHashes)(Long.MaxValue)
+    val seeds = new Array[Long](numHashes)
+    var h = 0
+    while (h < numHashes) {
+      seeds(h) = mix64(0x9E3779B97F4A7C15L * (h + 1)); h += 1
+    }
     var i = 0
     while (i < sh.length) {
-      var h = 0
+      val h0 = sh(i)
+      h = 0
       while (h < numHashes) {
-        val v = fnv1a(sh(i), h.toLong * 0x9E3779B97F4A7C15L)
+        val v = mix64(h0 ^ seeds(h))
         if (v < sig(h)) sig(h) = v
         h += 1
       }
@@ -79,10 +130,19 @@ object Dedup {
         (id, b, slice.hashCode.toLong ^ (b.toLong << 32))
       }
     }.toDF("id", "band", "bkey")
-    val cand = banded.as("a").join(banded.as("b"),
-        $"a.band" === $"b.band" && $"a.bkey" === $"b.bkey" &&
-          $"a.id" < $"b.id")
-      .select($"a.id".as("id_a"), $"b.id".as("id_b")).distinct()
+    // candidate pairs by ONE bucket shuffle (groupBy + intra-bucket pair
+    // expansion) instead of a bucket self-join — the join shuffles and
+    // sorts the numBands×N row stream twice; this shuffles it once.
+    // Bucket sizes are LSH-bounded, so the per-bucket pair expansion is
+    // the same (inherently quadratic-in-cluster-size) output the join
+    // produced.
+    val cand = banded.groupBy("band", "bkey")
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .distinct()
     // verify candidates on full signatures
     val withSig = cand
       .join(sigs.select($"id".as("id_a"), $"sig".as("sig_a")), "id_a")
@@ -95,17 +155,21 @@ object Dedup {
     graft.core.Materialize.releasing(out, Seq(sigs))
   }
 
-  /** 64-bit SimHash over word shingles. */
+  /** 64-bit SimHash over word shingles (rolling shingle hashes +
+    * mix64 for per-bit diffusion; no shingle strings materialized).
+    */
   private[pipeline] def simhash(text: String, w: Int): Long = {
-    val sh = shingles(text, w)
+    val sh = shingleHashes(text, w)
     val acc = new Array[Int](64)
-    sh.foreach { s =>
-      val h = fnv1a(s, 0L)
+    var i = 0
+    while (i < sh.length) {
+      val h = mix64(sh(i))
       var b = 0
       while (b < 64) {
         if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
         b += 1
       }
+      i += 1
     }
     var out = 0L
     var b = 0
