@@ -835,6 +835,65 @@ object OracleSql {
                      THEN 1 ELSE 0 END AS BIGINT) AS sig_def
          FROM ind i LEFT JOIN s ON i.gid = s.gid ORDER BY gid""",
 
+    "q75_tile_g" ->
+      s"""WITH $KNN4, $VALS,
+         $TILES40,
+         tv AS (SELECT t.gid, t.tile, v.value
+                FROM tiles t JOIN vals v ON t.gid = v.gid),
+         tot AS (SELECT tile, sum(value) AS sall FROM tv GROUP BY tile),
+         tn AS (SELECT k.gid, k.nbr FROM knn k
+                JOIN tv a ON k.gid = a.gid
+                JOIN tv b ON k.nbr = b.gid AND a.tile = b.tile),
+         num AS (SELECT tn.gid, sum(nb.value) AS sn
+                 FROM tn JOIN tv nb ON tn.nbr = nb.gid GROUP BY tn.gid)
+         SELECT v.gid AS gid, v.tile AS tile,
+                round(CASE WHEN num.sn IS NULL
+                           OR tot.sall - v.value = 0 THEN 0.0
+                      ELSE num.sn / (tot.sall - v.value) END, 8) AS g
+         FROM tv v JOIN tot ON v.tile = tot.tile
+         LEFT JOIN num ON v.gid = num.gid ORDER BY gid""",
+
+    "q76_tile_gstar" ->
+      s"""WITH $KNN4, $VALS,
+         $TILES40,
+         tv AS (SELECT t.gid, t.tile, v.value
+                FROM tiles t JOIN vals v ON t.gid = v.gid),
+         tot AS (SELECT tile, sum(value) AS sall FROM tv GROUP BY tile),
+         tn AS (SELECT k.gid, k.nbr FROM knn k
+                JOIN tv a ON k.gid = a.gid
+                JOIN tv b ON k.nbr = b.gid AND a.tile = b.tile),
+         num AS (SELECT tn.gid, sum(nb.value) AS sn
+                 FROM tn JOIN tv nb ON tn.nbr = nb.gid GROUP BY tn.gid)
+         SELECT v.gid AS gid, v.tile AS tile,
+                round(CASE WHEN num.sn IS NULL OR tot.sall = 0 THEN 0.0
+                      ELSE (num.sn + v.value) / tot.sall END, 8) AS gstar
+         FROM tv v JOIN tot ON v.tile = tot.tile
+         LEFT JOIN num ON v.gid = num.gid ORDER BY gid""",
+
+    "q77_tile_geary" ->
+      s"""WITH $KNN4, $VALS,
+         $TILES40,
+         tv AS (SELECT t.gid, t.tile, v.value
+                FROM tiles t JOIN vals v ON t.gid = v.gid),
+         tmom AS (SELECT tile, avg(value) AS m, stddev_samp(value) AS sd,
+                         count(*) AS cnt
+                  FROM tv GROUP BY tile),
+         zt AS (SELECT tv.gid, tv.tile,
+                  CASE WHEN m2.cnt <= 1 THEN tv.value
+                       WHEN m2.sd = 0 OR m2.sd IS NULL THEN tv.value - m2.m
+                       ELSE (tv.value - m2.m) / m2.sd END AS z
+                FROM tv JOIN tmom m2 ON tv.tile = m2.tile),
+         tn AS (SELECT k.gid, k.nbr FROM knn k
+                JOIN zt a ON k.gid = a.gid
+                JOIN zt b ON k.nbr = b.gid AND a.tile = b.tile),
+         g AS (SELECT tn.gid, avg((za.z - zb.z) * (za.z - zb.z)) AS c
+               FROM tn JOIN zt za ON tn.gid = za.gid
+                       JOIN zt zb ON tn.nbr = zb.gid
+               GROUP BY tn.gid)
+         SELECT zt.gid AS gid, zt.tile AS tile,
+                round(coalesce(g.c, 0.0), 4) AS geary
+         FROM zt LEFT JOIN g ON zt.gid = g.gid ORDER BY gid""",
+
     // ---- webtext north-rule chain (md5 geocode replayed in SQL) ----
     "q62_webtext_moran" ->
       s"""WITH pages AS (

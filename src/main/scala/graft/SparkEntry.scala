@@ -615,6 +615,32 @@ object SparkEntry {
           (col("p") >= 0).cast("long").as("sig_def"))
         .orderBy("gid")
     }),
+    "q75_tile_g" -> ((s, dir) => {
+      // per-tile Getis-Ord G_i: sum of in-tile-trimmed neighbor values
+      // over (tile sum − x_i) — plain SQL → oracle-checked
+      val pts = SynthGeo.customerPoints(s, dir)
+      graft.stats.TileLisa.run(graft.stats.TileLisa.G, pts,
+          SynthGeo.customerValues(s, dir), knnWeights4(s, dir),
+          tileSize = 40.0)
+        .select(col("gid"), col("tile"), round(col("stat"), 8).as("g"))
+        .orderBy("gid")
+    }),
+    "q76_tile_gstar" -> ((s, dir) => {
+      val pts = SynthGeo.customerPoints(s, dir)
+      graft.stats.TileLisa.run(graft.stats.TileLisa.GStar, pts,
+          SynthGeo.customerValues(s, dir), knnWeights4(s, dir),
+          tileSize = 40.0)
+        .select(col("gid"), col("tile"), round(col("stat"), 8).as("gstar"))
+        .orderBy("gid")
+    }),
+    "q77_tile_geary" -> ((s, dir) => {
+      val pts = SynthGeo.customerPoints(s, dir)
+      graft.stats.TileLisa.run(graft.stats.TileLisa.Geary, pts,
+          SynthGeo.customerValues(s, dir), knnWeights4(s, dir),
+          tileSize = 40.0)
+        .select(col("gid"), col("tile"), round(col("stat"), 4).as("geary"))
+        .orderBy("gid")
+    }),
     "q62_webtext_moran" -> ((s, dir) => {
       // north-rule pipeline, hermetic (no checkpoint dir): webpages →
       // geocode (md5 slices → SQL-replicable) → kNN weights → local
