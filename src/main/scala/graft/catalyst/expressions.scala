@@ -57,6 +57,60 @@ case class TwHashExpr(child: Expression)
     copy(c)
 }
 
+/** dot_arr(a, b) → double: inner product of two array<double> columns —
+  * the ANN hot path. The HOF formulation
+  * (`aggregate(zip_with(a, b, _*_), 0.0, _+_)`) allocates an
+  * intermediate array and evaluates a lambda per element; this
+  * generates one straight-line fused loop over the two ArrayData.
+  * Accumulation order is left-to-right, identical to the HOF chain, so
+  * results are bit-identical. Null if either side is null or lengths
+  * differ; elements must be non-null (engine-normalized vectors).
+  */
+case class DotExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ExpectsInputTypes {
+  import org.apache.spark.sql.types.ArrayType
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val y = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) null
+    else {
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+      acc
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(l, r)
+}
+
 object GraftFunctions {
   def cell_id(x: Column, y: Column, cellSize: Double): Column =
     ColumnShim.column(CellIdExpr(ColumnShim.expression(x),
@@ -64,14 +118,19 @@ object GraftFunctions {
       org.apache.spark.sql.catalyst.expressions.Literal(cellSize)))
   def tw_hash(key: Column): Column =
     ColumnShim.column(TwHashExpr(ColumnShim.expression(key)))
+  def dot_arr(a: Column, b: Column): Column =
+    ColumnShim.column(DotExpr(ColumnShim.expression(a),
+      ColumnShim.expression(b)))
 
-  /** Register `cell_id` / `tw_hash` for SQL use on a live session. */
+  /** Register `cell_id` / `tw_hash` / `dot_arr` for SQL use. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cell_id", exprs => CellIdExpr(exprs(0), exprs(1), exprs(2)),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "tw_hash", exprs => TwHashExpr(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_arr", exprs => DotExpr(exprs(0), exprs(1)), "built-in")
   }
 }
 

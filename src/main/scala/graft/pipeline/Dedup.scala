@@ -276,8 +276,8 @@ object Dedup {
     val out = sigs.as("a").join(sigs.as("b"),
         $"a.sig" === $"b.sig" && $"a.id" < $"b.id")
       .select($"a.id".as("id_a"), $"b.id".as("id_b"),
-        aggregate(zip_with($"a.unit", $"b.unit", (x, y) => x * y),
-          lit(0.0), (acc, v) => acc + v).as("cosine"))
+        graft.catalyst.GraftFunctions.dot_arr($"a.unit", $"b.unit")
+          .as("cosine"))
       .filter(col("cosine") >= threshold)
     graft.core.Materialize.releasing(out, Seq(sigs))
   }

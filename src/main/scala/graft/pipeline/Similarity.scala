@@ -19,9 +19,11 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  // codegen'd fused inner-product loop (bit-identical to the HOF chain
+  // `aggregate(zip_with(_*_), 0.0, _+_)` it replaced — same
+  // left-to-right accumulation — at a fraction of the per-row cost)
   private def dot(a: String, b: String) =
-    aggregate(zip_with(col(a), col(b), (x, y) => x * y), lit(0.0),
-      (acc, v) => acc + v)
+    graft.catalyst.GraftFunctions.dot_arr(col(a), col(b))
 
   /** L2-normalize the vector column into `unit` (array<double>). */
   def normalized(emb: DataFrame, idCol: String = "vec_id",

@@ -32,6 +32,29 @@ class CatalystSpec extends AnyFunSuite {
     assert(got(4) == 1.23186137119371542e-01)
   }
 
+  test("dot_arr equals the HOF inner product bit-exactly; null semantics") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val df = (1 to 200).map { i =>
+      (i.toLong, Seq.fill(64)(rnd.nextDouble() * 2 - 1),
+        Seq.fill(64)(rnd.nextDouble() * 2 - 1))
+    }.toDF("id", "a", "b")
+    val hof = df.select(col("id"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y), lit(0.0),
+        (acc, v) => acc + v).as("d")).as[(Long, Double)].collect().toMap
+    val fast = df.select(col("id"),
+        GraftFunctions.dot_arr(col("a"), col("b")).as("d"))
+      .as[(Long, Double)].collect().toMap
+    // same left-to-right accumulation → bit-identical
+    hof.foreach { case (id, d) => assert(fast(id) == d, s"id $id") }
+    // length mismatch and null input → null
+    val edge = Seq((Seq(1.0, 2.0), Seq(1.0)),
+      (null.asInstanceOf[Seq[Double]], Seq(1.0))).toDF("a", "b")
+    val nulls = edge.select(GraftFunctions.dot_arr(col("a"), col("b")))
+      .collect().map(_.isNullAt(0))
+    assert(nulls.forall(identity))
+  }
+
   test("SQL registration works") {
     GraftFunctions.register(spark)
     val r = spark.sql(
