@@ -172,6 +172,42 @@ class TileLisaSpec extends AnyFunSuite {
     }
   }
 
+  test("degenerate windows: tiny tiles make every point its own window") {
+    import spark.implicits._
+    val n = 80
+    val pts = points(n)
+    val w = KnnWeights.build(pts, KnnWeights.Conf(k = 4, cellSize = Some(4.0)))
+    val v = values(n)
+    // tileSize far below point spacing → all neighbors trimmed, every
+    // statistic must degrade to its neighborless row shape, one row per
+    // gid, no crashes in per-window standardize/quantile machinery
+    for (stat <- Seq[TileLisa.Stat](TileLisa.Moran, TileLisa.G,
+        TileLisa.GStar, TileLisa.Geary, TileLisa.Quantile(5, 5))) {
+      val r = TileLisa.run(stat, pts, v, w, tileSize = 1e-6)
+        .select("gid", "stat", "p", "c")
+        .as[(Long, Double, Double, Double)].collect()
+      assert(r.length == n, s"$stat row count")
+      stat match {
+        case TileLisa.Quantile(_, _) =>
+          // neighborless join count: stat 0, p undefined (-1), nn 0
+          assert(r.forall(t => t._2 == 0.0 && t._3 == -1.0 && t._4 == 0.0),
+            s"$stat neighborless shape")
+        case _ =>
+          // neighborless LISA: stat 0, p 0, cluster 5
+          assert(r.forall(t => t._2 == 0.0 && t._3 == 0.0 && t._4 == 5.0),
+            s"$stat neighborless shape")
+      }
+    }
+    val mv = (1 to n).map(i => (i.toLong,
+      Seq((i * 37 % 101).toDouble, (i * 17 % 1000).toDouble)))
+      .toDF("gid", "vals")
+    val mg = TileLisa.runMulti(TileLisa.MultiGeary, pts, mv, w,
+        tileSize = 1e-6)
+      .select("gid", "stat", "p", "c")
+      .as[(Long, Double, Double, Double)].collect()
+    assert(mg.length == n && mg.forall(t => t._2 == 0.0 && t._4 == 5.0))
+  }
+
   test("per-tile mode: window-trim drops cross-tile neighbors") {
     import spark.implicits._
     val pts = points(200)
