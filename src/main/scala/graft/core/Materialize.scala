@@ -38,6 +38,15 @@ object Materialize {
         require(spark.sparkContext.getCheckpointDir.isDefined,
           s"$ReliableConfKey=true needs sparkContext.setCheckpointDir " +
             "(durable storage on a real cluster)")
+        // reliable checkpoint FILES are only reclaimed by the
+        // ContextCleaner when cleanCheckpoints is on — without it every
+        // releasing() call leaks durable storage for the app lifetime
+        if (!spark.sparkContext.getConf.getBoolean(
+            "spark.cleaner.referenceTracking.cleanCheckpoints", false))
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"$ReliableConfKey=true without " +
+              "spark.cleaner.referenceTracking.cleanCheckpoints=true: " +
+              "checkpoint files will accumulate for the app lifetime")
         out.checkpoint(eager = true)
       } else out.localCheckpoint(eager = true)
     internal.foreach(_.unpersist(blocking = false))

@@ -130,19 +130,16 @@ object Dedup {
         (id, b, slice.hashCode.toLong ^ (b.toLong << 32))
       }
     }.toDF("id", "band", "bkey")
-    // candidate pairs by ONE bucket shuffle (groupBy + intra-bucket pair
-    // expansion) instead of a bucket self-join — the join shuffles and
-    // sorts the numBands×N row stream twice; this shuffles it once.
-    // Bucket sizes are LSH-bounded, so the per-bucket pair expansion is
-    // the same (inherently quadratic-in-cluster-size) output the join
-    // produced.
-    val cand = banded.groupBy("band", "bkey")
-      .agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(col("ids")).as("id_a"), col("ids"))
-      .select(col("id_a"), explode(col("ids")).as("id_b"))
-      .filter(col("id_a") < col("id_b"))
-      .distinct()
+    // candidate pairs via bucket SELF-JOIN, deliberately not a
+    // groupBy+collect_list pair expansion: a duplicate-heavy corpus (the
+    // primary dedup workload) puts entire dup clusters into one bucket,
+    // and collect_list would materialize that cluster as a single
+    // in-memory array row (2 GB row limit / OOM), whereas the sort-merge
+    // self-join spills and streams the identical quadratic pair output.
+    val cand = banded.as("a").join(banded.as("b"),
+        $"a.band" === $"b.band" && $"a.bkey" === $"b.bkey" &&
+          $"a.id" < $"b.id")
+      .select($"a.id".as("id_a"), $"b.id".as("id_b")).distinct()
     // verify candidates on full signatures
     val withSig = cand
       .join(sigs.select($"id".as("id_a"), $"sig".as("sig_a")), "id_a")

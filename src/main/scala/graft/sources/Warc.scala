@@ -69,7 +69,16 @@ object Warc {
             case Parsed(None)    => () // skipped type
             case Eof             => done = true
             case Malformed       => done = true // truncated tail: keep parsed
-          } catch { case _: java.io.IOException => done = true } // corrupt gz
+          } catch {
+            // DATA corruption (bad gzip member, truncated stream) is
+            // tolerated — keep what parsed, a damaged segment must not
+            // kill a 10^5-file read. TRANSPORT errors (connection reset
+            // on a live HDFS/S3 stream) must PROPAGATE so the task
+            // fails and Spark retries it — swallowing them would
+            // silently truncate the segment.
+            case _: java.util.zip.ZipException => done = true
+            case _: EOFException               => done = true
+          }
         }
       override def hasNext: Boolean = { advance(); nextRec != null }
       override def next(): (String, String, Array[Byte]) = {

@@ -62,25 +62,34 @@ object WarcDataSource {
     all
   }
 
-  /** Expand globs/directories to the flat file list, driver-side. */
+  /** Expand globs/directories to the flat file list, driver-side.
+    * Directory listings drop `_`/`.`-prefixed hygiene markers (as
+    * Spark's FileIndex does) and are one level deep (a WARC layout is a
+    * flat segment directory); an explicitly named or glob-matched FILE
+    * is always honored, even if `_`-prefixed. Each input path must
+    * resolve to ≥1 file — a silently empty scan was never what the
+    * caller meant.
+    */
   private[sources] def resolveFiles(paths: Seq[String],
                                     conf: Configuration): Seq[String] = {
     paths.flatMap { p =>
       val hp = new Path(p)
       val fs = hp.getFileSystem(conf)
       val matched = Option(fs.globStatus(hp)).map(_.toSeq).getOrElse(Seq.empty)
-      require(matched.nonEmpty, s"warc path matches no files: $p")
-      matched.flatMap { st =>
+      val files = matched.flatMap { st =>
         if (st.isDirectory)
-          fs.listStatus(st.getPath).toSeq.filter(_.isFile).map(_.getPath)
+          fs.listStatus(st.getPath).toSeq
+            .filter(_.isFile)
+            .filterNot { c =>
+              val n = c.getPath.getName
+              n.startsWith("_") || n.startsWith(".")
+            }
+            .map(_.getPath)
         else Seq(st.getPath)
       }
-    }.map(_.toString)
-      .filterNot { p => // partition-dir hygiene markers, as FileIndex does
-        val name = p.substring(p.lastIndexOf('/') + 1)
-        name.startsWith("_") || name.startsWith(".")
-      }
-      .distinct.sorted
+      require(files.nonEmpty, s"warc path matches no files: $p")
+      files
+    }.map(_.toString).distinct.sorted
   }
 }
 

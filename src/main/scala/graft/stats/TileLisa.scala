@@ -84,7 +84,8 @@ object TileLisa {
     val tiles = points.select(col("gid").cast("long"),
       Tiling.cellIdCol(col("x"), col("y"), tileSize).as("tile"))
     val joined = tiles
-      .join(values.select(col("gid").cast("long"), col("vals")), Seq("gid"))
+      .join(values.select(col("gid").cast("long"),
+        col("vals").cast("array<double>").as("vals")), Seq("gid"))
       .join(weights.select(col("gid").cast("long"), col("nbrs")), Seq("gid"))
       .select(col("tile"), col("gid").cast("long").as("gid"), col("vals"),
         col("nbrs"))
@@ -122,9 +123,23 @@ object TileLisa {
             val nbrsB = Array.newBuilder[Array[Long]]
             while (rowsIt.hasNext && rowsIt.head.getLong(0) == tile) {
               val row = rowsIt.next()
-              gidsB += row.getLong(1)
+              val gid = row.getLong(1)
+              gidsB += gid
+              // the raw pass skips typed-Dataset decoding, so null
+              // elements must be rejected here — toDoubleArray would
+              // silently read a null slot as 0.0
               valsB += (if (row.isNullAt(2)) Array.emptyDoubleArray
-                        else row.getArray(2).toDoubleArray())
+                        else {
+                          val arr = row.getArray(2)
+                          var k = 0
+                          val m = arr.numElements()
+                          while (k < m) {
+                            require(!arr.isNullAt(k),
+                              s"null element in vals array at gid $gid")
+                            k += 1
+                          }
+                          arr.toDoubleArray()
+                        })
               nbrsB += (if (row.isNullAt(3)) Array.emptyLongArray
                         else row.getArray(3).toLongArray())
             }
@@ -163,6 +178,7 @@ object TileLisa {
     if (n == 0) return Iterator.empty
     // column-major value matrix for this window
     val nv = rowVals(0).length
+    require(nv > 0, s"empty vals array at gid ${gids(0)}")
     val mat = Array.ofDim[Double](nv, n)
     var mi = 0
     while (mi < n) {

@@ -82,9 +82,9 @@ class NeighborMatchSpec extends AnyFunSuite {
     // NOTE deliberately no plan-shape assertion here: attrKnn returns a
     // checkpointed frame (scoped cache release), so its executed plan is
     // a scan of the materialized blocks and can never show an internal
-    // Cartesian — the exact-equality against brute force above is the
-    // effective no-quadratic-blowup guard, and the cell-join plan shape
-    // is asserted on the pre-checkpoint seam in PlanSpec.
+    // Cartesian — the exact-equality against brute force above (and at
+    // 10k rows in the high-dim test) is the effective
+    // no-quadratic-blowup guard for this path.
     scaled.unpersist()
   }
 
