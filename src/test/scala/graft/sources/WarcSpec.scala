@@ -188,6 +188,31 @@ class WarcSpec extends AnyFunSuite {
     assert(rows.forall(_._2 == payload.length))
   }
 
+  test("resolveFiles: dir listings drop hygiene markers, explicit files kept") {
+    val dir = Files.createTempDirectory("warcres").toFile
+    val conf = new org.apache.hadoop.conf.Configuration()
+    def touch(n: String): java.io.File = {
+      val f = new java.io.File(dir, n)
+      Files.write(f.toPath, Warc.write(Seq(("response", s"https://r/$n",
+        "2026-01-01T00:00:00Z", "<html>x</html>".getBytes("UTF-8")))))
+      f
+    }
+    touch("seg-0.warc"); touch("_SUCCESS"); touch(".hidden.warc")
+    val underscore = touch("_explicit.warc")
+    // directory listing filters _/. markers
+    val listed = WarcDataSource.resolveFiles(Seq(dir.getAbsolutePath), conf)
+    assert(listed.size == 1 && listed.head.endsWith("seg-0.warc"), listed)
+    // an explicitly named _-file is honored
+    val explicit = WarcDataSource.resolveFiles(
+      Seq(underscore.getAbsolutePath), conf)
+    assert(explicit.size == 1 && explicit.head.endsWith("_explicit.warc"))
+    // a path resolving to nothing errors instead of an empty scan
+    intercept[IllegalArgumentException] {
+      WarcDataSource.resolveFiles(
+        Seq(new java.io.File(dir, "nope-*.warc").getAbsolutePath), conf)
+    }
+  }
+
   test("Spark read maps to the page schema with byte-identical html") {
     import spark.implicits._
     val dir = Files.createTempDirectory("warc").toFile
