@@ -38,6 +38,18 @@ object Similarity {
           .otherwise(transform(col("v"), x => x / col("norm"))))
       .select("id", "unit")
 
+  /** Rank scored rows per query: partial top-k aggregate (map-side
+    * k-slot buffers, ~k rows per partition reach the shuffle) instead
+    * of a whole-stream `row_number()` window sort. Row-identical to
+    * `orderBy(cosine desc, id asc)` ranking.
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy("qid")
+      .agg(graft.catalyst.TopKAgg.topk(k)(col("cosine"), col("id")).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), col("col._2").as("id"),
+        col("col._1").as("cosine"), (col("pos") + 1).cast("int").as("rk"))
+
   /** Brute-force cosine top-k: queries × corpus (queries broadcast).
     * Returns (qid, id, cosine, rk).
     */
@@ -48,9 +60,7 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .filter(col("id") =!= col("qid"))
       .select(col("qid"), col("id"), dot("unit", "qunit").as("cosine"))
-    scored.withColumn("rk", row_number().over(Window.partitionBy("qid")
-        .orderBy(col("cosine").desc, col("id"))))
-      .filter(col("rk") <= k)
+    rankTopK(scored, k)
   }
 
   /** Nearest-centroid assignment WITHOUT a window: per-id argmax via
@@ -109,10 +119,6 @@ object Similarity {
     val scored = qProbes.join(cBucketed, "cid")
       .filter(col("id") =!= col("qid"))
       .select(col("qid"), col("id"), dot("unit", "qunit").as("cosine"))
-    val out = scored.withColumn("rk",
-        row_number().over(Window.partitionBy("qid")
-          .orderBy(col("cosine").desc, col("id"))))
-      .filter(col("rk") <= k)
-    graft.core.Materialize.releasing(out, Seq(cents))
+    graft.core.Materialize.releasing(rankTopK(scored, k), Seq(cents))
   }
 }
