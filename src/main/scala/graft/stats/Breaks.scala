@@ -62,6 +62,23 @@ object Breaks {
       fetched(nd0.lo) + nd0.frac * (fetched(nd0.hi) - fetched(nd0.lo)))
   }
 
+  /** Exact median of `values.value` (array-median convention of
+    * `Stat0.medianSorted`: middle element for odd n, mean of the two
+    * middle elements for even n — NOT the GeoDa plotting-position
+    * percentile). Distributed: fetches only the ≤2 middle order
+    * statistics, so the driver sees O(1) rows at any scale; bit-exact
+    * vs sorting the column in memory (odd n averages the same value
+    * with itself).
+    */
+  def medianExact(values: DataFrame): Double = {
+    val n = values.count()
+    require(n > 0, "median over empty input")
+    val lo = (n - 1) / 2
+    val hi = n / 2
+    val m = valuesAtRanks(values, Seq(lo, hi))
+    if (lo == hi) m(lo) else (m(lo) + m(hi)) / 2.0
+  }
+
   /** hinge15/hinge30 box-map breaks (5 values): [q1 - h*iqr, q1, median,
     * q3, q3 + h*iqr] (`breaks.c:118-194`, GeoDa box-map [public]).
     */

@@ -99,19 +99,30 @@ object NeighborMatch {
         values.select(col("gid").cast("long").as("gid"),
           array(cols: _*).as("sv"))
       case "mad" =>
-        // exact per-variable median-absolute-deviation needs two median
-        // passes; small-N driver path retained for parity
-        val spark = values.sparkSession
-        import spark.implicits._
-        val rows = values.select(col("gid").cast("long"), col("vals"))
-          .as[(Long, Seq[Double])].collect()
-        val n = rows.length
-        val mat = Array.ofDim[Double](nv, n)
-        for (i <- rows.indices; vi <- 0 until nv) mat(vi)(i) = rows(i)._2(vi)
-        val scaled = mat.map(Stat0.madScale)
-        spark.createDataset(rows.indices.map(i =>
-          (rows(i)._1, (0 until nv).map(vi => scaled(vi)(i)))))
-          .toDF("gid", "sv")
+        // exact per-variable median-absolute-deviation, DISTRIBUTED:
+        // two exact-median passes per variable through the engine's
+        // order-statistic machinery (Breaks.medianExact fetches only
+        // the middle ranks — driver sees O(1) rows, never the value
+        // matrix), then a codegen'd projection. Bit-exact vs
+        // Stat0.madScale: same median convention, same |v-med| and
+        // (v-med)/mad double arithmetic (MadScaleSpec pins it).
+        val base = values.select(col("gid").cast("long").as("gid"),
+          col("vals")).cache()
+        val vb = col("vals")
+        val meds = (0 until nv).map { i =>
+          Breaks.medianExact(base.select(
+            vb(i).cast("double").as("value"), col("gid")))
+        }
+        val mads = (0 until nv).map { i =>
+          Breaks.medianExact(base.select(
+            abs(vb(i) - meds(i)).cast("double").as("value"), col("gid")))
+        }
+        val cols = (0 until nv).map { i =>
+          if (mads(i) == 0.0) vb(i) - meds(i)
+          else (vb(i) - meds(i)) / mads(i)
+        }
+        graft.core.Materialize.releasing(
+          base.select(col("gid"), array(cols: _*).as("sv")), Seq(base))
       case other => throw new IllegalArgumentException(
         s"unknown scale method '$other' (lisa.h:139-159)")
     }

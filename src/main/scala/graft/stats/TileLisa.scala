@@ -52,11 +52,36 @@ object TileLisa {
     */
   final case class MultiQuantile(ks: Seq[Int], qs: Seq[Int]) extends Stat
 
+  /** Tiles per window target, used when `tileSize <= 0`. */
+  val DefaultTileRows = 100000L
+
+  /** Derive a tile edge from point density: square tiles sized so a
+    * tile holds ~`targetRows` points under uniform density —
+    * `s = sqrt(w·h·target/n)` over the bounding box, the same density
+    * rule `NeighborMatch.attrKnnHighDim` uses for its candidate cells.
+    * 100k rows/window keeps the per-window kernel (O(rows × k × perms))
+    * and its lookup table comfortably inside one task while leaving
+    * ~n/100k tiles of parallelism; callers with strong window-semantics
+    * opinions (each tile IS a reference window) should pass an explicit
+    * `tileSize` instead.
+    */
+  def autoTileSize(points: DataFrame,
+                   targetRows: Long = DefaultTileRows): Double = {
+    val b = points.agg(min(col("x")), max(col("x")),
+      min(col("y")), max(col("y")), count(lit(1))).head()
+    require(!b.isNullAt(0), "autoTileSize over empty points")
+    val w = math.max(b.getDouble(1) - b.getDouble(0), 1e-9)
+    val h = math.max(b.getDouble(3) - b.getDouble(2), 1e-9)
+    val n = b.getLong(4)
+    math.max(math.sqrt(w * h * targetRows.toDouble / math.max(1L, n)), 1e-9)
+  }
+
   /** Per-tile LISA for any univariate statistic.
     * points:  (gid, x, y) — tile assignment source
     * values:  (gid, value)
     * weights: (gid, nbrs)
-    * tileSize: super-tile edge length (in coordinate units).
+    * tileSize: super-tile edge length (in coordinate units);
+    *           <= 0 auto-sizes from point density ([[autoTileSize]]).
     * Output: (gid, tile, stat, p, c).
     */
   def run(stat: Stat, points: DataFrame, values: DataFrame,
@@ -81,8 +106,9 @@ object TileLisa {
                weights: DataFrame, tileSize: Double,
                conf: Lisa.Conf = Lisa.Conf()): DataFrame = {
     val spark = points.sparkSession
+    val ts = if (tileSize > 0) tileSize else autoTileSize(points)
     val tiles = points.select(col("gid").cast("long"),
-      Tiling.cellIdCol(col("x"), col("y"), tileSize).as("tile"))
+      Tiling.cellIdCol(col("x"), col("y"), ts).as("tile"))
     val joined = tiles
       .join(values.select(col("gid").cast("long"),
         col("vals").cast("array<double>").as("vals")), Seq("gid"))
@@ -123,6 +149,13 @@ object TileLisa {
             val nbrsB = Array.newBuilder[Array[Long]]
             while (rowsIt.hasNext && rowsIt.head.getLong(0) == tile) {
               val row = rowsIt.next()
+              // the raw pass reads tile/gid with getLong, which would
+              // silently decode a null slot as 0 and contaminate tile 0
+              // — reject nulls loudly (the typed-Dataset decode this
+              // pass replaced failed loudly on them)
+              require(!row.isNullAt(0),
+                "null tile in TileLisa input (null x/y in points?)")
+              require(!row.isNullAt(1), "null gid in TileLisa input")
               val gid = row.getLong(1)
               gidsB += gid
               // the raw pass skips typed-Dataset decoding, so null

@@ -55,6 +55,70 @@ class CatalystSpec extends AnyFunSuite {
     assert(nulls.forall(identity))
   }
 
+  test("dot_arr: null ELEMENT yields null, matching the HOF chain") {
+    import spark.implicits._
+    // containsNull arrays — the SQL-registered function must give the
+    // same answer as aggregate(zip_with(...)): null element → null
+    // result, not a silent 0.0 product
+    val df = Seq(
+      (1L, Seq[java.lang.Double](1.0, null, 3.0),
+        Seq[java.lang.Double](1.0, 2.0, 3.0)),
+      (2L, Seq[java.lang.Double](1.0, 2.0, 3.0),
+        Seq[java.lang.Double](1.0, 2.0, null)),
+      (3L, Seq[java.lang.Double](1.0, 2.0, 3.0),
+        Seq[java.lang.Double](4.0, 5.0, 6.0))).toDF("id", "a", "b")
+    val hof = df.select(col("id"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y), lit(0.0),
+        (acc, v) => acc + v).as("d")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null
+                                 else r.getDouble(1): java.lang.Double)).toMap
+    val fast = df.select(col("id"),
+        GraftFunctions.dot_arr(col("a"), col("b")).as("d")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null
+                                 else r.getDouble(1): java.lang.Double)).toMap
+    assert(hof(1L) == null && hof(2L) == null) // HOF semantics sanity
+    assert(fast == hof)
+  }
+
+  test("TopKAgg matches the row_number window row-for-row, incl. NaN/Inf") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // scores include NaN, ±Inf, -0.0/0.0 and ties across both queries
+    val special = Seq(Double.NaN, Double.PositiveInfinity,
+      Double.NegativeInfinity, -0.0, 0.0, 0.5, 0.5)
+    val rows = (for {
+      qid <- Seq(1L, 2L)
+      (s, i) <- (special ++ Seq.fill(40)(rnd.nextDouble())).zipWithIndex
+    } yield (qid, s, (qid * 1000 + i))).toDF("qid", "cosine", "id")
+      .repartition(5)
+    val k = 9
+    val viaAgg = rows.groupBy("qid")
+      .agg(TopKAgg.topk(k)(col("cosine"), col("id")).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), col("pos").as("rk"), col("col._2").as("id"))
+      .as[(Long, Int, Long)].collect().sorted.toSeq
+    val viaWindow = rows.withColumn("rk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("cosine").desc, col("id"))) - 1)
+      .filter(col("rk") < k)
+      .select(col("qid"), col("rk").cast("int"), col("id"))
+      .as[(Long, Int, Long)].collect().sorted.toSeq
+    assert(viaAgg == viaWindow)
+  }
+
+  test("TopKAgg buffer crosses the exchange as a struct, not a Kryo blob") {
+    import org.apache.spark.sql.types.{ArrayType, BinaryType, DoubleType, IntegerType, LongType, StructType}
+    val enc = new TopKAgg(5).bufferEncoder
+      .asInstanceOf[org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[TopKAgg.Buf]]
+    val schema = enc.schema
+    assert(!schema.fields.exists(_.dataType == BinaryType),
+      s"Kryo-opaque buffer: $schema")
+    val types = schema.fields.map(_.dataType).toSet
+    assert(types.contains(ArrayType(DoubleType, containsNull = false)) &&
+      types.contains(ArrayType(LongType, containsNull = false)) &&
+      types.contains(IntegerType), s"unexpected buffer layout: $schema")
+  }
+
   test("SQL registration works") {
     GraftFunctions.register(spark)
     val r = spark.sql(

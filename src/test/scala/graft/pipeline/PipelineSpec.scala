@@ -33,6 +33,90 @@ class PipelineSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("minhash band keys are full 64-bit: distinct slices never collide") {
+    val rnd = new scala.util.Random(3)
+    val sigs = (1 to 50000).map(_ => Seq.fill(8)(rnd.nextLong()))
+    // 2 bands of 4 rows per signature → 100k keys; under the old 32-bit
+    // Seq.hashCode key, 100k draws from 2^32 collide w.p. ~69% — under a
+    // full-avalanche 64-bit key, w.p. ~3e-10
+    val keys = sigs.flatMap(s =>
+      Seq(Dedup.bandKey(s, 0, 4), Dedup.bandKey(s, 1, 4)))
+    assert(keys.distinct.length == keys.length,
+      "accidental band-bucket co-residency")
+    // keys populate the high 32 bits (not a widened 32-bit image)
+    assert(keys.count(k => (k >>> 32) != 0 && (k >>> 32) != 0xffffffffL) >
+      keys.length / 2)
+    // equal slices agree regardless of the rest of the signature
+    assert(Dedup.bandKey(Seq(1L, 2L, 3L, 4L, 9L, 9L, 9L, 9L), 0, 4) ==
+      Dedup.bandKey(Seq(1L, 2L, 3L, 4L, 0L, 0L, 0L, 0L), 0, 4))
+    // same slice content in a different band → different bucket
+    assert(Dedup.bandKey(Seq(1L, 2L, 3L, 4L, 1L, 2L, 3L, 4L), 0, 4) !=
+      Dedup.bandKey(Seq(1L, 2L, 3L, 4L, 1L, 2L, 3L, 4L), 1, 4))
+  }
+
+  test("embedding LSH auto-sizing: occupancy-bounded bands, recall-holding tables") {
+    // band bits track corpus size: 2^bits >= n/(2*targetBucket) up to the cap
+    for (n <- Seq(1000L, 100000L, 10000000L, 1000000000L)) {
+      val (bits, tabs) = Dedup.embeddingLshParams(n, 0.95, 0, 0, 64)
+      assert(bits >= 4 && bits <= 24 && tabs >= 1 && tabs <= 32)
+      if (bits < 24)
+        assert(n.toDouble / (1L << bits) <= 2 * 64, s"n=$n bits=$bits")
+    }
+    // longer bands cost per-band recall; the table count must rise so
+    // >= 95% recall holds at the threshold itself
+    val rho = 1.0 - math.acos(0.95) / math.Pi
+    for (n <- Seq(1000L, 10000000L)) {
+      val (bits, tabs) = Dedup.embeddingLshParams(n, 0.95, 0, 0, 64)
+      val recall = 1.0 - math.pow(1.0 - math.pow(rho, bits), tabs)
+      assert(recall >= 0.95, s"n=$n bits=$bits tabs=$tabs recall=$recall")
+    }
+    // explicit parameters pass through untouched
+    assert(Dedup.embeddingLshParams(1000L, 0.95, 12, 1, 64) == ((12, 1)))
+  }
+
+  test("embedding near-dup: planted recall >= 95% at two corpus sizes") {
+    import spark.implicits._
+    val dim = 32
+    for ((n, seed) <- Seq((400, 1), (4000, 2))) {
+      val rnd = new scala.util.Random(seed)
+      val base = (0 until n).map { i =>
+        (i.toLong, Seq.fill(dim)(rnd.nextGaussian().toFloat))
+      }
+      // plant 40 near-duplicates at cosine ~0.99 (above the threshold)
+      val planted = base.take(40).map { case (id, v) =>
+        (id + 1000000L,
+          v.map(x => x + (rnd.nextGaussian() * 0.12).toFloat))
+      }
+      val emb = (base ++ planted).toDF("vec_id", "embedding")
+      val found = Dedup.embeddingNearDup(emb, threshold = 0.95)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      def cos(a: Seq[Float], b: Seq[Float]): Double = {
+        var dp = 0.0; var na = 0.0; var nb = 0.0
+        a.indices.foreach { i =>
+          dp += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+          nb += b(i).toDouble * b(i)
+        }
+        dp / math.sqrt(na * nb)
+      }
+      val eligible = planted.filter { case (pid, pv) =>
+        cos(base((pid - 1000000L).toInt)._2, pv) >= 0.95 }
+      val recalled = eligible.count { case (pid, pv) =>
+        found.contains(((pid - 1000000L), pid)) }
+      assert(eligible.length >= 30, s"degenerate fixture: ${eligible.length}")
+      assert(recalled.toDouble / eligible.length >= 0.95,
+        s"n=$n recall $recalled/${eligible.length}")
+      // bucket occupancy stays bounded under the auto parameters — the
+      // in-bucket self-join never regresses toward all-pairs
+      val (bits, tabs) = Dedup.embeddingLshParams(emb.count(), 0.95, 0, 0, 64)
+      val sigs = Dedup.embeddingSigs(emb, bits, tabs)
+      val occ = sigs.select(posexplode(col("sigs")))
+        .groupBy(col("pos"), col("col")).count()
+        .agg(max("count")).head().getLong(0)
+      sigs.unpersist()
+      assert(occ <= 20L * 64, s"n=$n max bucket occupancy $occ")
+    }
+  }
+
   test("simhash near-dup: hamming small for near-identical docs") {
     import spark.implicits._
     val base = (1 to 80).map(i => s"tok$i").mkString(" ")

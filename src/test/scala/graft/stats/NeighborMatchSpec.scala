@@ -17,6 +17,35 @@ class NeighborMatchSpec extends AnyFunSuite {
     assert(NeighborMatch.hypergeomUpperTail(0, 2, 2, 4) == 1.0)
   }
 
+  test("mad scaling: distributed path bit-equals driver Stat0.madScale") {
+    import spark.implicits._
+    // odd and even n exercise both median conventions; the distributed
+    // path (two Breaks.medianExact passes per variable + a projection —
+    // the value matrix never reaches the driver) must reproduce
+    // Stat0.madScale bit-for-bit (lisa.h:139-159 'mad' semantics)
+    val rnd = new scala.util.Random(17)
+    for (n <- Seq(101, 500)) {
+      val nv = 3
+      val rows = (0 until n).map(i =>
+        (i.toLong, Seq.fill(nv)(rnd.nextDouble() * 100 - 50)))
+      val got = NeighborMatch.scaleVals(rows.toDF("gid", "vals"), nv, "mad")
+        .as[(Long, Seq[Double])].collect().toMap
+      val mat = Array.tabulate(nv, n)((v, i) => rows(i)._2(v))
+      val want = mat.map(graft.core.Stat0.madScale)
+      rows.indices.foreach { i =>
+        val g = got(i.toLong)
+        (0 until nv).foreach { v =>
+          assert(g(v) == want(v)(i), s"n=$n gid=$i var=$v")
+        }
+      }
+    }
+    // constant variable: mad == 0 → deviations only (madScale contract)
+    val const = (0 until 20).map(i => (i.toLong, Seq(7.0)))
+    val gotC = NeighborMatch.scaleVals(const.toDF("gid", "vals"), 1, "mad")
+      .as[(Long, Seq[Double])].collect()
+    assert(gotC.forall(_._2 == Seq(0.0)))
+  }
+
   test("neighbor match: identical attribute = coordinates → full overlap") {
     import spark.implicits._
     val pts = (1 to 30).map { i =>

@@ -57,6 +57,28 @@ class TileLisaSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("tileSize <= 0 auto-sizes from density and reproduces explicit-size output") {
+    import spark.implicits._
+    val pts = points(300)
+    val w = KnnWeights.build(pts, KnnWeights.Conf(k = 4, cellSize = Some(4.0)))
+    val v = values(300)
+    // targetRows larger than n → one tile; the helper must agree with the
+    // density formula and the auto run must equal the explicit-size run
+    val s = TileLisa.autoTileSize(pts)
+    assert(s > 0)
+    val auto = TileLisa.localMoran(pts, v, w, tileSize = 0.0)
+      .orderBy("gid").collect()
+    val explicit = TileLisa.localMoran(pts, v, w, tileSize = s)
+      .orderBy("gid").collect()
+    assert(auto.sameElements(explicit))
+    // a small row target yields genuinely smaller tiles (more windows)
+    val sSmall = TileLisa.autoTileSize(pts, targetRows = 10)
+    assert(sSmall < s)
+    val nTiles = TileLisa.localMoran(pts, v, w, tileSize = sSmall)
+      .select("tile").distinct().count()
+    assert(nTiles > 1)
+  }
+
   test("single tile equals broadcast mode for G*, Geary, join count") {
     import spark.implicits._
     val pts = points(100)
