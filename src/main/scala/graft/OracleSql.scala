@@ -427,6 +427,30 @@ object OracleSql {
            count(*) AS n, round(sum(value), 4) AS sum_val
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
 
+    // ---- corpus curation ----
+    // deterministic stratified sample: the engine's partial top-k
+    // aggregate must reproduce the window formulation row-for-row
+    "q78_stratified_sample" ->
+      """SELECT lang, source, doc_id AS sample_id, CAST(rk AS BIGINT) AS rk
+         FROM (SELECT lang, source, doc_id,
+                 row_number() OVER (PARTITION BY lang, source
+                   ORDER BY (doc_id * 48271) % 2147483647, doc_id) AS rk
+               FROM documents) t
+         WHERE rk <= 5 ORDER BY lang, source, rk""",
+    // per-domain stats over the minted synthetic urls (same derivation
+    // as q62's pages CTE), host = 3rd '/'-separated field
+    "q79_domain_stats" ->
+      """WITH pages AS (
+           SELECT 'https://site-' || CAST(doc_id % 97 AS VARCHAR) ||
+                  '.example/page/' || CAST(doc_id AS VARCHAR) AS url,
+                  text, lang
+           FROM documents)
+         SELECT split_part(url, '/', 3) AS host,
+                count(*) AS n_pages,
+                CAST(sum(length(text)) AS BIGINT) AS total_chars,
+                CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+         FROM pages GROUP BY 1 ORDER BY host""",
+
     // ---- LISA statistic oracles (kernel lag/sum/indicator algebra) ----
     "q30_local_moran" ->
       s"""WITH $KNN4, $VALS, $ZVALS,

@@ -656,6 +656,17 @@ object SparkEntry {
         .orderBy("gid")
     }),
 
+    // ---- corpus curation: deterministic sampling + domain mixing ----
+    "q78_stratified_sample" -> ((s, dir) =>
+      graft.pipeline.Curation.stratifiedSample(
+        SynthGeo.table(s, dir, "documents"), Seq("lang", "source"),
+        quota = 5, idCol = "doc_id")
+        .orderBy("lang", "source", "rk")),
+    "q79_domain_stats" -> ((s, dir) =>
+      graft.pipeline.Webtext.domainStats(
+        graft.pipeline.Webtext.synthWebpages(s, dir))
+        .orderBy("host")),
+
     // ---- events: windowed aggregation (micro-batch equivalent of the
     // Structured Streaming pipeline in graft.streaming) ----
     "q60_event_hourly" -> ((s, dir) => {

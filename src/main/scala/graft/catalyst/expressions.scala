@@ -185,5 +185,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[TwHashExpr].getName, "tw_hash"),
         (exprs: Seq[Expression]) => TwHashExpr(exprs.head)))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("dot_arr"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[DotExpr].getName, "dot_arr"),
+        (exprs: Seq[Expression]) => DotExpr(exprs(0), exprs(1))))
   }
 }

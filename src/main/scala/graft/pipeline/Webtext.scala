@@ -114,6 +114,22 @@ object Webtext {
     Result(joined, weights, moran)
   }
 
+  /** Per-domain corpus statistics — the aggregation behind crawl-corpus
+    * domain mixing (per-host page counts and volumes drive sampling
+    * weights). Host parsed positionally from the url
+    * (`scheme://host/...` → 3rd `/`-separated field, replayable in ANSI
+    * SQL). ONE hash aggregate with map-side partials — a hot domain
+    * (the classic crawl skew) concentrates on one reducer key only
+    * AFTER partial aggregation, so skew cost is bounded by reducer-side
+    * merge of per-partition partials, not by raw row count.
+    */
+  def domainStats(pages: DataFrame): DataFrame =
+    pages.select(split_part(col("url"), lit("/"), lit(3)).as("host"),
+        length(col("text")).cast("long").as("len"), col("lang"))
+      .groupBy("host")
+      .agg(count(lit(1)).as("n_pages"), sum("len").as("total_chars"),
+        count_distinct(col("lang")).as("n_langs"))
+
   /** Byte-identity invariant: per-url text checksums agree between input
     * pages and the joined output (input_hint requirement).
     */

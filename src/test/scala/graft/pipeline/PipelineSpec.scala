@@ -117,6 +117,45 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("stratified sample: partial top-k agg ≡ window formulation, deterministic") {
+    import spark.implicits._
+    val docs = SynthGeo.table(spark, dir, "documents")
+    val got = Curation.stratifiedSample(docs, Seq("lang", "source"), 5, "doc_id")
+      .select("lang", "source", "sample_id", "rk")
+      .as[(String, String, Long, Long)].collect().sorted.toSeq
+    // reference: explicit window over the same deterministic key
+    val want = docs.select(col("lang"), col("source"),
+        col("doc_id").cast("long").as("sample_id"),
+        Curation.sampleKey(col("doc_id")).as("h"))
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("lang", "source").orderBy(col("h"), col("sample_id")))
+        .cast("long"))
+      .filter(col("rk") <= 5).select("lang", "source", "sample_id", "rk")
+      .as[(String, String, Long, Long)].collect().sorted.toSeq
+    assert(got == want)
+    // reproducible across partitionings (the curation contract)
+    val again = Curation.stratifiedSample(docs.repartition(7),
+        Seq("lang", "source"), 5, "doc_id")
+      .select("lang", "source", "sample_id", "rk")
+      .as[(String, String, Long, Long)].collect().sorted.toSeq
+    assert(again == got)
+    // quota respected per stratum
+    assert(got.groupBy(t => (t._1, t._2)).values.forall(_.size <= 5))
+  }
+
+  test("domain stats: per-host aggregates over minted urls") {
+    import spark.implicits._
+    val pages = Webtext.synthWebpages(spark, dir)
+    val stats = Webtext.domainStats(pages)
+      .as[(String, Long, Long, Long)].collect()
+    assert(stats.forall(_._1.matches("site-\\d+\\.example")))
+    val nDocs = SynthGeo.table(spark, dir, "documents").count()
+    assert(stats.map(_._2).sum == nDocs) // every page lands in one host
+    assert(stats.forall { case (_, n, chars, langs) =>
+      n > 0 && chars > 0 && langs >= 1 })
+  }
+
   test("simhash near-dup: hamming small for near-identical docs") {
     import spark.implicits._
     val base = (1 to 80).map(i => s"tok$i").mkString(" ")
