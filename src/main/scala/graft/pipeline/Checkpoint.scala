@@ -10,16 +10,22 @@ import java.nio.file.{Files, Paths}
   * the north rule's resumability requirement: every stage writes its
   * output plus a lineage table (stage, partition_id, row_count, checksum,
   * bytes); a re-run skips stages whose output + lineage are complete, so
-  * a killed job resumes mid-pipeline.
+  * a killed job resumes mid-pipeline. Alongside lineage, each stage
+  * records per-file WRITE METRICS (rows from the data, bytes from
+  * filesystem metadata) under `_metrics/<stage>` — the row-count/byte
+  * half of the north rule's checkpoint contract, the numbers an
+  * operator dashboards to spot a skewed or runaway stage.
   *
   * Storage here is parquet directories (this sandbox ships no Iceberg
-  * runtime jar); the layout (stage dir + `_lineage/<stage>` + atomic
-  * `_SUCCESS`) maps 1:1 onto Iceberg table + snapshot metadata in
-  * production — swap `.parquet` for `.writeTo(...).append()`.
+  * runtime jar); the layout (stage dir + `_lineage/<stage>` +
+  * `_metrics/<stage>` + atomic `_SUCCESS`) maps 1:1 onto Iceberg table
+  * + snapshot metadata in production — swap `.parquet` for
+  * `.writeTo(...).append()`.
   */
 object Checkpoint {
 
   def lineagePath(root: String, stage: String) = s"$root/_lineage/$stage"
+  def metricsPath(root: String, stage: String) = s"$root/_metrics/$stage"
   def stagePath(root: String, stage: String) = s"$root/$stage"
 
   /** Per-partition lineage of a DataFrame: row counts + order-independent
@@ -36,11 +42,38 @@ object Checkpoint {
       .withColumn("stage", lit(stage))
   }
 
+  /** Per-file write metrics of a completed stage directory:
+    * (stage, file, row_count, bytes) — rows counted from the data
+    * itself, bytes from filesystem metadata, joined on the part-file
+    * NAME (unique within a stage directory by Spark's task-UUID naming,
+    * and scheme/authority-agnostic, unlike full URIs) so the numbers
+    * can never drift from what is actually on disk. One scan of the
+    * stage output + one driver-side directory listing (O(#files) rows —
+    * never row-scale).
+    */
+  def metricsOf(spark: SparkSession, root: String, stage: String): DataFrame = {
+    val out = stagePath(root, stage)
+    val rows = spark.read.parquet(out)
+      .groupBy(element_at(split(input_file_name(), "/"), -1).as("file"))
+      .agg(count(lit(1)).as("row_count"))
+    val p = new org.apache.hadoop.fs.Path(out)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val files = fs.listStatus(p).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(st => (st.getPath.getName, st.getLen))
+    val bytes = spark.createDataFrame(files).toDF("file", "bytes")
+    // outer join: a file with rows but no bytes (or vice versa) must
+    // surface as a null, not vanish
+    rows.join(bytes, Seq("file"), "full_outer")
+      .select(lit(stage).as("stage"), col("file"),
+        coalesce(col("row_count"), lit(0L)).as("row_count"), col("bytes"))
+  }
+
   private def complete(path: String): Boolean =
     Files.exists(Paths.get(path, "_SUCCESS"))
 
   /** Run (or resume) one stage: if output+lineage exist, read them back;
-    * else compute, write output, then write lineage.
+    * else compute, write output, then write lineage + write metrics.
     */
   def stage(spark: SparkSession, root: String, name: String)
            (compute: => DataFrame): DataFrame = {
@@ -53,6 +86,8 @@ object Checkpoint {
       df.write.mode("overwrite").parquet(out)
       val written = spark.read.parquet(out)
       lineageOf(written, name).write.mode("overwrite").parquet(lin)
+      metricsOf(spark, root, name).write.mode("overwrite")
+        .parquet(metricsPath(root, name))
       written
     }
   }
@@ -64,6 +99,14 @@ object Checkpoint {
   /** All lineage rows under a root (for metrics reporting). */
   def lineage(spark: SparkSession, root: String): Option[DataFrame] = {
     val p = s"$root/_lineage"
+    if (Files.exists(Paths.get(p)))
+      Some(spark.read.option("recursiveFileLookup", "true").parquet(p))
+    else None
+  }
+
+  /** All write-metrics rows under a root (operator dashboard feed). */
+  def metrics(spark: SparkSession, root: String): Option[DataFrame] = {
+    val p = s"$root/_metrics"
     if (Files.exists(Paths.get(p)))
       Some(spark.read.option("recursiveFileLookup", "true").parquet(p))
     else None

@@ -58,6 +58,20 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("partial_max_by"), plan)
   }
 
+  test("stratified sample is a partial aggregate, not a window sort") {
+    val docs = SynthGeo.table(spark, dir, "documents")
+    val df = graft.pipeline.Curation.stratifiedSample(
+      docs, Seq("lang", "source"), 5, "doc_id")
+    val plan = df.queryExecution.executedPlan.toString
+    // per-stratum selection must run through the typed top-k Aggregator
+    // (map-side partials) — never a row_number window over the corpus
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("ObjectHashAggregate") ||
+      plan.contains("SortAggregate"), plan)
+    // partial + final pair (map-side combine before the exchange)
+    assert(plan.contains("partial"), plan)
+  }
+
   test("contiguity vertex explode keeps codegen'd encoders") {
     import spark.implicits._
     val polys = SynthGeo.partPolygons(spark, dir)

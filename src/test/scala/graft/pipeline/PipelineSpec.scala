@@ -313,6 +313,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(stages == Set("pages", "geocoded", "polygons", "joined",
       "weights", "moran"))
     assert(lin.agg(sum("row_count")).head().getLong(0) > 0)
+    // all stages have write metrics; rows reconcile with lineage and
+    // bytes reconcile with the filesystem
+    val met = Checkpoint.metrics(spark, root).get
+    val metStages = met.select("stage").distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(metStages == stages)
+    assert(met.filter(col("bytes").isNull || col("bytes") <= 0 ||
+      col("file").isNull).count() == 0)
+    val moranRowsMet = met.filter(col("stage") === "moran")
+      .agg(sum("row_count")).head().getLong(0)
+    val moranRowsLin = lin.filter(col("stage") === "moran")
+      .agg(sum("row_count")).head().getLong(0)
+    assert(moranRowsMet == moranRowsLin && moranRowsMet == moran1.length)
     // resume: delete only the final stage, re-run — earlier stages reused
     // (their outputs unchanged on disk), final recomputed identically
     val moranDir = new java.io.File(Checkpoint.stagePath(root, "moran"))
