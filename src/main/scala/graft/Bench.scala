@@ -17,6 +17,12 @@ import org.apache.spark.sql.functions._
   */
 object Bench {
 
+  /** Cumulative per-query repeat budget (seconds) — shared by the
+    * single-query `timed` helper and the interleaved suite sweeps so
+    * the two repeat policies cannot desynchronize.
+    */
+  private val RepeatBudgetSec = 45.0
+
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     if (s.isEmpty) -1.0
@@ -35,7 +41,7 @@ object Bench {
     * the sub-second queries that r02's noise actually corrupted always
     * get their full median.
     */
-  private def timed(runs: Int, repeatBudgetSec: Double = 45.0)
+  private def timed(runs: Int, repeatBudgetSec: Double = RepeatBudgetSec)
                    (body: => Unit): (Double, Double) = {
     val ok = scala.collection.mutable.ArrayBuffer.empty[Double]
     var failures = 0
@@ -99,9 +105,8 @@ object Bench {
       .withDefaultValue(0.0)
     val failsByQuery = scala.collection.mutable.Map[String, Int]()
       .withDefaultValue(0)
-    val repeatBudgetSec = 45.0
     for (sweep <- 1 to runs; (name, fn) <- ordered) {
-      if (sweep == 1 || spentByQuery(name) < repeatBudgetSec) {
+      if (sweep == 1 || spentByQuery(name) < RepeatBudgetSec) {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); samples(name) += (System.nanoTime() - t0) / 1e9 }
         catch { case _: Throwable => failsByQuery(name) += 1 }

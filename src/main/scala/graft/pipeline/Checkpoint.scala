@@ -56,6 +56,12 @@ object Checkpoint {
     val rows = spark.read.parquet(out)
       .groupBy(element_at(split(input_file_name(), "/"), -1).as("file"))
       .agg(count(lit(1)).as("row_count"))
+    metricsFromCounts(spark, out, stage, rows)
+  }
+
+  /** Join precomputed per-file row counts with on-disk byte sizes. */
+  private def metricsFromCounts(spark: SparkSession, out: String,
+      stage: String, rowsPerFile: DataFrame): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(out)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val files = fs.listStatus(p).toSeq
@@ -64,7 +70,7 @@ object Checkpoint {
     val bytes = spark.createDataFrame(files).toDF("file", "bytes")
     // outer join: a file with rows but no bytes (or vice versa) must
     // surface as a null, not vanish
-    rows.join(bytes, Seq("file"), "full_outer")
+    rowsPerFile.join(bytes, Seq("file"), "full_outer")
       .select(lit(stage).as("stage"), col("file"),
         coalesce(col("row_count"), lit(0L)).as("row_count"), col("bytes"))
   }
@@ -74,20 +80,47 @@ object Checkpoint {
 
   /** Run (or resume) one stage: if output+lineage exist, read them back;
     * else compute, write output, then write lineage + write metrics.
+    *
+    * Lineage and metrics come from ONE scan of the written output (a
+    * tiny per-(file, partition) intermediate feeds both aggregates —
+    * xor checksums re-fold associatively), not two: a 1 TB stage is
+    * read back once, not twice. Metrics are derivable from the on-disk
+    * output at any time, so a resume that finds output+lineage complete
+    * but metrics missing (crash between the two writes) BACKFILLS the
+    * metrics instead of skipping them forever.
     */
   def stage(spark: SparkSession, root: String, name: String)
            (compute: => DataFrame): DataFrame = {
     val out = stagePath(root, name)
     val lin = lineagePath(root, name)
+    val met = metricsPath(root, name)
     if (complete(out) && complete(lin)) {
+      if (!complete(met)) // crash landed between lineage + metrics writes
+        metricsOf(spark, root, name).write.mode("overwrite").parquet(met)
       spark.read.parquet(out)
     } else {
       val df = compute
       df.write.mode("overwrite").parquet(out)
       val written = spark.read.parquet(out)
-      lineageOf(written, name).write.mode("overwrite").parquet(lin)
-      metricsOf(spark, root, name).write.mode("overwrite")
-        .parquet(metricsPath(root, name))
+      val cols = written.columns.map(col)
+      val perFilePart = written.select(
+          element_at(split(input_file_name(), "/"), -1).as("file"),
+          spark_partition_id().as("partition_id"),
+          xxhash64(cols: _*).as("h"))
+        .groupBy("file", "partition_id")
+        .agg(count(lit(1)).as("row_count"),
+          expr("CAST(bit_xor(h) AS BIGINT)").as("checksum"))
+        .cache()
+      perFilePart
+        .groupBy("partition_id")
+        .agg(sum("row_count").as("row_count"),
+          expr("CAST(bit_xor(checksum) AS BIGINT)").as("checksum"))
+        .withColumn("stage", lit(name))
+        .write.mode("overwrite").parquet(lin)
+      metricsFromCounts(spark, out, name,
+          perFilePart.groupBy("file").agg(sum("row_count").as("row_count")))
+        .write.mode("overwrite").parquet(met)
+      perFilePart.unpersist(blocking = false)
       written
     }
   }

@@ -271,23 +271,37 @@ object Dedup {
     * the threshold (higher above it) — the same band/table trade as
     * MinHash LSH, applied to sign-bit signatures.
     */
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   private[pipeline] def embeddingLshParams(n: Long, threshold: Double,
       bandBits0: Int, tables0: Int, targetBucket: Int): (Int, Int) = {
+    val wantBits = math.max(4, math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetBucket)) /
+        math.log(2.0)).toInt)
     val bandBits =
       if (bandBits0 > 0) bandBits0
-      else math.min(24, math.max(4, math.ceil(
-        math.log(math.max(1.0, n.toDouble / targetBucket)) /
-          math.log(2.0)).toInt))
+      else math.min(24, wantBits)
+    if (bandBits0 <= 0 && wantBits > 24)
+      log.warn(s"embeddingNearDup: corpus n=$n wants $wantBits band bits " +
+        s"for ~$targetBucket-vector buckets but bits are capped at 24 — " +
+        f"expected occupancy ~${n.toDouble / (1 << 24)}%.0f/bucket; " +
+        "shard the corpus or raise targetBucket")
     val tables =
       if (tables0 > 0) tables0
       else {
         val c = math.min(1.0, math.max(-1.0, threshold))
         val rho = 1.0 - math.acos(c) / math.Pi
         val pBand = math.pow(rho, bandBits)
-        val t =
+        val want =
           if (pBand >= 1.0 - 1e-12) 1
           else math.ceil(math.log(0.05) / math.log(1.0 - pBand)).toInt
-        math.min(32, math.max(1, t))
+        if (want > 32)
+          log.warn(f"embeddingNearDup: >=95%% recall at threshold=" +
+            f"$threshold%.3f with $bandBits band bits wants $want tables, " +
+            f"capped at 32 — recall at the threshold drops to ~" +
+            f"${(1.0 - math.pow(1.0 - pBand, 32)) * 100}%.1f%%; raise " +
+            "targetBucket (shorter bands) or pass tables explicitly")
+        math.min(32, math.max(1, want))
       }
     (bandBits, tables)
   }
@@ -299,10 +313,12 @@ object Dedup {
     */
   private[pipeline] def embeddingSigs(emb: DataFrame, bandBits: Int,
       tables: Int, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding", dimHint: Int = -1): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val dim = emb.select(size(col(vecCol))).head().getInt(0)
+    val dim =
+      if (dimHint > 0) dimHint
+      else emb.select(size(col(vecCol))).head().getInt(0)
     // mix64-finalized: raw short-string FNV-1a leaves plane entries for
     // adjacent (t, p) nearly identical (no final avalanche), which made
     // the planes almost PARALLEL — one effective direction per band and
@@ -357,12 +373,19 @@ object Dedup {
                        bandBits: Int = 0, tables: Int = 0,
                        targetBucket: Int = 64, idCol: String = "vec_id",
                        vecCol: String = "embedding"): DataFrame = {
-    val nRows = emb.count()
-    val (bb, nt) = embeddingLshParams(nRows, threshold, bandBits, tables,
-      targetBucket)
     val spark = emb.sparkSession
     import spark.implicits._
-    val sigs = embeddingSigs(emb, bb, nt, idCol, vecCol)
+    // count + dim in ONE pass over the (possibly uncached, expensive)
+    // input — a separate count() and size().head() would each replay
+    // the upstream plan
+    val cd = emb.agg(count(lit(1)), first(size(col(vecCol)))).head()
+    val nRows = cd.getLong(0)
+    if (nRows == 0)
+      return Seq.empty[(Long, Long, Double)].toDF("id_a", "id_b", "cosine")
+    val dim = cd.getInt(1)
+    val (bb, nt) = embeddingLshParams(nRows, threshold, bandBits, tables,
+      targetBucket)
+    val sigs = embeddingSigs(emb, bb, nt, idCol, vecCol, dimHint = dim)
     // candidate pairs share a full band in >= 1 table; distinct BEFORE
     // fetching unit vectors so a pair colliding in several tables is
     // verified once (same discipline as minhashLsh)

@@ -70,8 +70,14 @@ object Breaks {
     * vs sorting the column in memory (odd n averages the same value
     * with itself).
     */
-  def medianExact(values: DataFrame): Double = {
-    val n = values.count()
+  def medianExact(values: DataFrame): Double =
+    medianExact(values, values.count())
+
+  /** [[medianExact]] with the row count already known — callers running
+    * several medians over same-sized frames (e.g. per-variable 'mad'
+    * scaling) count once instead of once per median.
+    */
+  def medianExact(values: DataFrame, n: Long): Double = {
     require(n > 0, "median over empty input")
     val lo = (n - 1) / 2
     val hi = n / 2

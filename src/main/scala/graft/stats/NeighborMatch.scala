@@ -109,20 +109,36 @@ object NeighborMatch {
         val base = values.select(col("gid").cast("long").as("gid"),
           col("vals")).cache()
         val vb = col("vals")
-        val meds = (0 until nv).map { i =>
-          Breaks.medianExact(base.select(
-            vb(i).cast("double").as("value"), col("gid")))
+        // one count serves all 2*nv medians; null elements must fail
+        // loudly (nulls sort first in the rank machinery and would
+        // silently shift every median — the driver path this replaced
+        // threw on them)
+        val counts = base.agg(count(lit(1)),
+          count(when(col("vals").isNull ||
+            exists(col("vals"), x => x.isNull), 1))).head()
+        val n = counts.getLong(0)
+        require(counts.getLong(1) == 0,
+          "null element in vals — 'mad' scaling needs complete rows")
+        if (n == 0) {
+          base.unpersist(blocking = false)
+          values.select(col("gid").cast("long").as("gid"),
+            col("vals").as("sv"))
+        } else {
+          val meds = (0 until nv).map { i =>
+            Breaks.medianExact(base.select(
+              vb(i).cast("double").as("value"), col("gid")), n)
+          }
+          val mads = (0 until nv).map { i =>
+            Breaks.medianExact(base.select(
+              abs(vb(i) - meds(i)).cast("double").as("value"), col("gid")), n)
+          }
+          val cols = (0 until nv).map { i =>
+            if (mads(i) == 0.0) vb(i) - meds(i)
+            else (vb(i) - meds(i)) / mads(i)
+          }
+          graft.core.Materialize.releasing(
+            base.select(col("gid"), array(cols: _*).as("sv")), Seq(base))
         }
-        val mads = (0 until nv).map { i =>
-          Breaks.medianExact(base.select(
-            abs(vb(i) - meds(i)).cast("double").as("value"), col("gid")))
-        }
-        val cols = (0 until nv).map { i =>
-          if (mads(i) == 0.0) vb(i) - meds(i)
-          else (vb(i) - meds(i)) / mads(i)
-        }
-        graft.core.Materialize.releasing(
-          base.select(col("gid"), array(cols: _*).as("sv")), Seq(base))
       case other => throw new IllegalArgumentException(
         s"unknown scale method '$other' (lisa.h:139-159)")
     }

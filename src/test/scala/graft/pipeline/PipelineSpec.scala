@@ -115,6 +115,9 @@ class PipelineSpec extends AnyFunSuite {
       sigs.unpersist()
       assert(occ <= 20L * 64, s"n=$n max bucket occupancy $occ")
     }
+    // empty corpus → empty pairs frame, not a head()-on-nothing throw
+    val none = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    assert(Dedup.embeddingNearDup(none).count() == 0)
   }
 
   test("stratified sample: partial top-k agg ≡ window formulation, deterministic") {
@@ -326,6 +329,15 @@ class PipelineSpec extends AnyFunSuite {
     val moranRowsLin = lin.filter(col("stage") === "moran")
       .agg(sum("row_count")).head().getLong(0)
     assert(moranRowsMet == moranRowsLin && moranRowsMet == moran1.length)
+    // metrics are self-healing: a crash between the lineage and metrics
+    // writes leaves a complete stage without metrics — resume must
+    // backfill them from the on-disk output, not skip them forever
+    val weightsMet = new java.io.File(Checkpoint.metricsPath(root, "weights"))
+    weightsMet.listFiles().foreach(_.delete()); weightsMet.delete()
+    Checkpoint.stage(spark, root, "weights") {
+      fail("complete stage must not recompute"); null }
+    assert(new java.io.File(Checkpoint.metricsPath(root, "weights"),
+      "_SUCCESS").exists(), "metrics not backfilled on resume")
     // resume: delete only the final stage, re-run — earlier stages reused
     // (their outputs unchanged on disk), final recomputed identically
     val moranDir = new java.io.File(Checkpoint.stagePath(root, "moran"))

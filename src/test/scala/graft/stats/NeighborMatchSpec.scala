@@ -44,6 +44,18 @@ class NeighborMatchSpec extends AnyFunSuite {
     val gotC = NeighborMatch.scaleVals(const.toDF("gid", "vals"), 1, "mad")
       .as[(Long, Seq[Double])].collect()
     assert(gotC.forall(_._2 == Seq(0.0)))
+    // null elements fail LOUDLY (nulls would silently shift the ranked
+    // medians; the driver path this replaced threw on them too)
+    val withNull = Seq((1L, Seq[java.lang.Double](1.0, 2.0)),
+      (2L, Seq[java.lang.Double](null, 3.0)))
+      .toDF("gid", "vals")
+    val e = intercept[Exception] {
+      NeighborMatch.scaleVals(withNull, 2, "mad").collect()
+    }
+    assert(e.getMessage.contains("null element"), e.getMessage)
+    // empty input → empty output (not a throw), matching the old path
+    val empty = Seq.empty[(Long, Seq[Double])].toDF("gid", "vals")
+    assert(NeighborMatch.scaleVals(empty, 2, "mad").count() == 0)
   }
 
   test("neighbor match: identical attribute = coordinates → full overlap") {
