@@ -427,6 +427,37 @@ object OracleSql {
            count(*) AS n, round(sum(value), 4) AS sum_val
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
 
+    // Gopher-style duplicate-n-gram fractions; n-grams via per-doc
+    // ordered window leads, same single-space tokenization as q51
+    "q80_repetition" ->
+      """WITH s AS (SELECT doc_id, string_split(text, ' ') AS a
+                    FROM documents),
+         toks AS (SELECT doc_id, unnest(a) AS tok,
+                         generate_subscripts(a, 1) AS i FROM s),
+         grams AS (
+           SELECT doc_id, tok AS g1,
+                  tok || ' ' || lead(tok, 1) OVER w AS g2,
+                  tok || ' ' || lead(tok, 1) OVER w || ' ' ||
+                    lead(tok, 2) OVER w AS g3
+           FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+         agg AS (
+           SELECT doc_id,
+                  count(g1) AS n1, count(DISTINCT g1) AS d1,
+                  count(g2) AS n2, count(DISTINCT g2) AS d2,
+                  count(g3) AS n3, count(DISTINCT g3) AS d3
+           FROM grams GROUP BY doc_id)
+         SELECT doc_id AS id, CAST(n1 AS BIGINT) AS n_words,
+           round(CASE WHEN n1 = 0 THEN 0.0
+                      ELSE 1.0 - CAST(d1 AS DOUBLE) / n1 END, 6)
+             AS dup_word_frac,
+           round(CASE WHEN n2 = 0 THEN 0.0
+                      ELSE 1.0 - CAST(d2 AS DOUBLE) / n2 END, 6)
+             AS dup_bigram_frac,
+           round(CASE WHEN n3 = 0 THEN 0.0
+                      ELSE 1.0 - CAST(d3 AS DOUBLE) / n3 END, 6)
+             AS dup_trigram_frac
+         FROM agg ORDER BY id""",
+
     // ---- corpus curation ----
     // deterministic stratified sample: the engine's partial top-k
     // aggregate must reproduce the window formulation row-for-row

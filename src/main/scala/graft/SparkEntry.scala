@@ -656,6 +656,11 @@ object SparkEntry {
         .orderBy("gid")
     }),
 
+    "q80_repetition" -> ((s, dir) =>
+      graft.pipeline.TextAnalysis.repetitionStats(
+        SynthGeo.table(s, dir, "documents"))
+        .orderBy("id")),
+
     // ---- corpus curation: deterministic sampling + domain mixing ----
     "q78_stratified_sample" -> ((s, dir) =>
       graft.pipeline.Curation.stratifiedSample(

@@ -122,4 +122,37 @@ object TextAnalysis {
         }
       }.toDF("id", "fingerprint")
   }
+
+  /** Repetition quality signals (the Gopher-style duplicate-n-gram
+    * filters of public LLM-corpus pipelines): per document, the
+    * fraction of word 1/2/3-grams that are repeats of an earlier one —
+    * `1 − distinct/total`. High values flag boilerplate, keyword spam
+    * and templated pages. Tokenization is single-space split (the
+    * engine's SQL-parity convention, q51/q52) over whitespace-normalized
+    * text. Pure per-row codegen HOFs (`transform`/`slice`/
+    * `array_distinct`) — no shuffle, no UDF; the scan IS the job.
+    * Returns (id, n_words, dup_word_frac, dup_bigram_frac,
+    * dup_trigram_frac).
+    */
+  def repetitionStats(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    val toks = split(col(textCol), " ")
+    def grams(n: Int): org.apache.spark.sql.Column =
+      if (n == 1) toks
+      else when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n)))))
+        .otherwise(array().cast("array<string>"))
+    def dupFrac(g: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val total = size(g)
+      when(total === 0, lit(0.0))
+        .otherwise(lit(1.0) -
+          size(array_distinct(g)).cast("double") / total.cast("double"))
+    }
+    docs.select(col(idCol).as("id"),
+      size(toks).cast("long").as("n_words"),
+      round(dupFrac(grams(1)), 6).as("dup_word_frac"),
+      round(dupFrac(grams(2)), 6).as("dup_bigram_frac"),
+      round(dupFrac(grams(3)), 6).as("dup_trigram_frac"))
+  }
 }

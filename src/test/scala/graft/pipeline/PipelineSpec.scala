@@ -120,6 +120,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(Dedup.embeddingNearDup(none).count() == 0)
   }
 
+  test("repetition stats: exact fractions on planted boilerplate") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d"),              // all distinct: every frac 0
+      (2L, "a a a a"),              // 4 words 1 distinct; 3 bigrams 1 distinct
+      (3L, "x y x y x"),            // 5w/2d; bigrams: xy yx xy yx → 4/2
+      (4L, "solo"),                 // 1 word, no bigrams/trigrams → 0
+      (5L, "")).toDF("doc_id", "text") // split("") = [""] → 1 token
+    val r = TextAnalysis.repetitionStats(docs)
+      .as[(Long, Long, Double, Double, Double)].collect()
+      .map(t => t._1 -> t).toMap
+    // fractions are round(·, 6)
+    assert(r(1L) == ((1L, 4L, 0.0, 0.0, 0.0)))
+    assert(r(2L) == ((2L, 4L, 0.75, 0.666667, 0.5)))
+    assert(r(3L) == ((3L, 5L, 0.6, 0.5, 0.333333)))
+    assert(r(4L) == ((4L, 1L, 0.0, 0.0, 0.0)))
+    assert(r(5L) == ((5L, 1L, 0.0, 0.0, 0.0)))
+  }
+
   test("stratified sample: partial top-k agg ≡ window formulation, deterministic") {
     import spark.implicits._
     val docs = SynthGeo.table(spark, dir, "documents")
