@@ -42,6 +42,27 @@ object PageStream {
     graft.pipeline.SpatialJoin.pip(Webtext.geocode(pages, cellSize), polys,
       cellSize, broadcastLimitBytes, nSalt)
 
+  /** Streaming per-domain rollup: watermarked tumbling-window page
+    * counts and text volume per host — the streaming face of
+    * `Webtext.domainStats` (the crawl-monitoring feed: per-domain
+    * ingest rates drive politeness budgets and mix dashboards). Host
+    * parse is the same positional split as batch; the watermark bounds
+    * window state, so a perpetual crawl stream holds only the open
+    * windows per active host, never history. Batch/stream share the
+    * code path (windowed agg is batch-legal; MemoryStream equality
+    * spec).
+    */
+  def domainRollup(pages: DataFrame, windowDur: String = "1 hour",
+                   watermark: String = "2 hours"): DataFrame =
+    pages
+      .withColumn("host", split_part(col("url"), lit("/"), lit(3)))
+      .withWatermark("warc_ts", watermark)
+      .groupBy(window(col("warc_ts"), windowDur), col("host"))
+      .agg(count(lit(1)).as("n_pages"),
+        sum(length(col("text")).cast("long")).as("total_chars"))
+      .select(col("window.start").as("win_start"), col("host"),
+        col("n_pages"), col("total_chars"))
+
   case class Page(url: String, text: String)
   case class SeenState(firstUrl: String, n: Long)
   case class DedupOut(url: String, simhash: Long, is_duplicate: Boolean,

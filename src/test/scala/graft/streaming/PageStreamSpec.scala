@@ -24,6 +24,33 @@ class PageStreamSpec extends AnyFunSuite {
     assert(streamed.sameElements(batch) && streamed.length == 100)
   }
 
+  test("streaming domain rollup equals the batch windowed aggregation") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val t0 = 1700000000000L
+    val pages = (1 to 120).map { i =>
+      (s"https://site-${i % 5}.example/p/$i",
+        new java.sql.Timestamp(t0 + i * 60000L), // 2 hours of minutes
+        s"body of page $i")
+    }
+    val mem = MemoryStream[(String, java.sql.Timestamp, String)]
+    mem.addData(pages)
+    val sdf = mem.toDF().toDF("url", "warc_ts", "text")
+    val q = PageStream.domainRollup(sdf)
+      .writeStream.format("memory").queryName("domainroll")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("domainroll")
+      .orderBy("win_start", "host").collect()
+    val batch = PageStream.domainRollup(
+        pages.toDF("url", "warc_ts", "text"))
+      .orderBy("win_start", "host").collect()
+    assert(streamed.sameElements(batch))
+    // 120 minutes starting mid-hour → 3 hourly windows × 5 hosts
+    assert(streamed.length == 15, s"${streamed.length}")
+  }
+
   test("streaming PIP join equals batch on both physical paths") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
