@@ -458,6 +458,35 @@ object OracleSql {
              AS dup_trigram_frac
          FROM agg ORDER BY id""",
 
+    // composed curation chain: q80's trigram-repetition fractions gate
+    // the corpus, then the q78 deterministic per-stratum draw
+    "q81_curation_pipeline" ->
+      """WITH s AS (SELECT doc_id, string_split(text, ' ') AS a
+                    FROM documents),
+         toks AS (SELECT doc_id, unnest(a) AS tok,
+                         generate_subscripts(a, 1) AS i FROM s),
+         grams AS (
+           SELECT doc_id,
+                  tok || ' ' || lead(tok, 1) OVER w || ' ' ||
+                    lead(tok, 2) OVER w AS g3
+           FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+         rep AS (
+           SELECT doc_id, count(g3) AS n3, count(DISTINCT g3) AS d3
+           FROM grams GROUP BY doc_id),
+         keep AS (
+           SELECT d.doc_id, d.lang
+           FROM documents d JOIN rep r ON d.doc_id = r.doc_id
+           WHERE round(CASE WHEN r.n3 = 0 THEN 0.0
+                            ELSE 1.0 - CAST(r.d3 AS DOUBLE) / r.n3 END, 6)
+                   <= 0.2
+             AND d.n_chars >= 100)
+         SELECT lang, doc_id AS sample_id, CAST(rk AS BIGINT) AS rk
+         FROM (SELECT lang, doc_id,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY (doc_id * 48271) % 2147483647, doc_id) AS rk
+               FROM keep) t
+         WHERE rk <= 3 ORDER BY lang, rk""",
+
     // ---- corpus curation ----
     // deterministic stratified sample: the engine's partial top-k
     // aggregate must reproduce the window formulation row-for-row

@@ -671,6 +671,20 @@ object SparkEntry {
       graft.pipeline.Webtext.domainStats(
         graft.pipeline.Webtext.synthWebpages(s, dir))
         .orderBy("host")),
+    "q81_curation_pipeline" -> ((s, dir) => {
+      // composed curation: repetition gate + length gate, then a
+      // deterministic per-language quota — the end-to-end shape of a
+      // training-mix draw (filter stages are scans; the draw is the
+      // window-free partial top-k aggregate)
+      val docs = SynthGeo.table(s, dir, "documents")
+      val rep = graft.pipeline.TextAnalysis.repetitionStats(docs)
+        .select(col("id").as("doc_id"), col("dup_trigram_frac"))
+      val keep = docs.join(rep, "doc_id")
+        .filter(col("dup_trigram_frac") <= 0.2 && col("n_chars") >= 100)
+      graft.pipeline.Curation.stratifiedSample(keep, Seq("lang"),
+          quota = 3, idCol = "doc_id")
+        .orderBy("lang", "rk")
+    }),
 
     // ---- events: windowed aggregation (micro-batch equivalent of the
     // Structured Streaming pipeline in graft.streaming) ----
