@@ -430,7 +430,7 @@ object OracleSql {
     // Gopher-style duplicate-n-gram fractions; n-grams via per-doc
     // ordered window leads, same single-space tokenization as q51
     "q80_repetition" ->
-      """WITH s AS (SELECT doc_id, string_split(text, ' ') AS a
+      """WITH s AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS a
                     FROM documents),
          toks AS (SELECT doc_id, unnest(a) AS tok,
                          generate_subscripts(a, 1) AS i FROM s),
@@ -461,7 +461,7 @@ object OracleSql {
     // composed curation chain: q80's trigram-repetition fractions gate
     // the corpus, then the q78 deterministic per-stratum draw
     "q81_curation_pipeline" ->
-      """WITH s AS (SELECT doc_id, string_split(text, ' ') AS a
+      """WITH s AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS a
                     FROM documents),
          toks AS (SELECT doc_id, unnest(a) AS tok,
                          generate_subscripts(a, 1) AS i FROM s),

@@ -28,19 +28,32 @@ object Checkpoint {
   def metricsPath(root: String, stage: String) = s"$root/_metrics/$stage"
   def stagePath(root: String, stage: String) = s"$root/$stage"
 
+  /** Per-(file, partition) row counts + xor-of-xxhash64 checksums — the
+    * ONE derivation both lineage (re-fold by partition) and write
+    * metrics (re-fold by file) are built from, so the checksum
+    * convention cannot drift between the two artifacts. xor re-folds
+    * associatively, making both roll-ups exact.
+    */
+  private def perFilePartStats(df: DataFrame): DataFrame = {
+    val cols = df.columns.map(col)
+    df.select(element_at(split(input_file_name(), "/"), -1).as("file"),
+        spark_partition_id().as("partition_id"),
+        xxhash64(cols: _*).as("h"))
+      .groupBy("file", "partition_id")
+      .agg(count(lit(1)).as("row_count"),
+        // xor-fold: order/partitioning independent within the group
+        expr("CAST(bit_xor(h) AS BIGINT)").as("checksum"))
+  }
+
   /** Per-partition lineage of a DataFrame: row counts + order-independent
     * xor-of-xxhash64 checksum per write partition.
     */
-  def lineageOf(df: DataFrame, stage: String): DataFrame = {
-    val cols = df.columns.map(col)
-    df.select(spark_partition_id().as("partition_id"),
-        xxhash64(cols: _*).as("h"))
+  def lineageOf(df: DataFrame, stage: String): DataFrame =
+    perFilePartStats(df)
       .groupBy("partition_id")
-      .agg(count(lit(1)).as("row_count"),
-        // xor-fold: order/partitioning independent within the partition
-        expr("CAST(bit_xor(h) AS BIGINT)").as("checksum"))
+      .agg(sum("row_count").as("row_count"),
+        expr("CAST(bit_xor(checksum) AS BIGINT)").as("checksum"))
       .withColumn("stage", lit(stage))
-  }
 
   /** Per-file write metrics of a completed stage directory:
     * (stage, file, row_count, bytes) — rows counted from the data
@@ -102,25 +115,18 @@ object Checkpoint {
       val df = compute
       df.write.mode("overwrite").parquet(out)
       val written = spark.read.parquet(out)
-      val cols = written.columns.map(col)
-      val perFilePart = written.select(
-          element_at(split(input_file_name(), "/"), -1).as("file"),
-          spark_partition_id().as("partition_id"),
-          xxhash64(cols: _*).as("h"))
-        .groupBy("file", "partition_id")
-        .agg(count(lit(1)).as("row_count"),
-          expr("CAST(bit_xor(h) AS BIGINT)").as("checksum"))
-        .cache()
-      perFilePart
-        .groupBy("partition_id")
-        .agg(sum("row_count").as("row_count"),
-          expr("CAST(bit_xor(checksum) AS BIGINT)").as("checksum"))
-        .withColumn("stage", lit(name))
-        .write.mode("overwrite").parquet(lin)
-      metricsFromCounts(spark, out, name,
-          perFilePart.groupBy("file").agg(sum("row_count").as("row_count")))
-        .write.mode("overwrite").parquet(met)
-      perFilePart.unpersist(blocking = false)
+      val perFilePart = perFilePartStats(written).cache()
+      try {
+        perFilePart
+          .groupBy("partition_id")
+          .agg(sum("row_count").as("row_count"),
+            expr("CAST(bit_xor(checksum) AS BIGINT)").as("checksum"))
+          .withColumn("stage", lit(name))
+          .write.mode("overwrite").parquet(lin)
+        metricsFromCounts(spark, out, name,
+            perFilePart.groupBy("file").agg(sum("row_count").as("row_count")))
+          .write.mode("overwrite").parquet(met)
+      } finally perFilePart.unpersist(blocking = false)
       written
     }
   }

@@ -136,7 +136,12 @@ object TextAnalysis {
     */
   def repetitionStats(docs: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text"): DataFrame = {
-    val toks = split(col(textCol), " ")
+    // null text ≡ empty text (one empty token, all fractions 0) — a
+    // consistent row per document; without the coalesce the word frac
+    // would come out null while the bigram/trigram fracs came out 0.0
+    // via the size-guard's otherwise branch, and a null-text doc would
+    // diverge from the SQL oracle (which coalesces identically)
+    val toks = split(coalesce(col(textCol), lit("")), " ")
     def grams(n: Int): org.apache.spark.sql.Column =
       if (n == 1) toks
       else when(size(toks) >= n,

@@ -123,8 +123,16 @@ object Webtext {
     * AFTER partial aggregation, so skew cost is bounded by reducer-side
     * merge of per-partition partials, not by raw row count.
     */
+  /** Host of a url column: 3rd `/`-separated field of `scheme://host/…`
+    * — the ONE host-parse convention shared by the batch domain stats
+    * and the streaming rollup (parity between them is spec-asserted, so
+    * the parse must not fork).
+    */
+  def hostOf(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    split_part(url, lit("/"), lit(3))
+
   def domainStats(pages: DataFrame): DataFrame =
-    pages.select(split_part(col("url"), lit("/"), lit(3)).as("host"),
+    pages.select(hostOf(col("url")).as("host"),
         length(col("text")).cast("long").as("len"), col("lang"))
       .groupBy("host")
       .agg(count(lit(1)).as("n_pages"), sum("len").as("total_chars"),

@@ -106,24 +106,24 @@ object NeighborMatch {
         // matrix), then a codegen'd projection. Bit-exact vs
         // Stat0.madScale: same median convention, same |v-med| and
         // (v-med)/mad double arithmetic (MadScaleSpec pins it).
-        val base = values.select(col("gid").cast("long").as("gid"),
-          col("vals")).cache()
+        val pre = values.select(col("gid").cast("long").as("gid"),
+          col("vals"))
         val vb = col("vals")
         // one count serves all 2*nv medians; null elements must fail
         // loudly (nulls sort first in the rank machinery and would
         // silently shift every median — the driver path this replaced
-        // threw on them)
-        val counts = base.agg(count(lit(1)),
+        // threw on them). Validation runs BEFORE the cache so the
+        // throwing path cannot leave a pinned DataFrame behind.
+        val counts = pre.agg(count(lit(1)),
           count(when(col("vals").isNull ||
             exists(col("vals"), x => x.isNull), 1))).head()
         val n = counts.getLong(0)
         require(counts.getLong(1) == 0,
           "null element in vals — 'mad' scaling needs complete rows")
         if (n == 0) {
-          base.unpersist(blocking = false)
-          values.select(col("gid").cast("long").as("gid"),
-            col("vals").as("sv"))
+          pre.select(col("gid"), col("vals").as("sv"))
         } else {
+          val base = pre.cache()
           val meds = (0 until nv).map { i =>
             Breaks.medianExact(base.select(
               vb(i).cast("double").as("value"), col("gid")), n)

@@ -55,7 +55,7 @@ object PageStream {
   def domainRollup(pages: DataFrame, windowDur: String = "1 hour",
                    watermark: String = "2 hours"): DataFrame =
     pages
-      .withColumn("host", split_part(col("url"), lit("/"), lit(3)))
+      .withColumn("host", Webtext.hostOf(col("url")))
       .withWatermark("warc_ts", watermark)
       .groupBy(window(col("warc_ts"), windowDur), col("host"))
       .agg(count(lit(1)).as("n_pages"),
