@@ -458,6 +458,89 @@ object OracleSql {
              AS dup_trigram_frac
          FROM agg ORDER BY id""",
 
+    // benchmark decontamination: distinct-trigram overlap vs the
+    // doc_id % 37 == 0 "benchmark" slice; same gram construction as q80
+    "q82_decontaminate" ->
+      """WITH s AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS a
+                    FROM documents),
+         toks AS (SELECT doc_id, unnest(a) AS tok,
+                         generate_subscripts(a, 1) AS i FROM s),
+         grams AS (
+           SELECT doc_id, tok || ' ' || lead(tok, 1) OVER w || ' ' ||
+                    lead(tok, 2) OVER w AS g3
+           FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+         dg AS (SELECT DISTINCT doc_id, g3 FROM grams WHERE g3 IS NOT NULL),
+         bench AS (SELECT DISTINCT g3 FROM dg WHERE doc_id % 37 = 0),
+         agg AS (
+           SELECT d.doc_id, count(*) AS n_ngrams,
+                  count(b.g3) AS n_contaminated
+           FROM dg d LEFT JOIN bench b ON d.g3 = b.g3
+           GROUP BY d.doc_id)
+         SELECT d0.doc_id AS id,
+           CAST(coalesce(a.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+           CAST(coalesce(a.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+           round(CASE WHEN coalesce(a.n_ngrams, 0) = 0 THEN 0.0
+                      ELSE CAST(a.n_contaminated AS DOUBLE) / a.n_ngrams END,
+             6) AS contamination_frac
+         FROM documents d0 LEFT JOIN agg a ON d0.doc_id = a.doc_id
+         ORDER BY id""",
+
+    // url canonicalization + url-level dedup over six deterministic
+    // messy spellings per page; the five regex steps mirror
+    // Webtext.canonicalUrl exactly (RE2 'g' flags / \1 backrefs are the
+    // DuckDB spellings of Spark's global-replace / $1)
+    "q83_url_dedup" ->
+      """WITH p AS (
+           SELECT doc_id, CAST(doc_id % 200 AS BIGINT) AS page,
+                  1704067200 + doc_id % 86400 AS ts
+           FROM documents),
+         u AS (
+           SELECT CASE doc_id % 6
+               WHEN 0 THEN 'https://site-' || CAST(page % 97 AS VARCHAR) ||
+                 '.example/page/' || CAST(page AS VARCHAR)
+               WHEN 1 THEN 'HTTPS://SITE-' || CAST(page % 97 AS VARCHAR) ||
+                 '.EXAMPLE/page/' || CAST(page AS VARCHAR)
+               WHEN 2 THEN 'https://site-' || CAST(page % 97 AS VARCHAR) ||
+                 '.example/page/' || CAST(page AS VARCHAR) ||
+                 '?utm_source=feed&utm_campaign=x'
+               WHEN 3 THEN 'https://site-' || CAST(page % 97 AS VARCHAR) ||
+                 '.example/page/' || CAST(page AS VARCHAR) || '#section-2'
+               WHEN 4 THEN 'https://site-' || CAST(page % 97 AS VARCHAR) ||
+                 '.example/page/' || CAST(page AS VARCHAR) || '/'
+               ELSE 'https://site-' || CAST(page % 97 AS VARCHAR) ||
+                 '.example:443/page/' || CAST(page AS VARCHAR)
+             END AS url, ts
+           FROM p),
+         c1 AS (SELECT url, ts,
+                  regexp_replace(
+                    regexp_replace(url, '#.*', ''),
+                    '[?&](utm_[A-Za-z]+|fbclid|gclid)=[^&]*', '', 'g') AS v
+                FROM u),
+         c2 AS (SELECT url, ts,
+                  regexp_replace(
+                    regexp_replace(v, '^([^?&]*)&', '\1?'), '\?$', '') AS v
+                FROM c1),
+         c3 AS (SELECT url, ts,
+                  regexp_replace(lower(regexp_extract(v, '^[^/?#]*//[^/?#]*')),
+                    ':(80|443)$', '')
+                    || regexp_replace(v, '^[^/?#]*//[^/?#]*', '') AS v
+                FROM c2),
+         c4 AS (SELECT url, ts,
+                  CASE WHEN contains(v, '?') THEN v
+                       ELSE regexp_replace(v, '/+$', '') END AS curl
+                FROM c3)
+         SELECT curl, count(*) AS n_pages, count(DISTINCT url) AS n_urls,
+           min(url) AS keep_url, CAST(min(ts) AS BIGINT) AS first_ts
+         FROM c4 GROUP BY curl ORDER BY curl""",
+
+    // corpus vocabulary top-k: global token counts, ties by token text
+    "q84_vocab_topk" ->
+      """WITH t AS (SELECT unnest(string_split(coalesce(text, ''), ' '))
+                      AS token
+                    FROM documents)
+         SELECT token, count(*) AS n FROM t
+         GROUP BY token ORDER BY n DESC, token LIMIT 100""",
+
     // composed curation chain: q80's trigram-repetition fractions gate
     // the corpus, then the q78 deterministic per-stratum draw
     "q81_curation_pipeline" ->

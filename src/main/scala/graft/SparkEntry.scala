@@ -671,6 +671,24 @@ object SparkEntry {
       graft.pipeline.Webtext.domainStats(
         graft.pipeline.Webtext.synthWebpages(s, dir))
         .orderBy("host")),
+    "q82_decontaminate" -> ((s, dir) => {
+      // benchmark decontamination: distinct-trigram overlap of every
+      // document against a deterministic "benchmark" slice of the
+      // corpus (doc_id % 37 == 0); bench side broadcast, corpus side
+      // never shuffles by n-gram
+      val docs = SynthGeo.table(s, dir, "documents")
+      graft.pipeline.Curation.decontaminate(docs,
+          docs.filter(col("doc_id") % 37 === 0))
+        .orderBy("id")
+    }),
+    "q83_url_dedup" -> ((s, dir) =>
+      graft.pipeline.Webtext.urlDedup(
+        graft.pipeline.Webtext.synthMessyPages(s, dir))
+        .orderBy("curl")),
+    "q84_vocab_topk" -> ((s, dir) =>
+      graft.pipeline.Curation.vocabTopK(
+        SynthGeo.table(s, dir, "documents"), k = 100)
+        .orderBy(col("n").desc, col("token"))),
     "q81_curation_pipeline" -> ((s, dir) => {
       // composed curation: repetition gate + length gate, then a
       // deterministic per-language quota — the end-to-end shape of a

@@ -48,4 +48,60 @@ object Curation {
         col("col._2").as("sample_id"),
         (col("pos") + 1).cast("long").as("rk")): _*)
   }
+
+  /** Per-document distinct word n-grams — [[TextAnalysis.wordGrams]]
+    * (the shared single-space tokenization) de-duplicated per row.
+    */
+  private def distinctGrams(textC: Column, n: Int): Column =
+    array_distinct(TextAnalysis.wordGrams(textC, n))
+
+  /** Benchmark decontamination: per corpus document, how many of its
+    * distinct word `n`-grams also occur in `bench` (an eval/benchmark
+    * set) — the standard train/test-overlap check a pretraining pipeline
+    * runs before a corpus ships. Returns
+    * (id, n_ngrams, n_contaminated, contamination_frac), one row per
+    * corpus document (zero-gram docs report 0 / 0 / 0.0).
+    *
+    * Scale shape: the bench side is distinct-reduced and BROADCAST —
+    * benchmark suites are tiny next to a 100 TB corpus, so the corpus
+    * side never shuffles by n-gram. The corpus side is scan → per-row
+    * distinct-gram HOF → explode → broadcast-hash left join → hash
+    * re-agg by doc id; exploded rows for one document are contiguous in
+    * its scan partition, so map-side partial aggregation collapses the
+    * shuffle back to ~one row per document before the exchange.
+    */
+  def decontaminate(docs: DataFrame, bench: DataFrame, n: Int = 3,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val benchGrams = broadcast(
+      bench.select(explode(distinctGrams(col(textCol), n)).as("g"))
+        .distinct()
+        .withColumn("__hit", lit(1)))
+    docs.select(col(idCol).cast("long").as("id"),
+        explode_outer(distinctGrams(col(textCol), n)).as("g"))
+      .join(benchGrams, Seq("g"), "left")
+      .groupBy("id")
+      .agg(count(col("g")).as("n_ngrams"),
+        count(col("__hit")).as("n_contaminated"))
+      .select(col("id"), col("n_ngrams"), col("n_contaminated"),
+        round(when(col("n_ngrams") === 0, lit(0.0))
+          .otherwise(col("n_contaminated").cast("double") /
+            col("n_ngrams").cast("double")), 6)
+          .as("contamination_frac"))
+  }
+
+  /** Corpus vocabulary: the `k` most frequent whitespace tokens with
+    * their global counts, ties broken by token text. The orderBy+limit
+    * pair compiles to `TakeOrderedAndProject` — per-partition top-k
+    * heaps merged on the driver, never a full sort of the vocabulary —
+    * and the groupBy is partially aggregated map-side, so the shuffle
+    * carries ~one row per distinct token per partition, not the corpus.
+    */
+  def vocabTopK(docs: DataFrame, k: Int = 100,
+                textCol: String = "text"): DataFrame =
+    docs.select(explode(split(coalesce(col(textCol), lit("")), " "))
+        .as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
 }

@@ -134,20 +134,31 @@ object TextAnalysis {
     * Returns (id, n_words, dup_word_frac, dup_bigram_frac,
     * dup_trigram_frac).
     */
+  /** Word n-grams of a text column as an array: single-space
+    * tokenization (the engine's SQL-parity convention, q51/q80), null
+    * text ≡ empty text (one empty token), fewer than `n` tokens → empty
+    * array. The ONE gram builder shared by the repetition filters and
+    * the decontamination check, so their tokenization cannot fork.
+    */
+  private[pipeline] def wordGrams(textC: org.apache.spark.sql.Column,
+                                  n: Int): org.apache.spark.sql.Column = {
+    // null text ≡ empty text — a consistent row per document; without
+    // the coalesce a null-text doc's 1-gram stats would come out null
+    // while the n>=2 grams came out empty via the size-guard's
+    // otherwise branch, diverging from the SQL oracle (which coalesces
+    // identically)
+    val toks = split(coalesce(textC, lit("")), " ")
+    if (n == 1) toks
+    else when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
   def repetitionStats(docs: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text"): DataFrame = {
-    // null text ≡ empty text (one empty token, all fractions 0) — a
-    // consistent row per document; without the coalesce the word frac
-    // would come out null while the bigram/trigram fracs came out 0.0
-    // via the size-guard's otherwise branch, and a null-text doc would
-    // diverge from the SQL oracle (which coalesces identically)
-    val toks = split(coalesce(col(textCol), lit("")), " ")
     def grams(n: Int): org.apache.spark.sql.Column =
-      if (n == 1) toks
-      else when(size(toks) >= n,
-        transform(sequence(lit(1), size(toks) - (n - 1)),
-          i => concat_ws(" ", slice(toks, i, lit(n)))))
-        .otherwise(array().cast("array<string>"))
+      wordGrams(col(textCol), n)
     def dupFrac(g: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
       val total = size(g)
       when(total === 0, lit(0.0))
@@ -155,7 +166,7 @@ object TextAnalysis {
           size(array_distinct(g)).cast("double") / total.cast("double"))
     }
     docs.select(col(idCol).as("id"),
-      size(toks).cast("long").as("n_words"),
+      size(grams(1)).cast("long").as("n_words"),
       round(dupFrac(grams(1)), 6).as("dup_word_frac"),
       round(dupFrac(grams(2)), 6).as("dup_bigram_frac"),
       round(dupFrac(grams(3)), 6).as("dup_trigram_frac"))

@@ -138,6 +138,78 @@ object Webtext {
       .agg(count(lit(1)).as("n_pages"), sum("len").as("total_chars"),
         count_distinct(col("lang")).as("n_langs"))
 
+  /** Canonical form of a url for url-level dedup — the normalizations a
+    * crawl pipeline applies before treating two fetches as the same
+    * page: drop the `#fragment`, drop tracking query params
+    * (`utm_*`/`fbclid`/`gclid`, re-legalizing the surviving query
+    * string), lowercase scheme+authority (path and query keep their
+    * case), strip default `:80`/`:443` ports, strip trailing path
+    * slashes (only when no query survives — a trailing `/` inside a
+    * query value is payload). Pure codegen'd regex/string expressions,
+    * replayable in SQL (q83's DuckDB oracle runs the same five steps).
+    * Known limit: a literal `&` in a query-less path is read as a query
+    * separator — not reachable from RFC-3986-encoded urls.
+    */
+  def canonicalUrl(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val noFrag = regexp_replace(url, "#.*", "")
+    val noTrack = regexp_replace(noFrag,
+      "[?&](utm_[A-Za-z]+|fbclid|gclid)=[^&]*", "")
+    // if the first surviving separator is '&' (its '?' went with a
+    // tracking param), promote it; then drop a dangling '?'
+    val fixedQ = regexp_replace(
+      regexp_replace(noTrack, "^([^?&]*)&", "$1?"), "\\?$", "")
+    val authPat = "^[^/?#]*//[^/?#]*"
+    val c = concat(
+      regexp_replace(lower(regexp_extract(fixedQ, authPat, 0)),
+        ":(80|443)$", ""),
+      regexp_replace(fixedQ, authPat, ""))
+    when(c.contains("?"), c).otherwise(regexp_replace(c, "/+$", ""))
+  }
+
+  /** Url-level dedup: one row per canonical url with the variant count
+    * and the kept representative — (curl, n_pages, n_urls, keep_url,
+    * first_ts epoch-seconds). `keep_url` is the lexicographically
+    * smallest raw variant (deterministic at any parallelism);
+    * `first_ts` the earliest fetch. ONE hash aggregate keyed by the
+    * canonical url with map-side partials — the shuffle carries ~one
+    * row per distinct page per partition, not the crawl.
+    */
+  def urlDedup(pages: DataFrame): DataFrame =
+    pages.select(canonicalUrl(col("url")).as("curl"), col("url"),
+        col("warc_ts"))
+      .groupBy("curl")
+      .agg(count(lit(1)).as("n_pages"),
+        count_distinct(col("url")).as("n_urls"),
+        min(col("url")).as("keep_url"),
+        unix_timestamp(min(col("warc_ts"))).as("first_ts"))
+
+  /** Deterministic messy-url pages for exercising [[canonicalUrl]]: the
+    * same synthetic page minted under six url spellings (plain,
+    * uppercase authority, tracking params, fragment, trailing slash,
+    * explicit :443) keyed by doc_id, several docs per page so dedup has
+    * real groups. Replays in ANSI SQL (q83 oracle).
+    */
+  def synthMessyPages(spark: SparkSession, dir: String): DataFrame = {
+    val docs = SynthGeo.table(spark, dir, "documents")
+    val page = (col("doc_id") % 200).cast("long")
+    val site = (page % 97).cast("string")
+    val pageS = page.cast("string")
+    val base = concat(lit("https://site-"), site, lit(".example/page/"), pageS)
+    val variant = col("doc_id") % 6
+    val url = when(variant === 0, base)
+      .when(variant === 1,
+        concat(lit("HTTPS://SITE-"), site, lit(".EXAMPLE/page/"), pageS))
+      .when(variant === 2,
+        concat(base, lit("?utm_source=feed&utm_campaign=x")))
+      .when(variant === 3, concat(base, lit("#section-2")))
+      .when(variant === 4, concat(base, lit("/")))
+      .otherwise(concat(lit("https://site-"), site,
+        lit(".example:443/page/"), pageS))
+    docs.select(url.as("url"),
+      timestamp_seconds(lit(1704067200L) + col("doc_id") % 86400)
+        .as("warc_ts"))
+  }
+
   /** Byte-identity invariant: per-url text checksums agree between input
     * pages and the joined output (input_hint requirement).
     */

@@ -451,6 +451,81 @@ class PipelineSpec extends AnyFunSuite {
         "BFS-iteration caches")
   }
 
+  test("decontaminate: trigram overlap vs a bench set, zero-gram docs kept") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d x"), // trigrams abc bcd cdx → 2 of 3 contaminated
+      (2L, "p q r s"), // pqr qrs → clean
+      (3L, "a b"), // too short for a trigram → 0-gram row
+      (4L, null.asInstanceOf[String]), // null text ≡ empty → 0-gram row
+      (5L, "a b c a b c d")) // distinct {abc,bca,cab,bcd}; hits abc,bcd
+      .toDF("doc_id", "text")
+    val bench = Seq((99L, "a b c d e")).toDF("doc_id", "text") // abc bcd cde
+    val q = Curation.decontaminate(docs, bench)
+    val r = q.as[(Long, Long, Long, Double)].collect().map(t => t._1 -> t).toMap
+    assert(r(1L) == ((1L, 3L, 2L, 0.666667)))
+    assert(r(2L) == ((2L, 2L, 0L, 0.0)))
+    assert(r(3L) == ((3L, 0L, 0L, 0.0)))
+    assert(r(4L) == ((4L, 0L, 0L, 0.0)))
+    assert(r(5L) == ((5L, 4L, 2L, 0.5)))
+    // the bench side must be the broadcast side — the corpus never
+    // shuffles by n-gram
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("canonicalUrl: fragment/tracking/case/port/slash normalizations") {
+    import spark.implicits._
+    val cases = Seq(
+      "https://Site-3.Example/page/7" -> "https://site-3.example/page/7",
+      "HTTPS://SITE-3.EXAMPLE/page/7/" -> "https://site-3.example/page/7",
+      "https://site-3.example:443/page/7#frag" ->
+        "https://site-3.example/page/7",
+      "https://site-3.example/page/7?utm_source=a&utm_campaign=b" ->
+        "https://site-3.example/page/7",
+      // tracking param first: its '?' goes with it, '&q=2' is promoted
+      "http://host.example:80/a/b?utm_x=1&q=2" ->
+        "http://host.example/a/b?q=2",
+      "http://host.example/a/b?q=2" -> "http://host.example/a/b?q=2",
+      // trailing slash inside a surviving query is payload, not path
+      "https://h.example/p?q=a/" -> "https://h.example/p?q=a/")
+    val got = cases.map(_._1).toDF("url")
+      .select(col("url"), Webtext.canonicalUrl(col("url")).as("c"))
+      .as[(String, String)].collect().toMap
+    cases.foreach { case (raw, want) => assert(got(raw) == want, raw) }
+  }
+
+  test("urlDedup groups every messy variant under one canonical url") {
+    import spark.implicits._
+    val pages = Webtext.synthMessyPages(spark, dir)
+    val rows = Webtext.urlDedup(pages)
+      .as[(String, Long, Long, String, Long)].collect()
+    assert(rows.forall(_._1.matches("https://site-\\d+\\.example/page/\\d+")),
+      "canonical keys must be fully normalized")
+    val nDocs = SynthGeo.table(spark, dir, "documents").count()
+    assert(rows.map(_._2).sum == nDocs) // every page lands in one group
+    assert(rows.exists(_._3 >= 2), "messy minting must create variant groups")
+    // canonicalizing the kept representative reproduces the group key
+    val keep = Webtext.urlDedup(pages).select(col("curl"),
+        Webtext.canonicalUrl(col("keep_url")).as("c2"))
+      .as[(String, String)].collect()
+    assert(keep.forall(t => t._1 == t._2))
+  }
+
+  test("vocabTopK: global counts, deterministic tie-break, top-k plan") {
+    import spark.implicits._
+    val docs = Seq((1L, "b a a"), (2L, "c b"),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val df = Curation.vocabTopK(docs, k = 3)
+    // a=2 b=2 c=1 ""=1 (null text → one empty token); ties by token
+    assert(df.as[(String, Long)].collect().toSeq ==
+      Seq(("a", 2L), ("b", 2L), ("", 1L)))
+    // orderBy+limit must compile to per-partition top-k heaps
+    // (TakeOrderedAndProject), never a full sort of the vocabulary
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("reliable-checkpoint flag produces identical results") {
     val pts = SynthGeo.customerPoints(spark, dir)
     val base = graft.weights.KnnWeights.build(pts,
