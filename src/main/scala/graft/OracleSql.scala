@@ -533,6 +533,55 @@ object OracleSql {
            min(url) AS keep_url, CAST(min(ts) AS BIGINT) AS first_ts
          FROM c4 GROUP BY curl ORDER BY curl""",
 
+    // C4-style corpus-wide paragraph dedup: first occurrence per
+    // distinct paragraph wins (doc_id, position order), documents
+    // reassembled from survivors; minting mirrors q85's Spark side
+    "q85_paragraph_dedup" ->
+      """WITH d AS (SELECT doc_id,
+             'shared header paragraph' || chr(10) || coalesce(text, '') ||
+             chr(10) || 'footer ' || CAST(doc_id % 7 AS VARCHAR) AS t
+           FROM documents),
+         s AS (SELECT doc_id, string_split(t, chr(10)) AS a FROM d),
+         p AS (SELECT doc_id, unnest(a) AS para,
+                      generate_subscripts(a, 1) AS i FROM s),
+         w AS (SELECT doc_id, para, i,
+                 row_number() OVER (PARTITION BY para
+                   ORDER BY doc_id, i) AS rn
+               FROM p),
+         r AS (SELECT doc_id,
+                 string_agg(para, chr(10) ORDER BY i) AS text_dedup,
+                 count(*) AS n_kept
+               FROM w WHERE rn = 1 GROUP BY doc_id)
+         SELECT o.doc_id AS id, coalesce(r.text_dedup, '') AS text_dedup,
+           CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_paras_kept,
+           CAST(len(o.a) AS BIGINT) AS n_paras
+         FROM s o LEFT JOIN r ON o.doc_id = r.doc_id ORDER BY id""",
+
+    // PII redaction: byte-identical RE2∩Java patterns, counts on the
+    // raw text, sequential email → phone → ip replacement
+    "q86_pii_redact" ->
+      """WITH d AS (SELECT doc_id,
+             coalesce(text, '') || ' contact user' ||
+             CAST(doc_id AS VARCHAR) || '@example.com or +1 555-000-' ||
+             lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+             ' at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS t
+           FROM documents)
+         SELECT doc_id AS id,
+           CAST(len(regexp_extract_all(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(t, '\+\d[\d -]{7,}\d')) AS BIGINT)
+             AS n_phones,
+           CAST(len(regexp_extract_all(t,
+             '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}')) AS BIGINT) AS n_ips,
+           regexp_replace(regexp_replace(regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+             '<EMAIL>', 'g'),
+             '\+\d[\d -]{7,}\d', '<PHONE>', 'g'),
+             '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IP>', 'g')
+             AS text_redacted
+         FROM d ORDER BY id""",
+
     // corpus vocabulary top-k: global token counts, ties by token text
     "q84_vocab_topk" ->
       """WITH t AS (SELECT unnest(string_split(coalesce(text, ''), ' '))

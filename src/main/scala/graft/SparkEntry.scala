@@ -689,6 +689,30 @@ object SparkEntry {
       graft.pipeline.Curation.vocabTopK(
         SynthGeo.table(s, dir, "documents"), k = 100)
         .orderBy(col("n").desc, col("token"))),
+    "q85_paragraph_dedup" -> ((s, dir) => {
+      // C4-style corpus-wide paragraph dedup over paragraph-structured
+      // pages minted from the documents table: a header shared by every
+      // page, the doc's own text, one of 7 rotating footers — dedup
+      // must keep the header once, each footer once, bodies where
+      // first seen
+      val docs = SynthGeo.table(s, dir, "documents").select(col("doc_id"),
+        concat(lit("shared header paragraph\n"),
+          coalesce(col("text"), lit("")),
+          lit("\nfooter "), (col("doc_id") % 7).cast("string")).as("text"))
+      graft.pipeline.Dedup.paragraphDedup(docs).orderBy("id")
+    }),
+    "q86_pii_redact" -> ((s, dir) => {
+      // PII scrub over pages decorated with deterministic emails,
+      // phones and dotted-quad IPs minted from doc_id
+      val docs = SynthGeo.table(s, dir, "documents").select(col("doc_id"),
+        concat(coalesce(col("text"), lit("")),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or +1 555-000-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" at 10.0."), (col("doc_id") % 256).cast("string"),
+          lit(".7")).as("text"))
+      graft.pipeline.TextAnalysis.redactPii(docs).orderBy("id")
+    }),
     "q81_curation_pipeline" -> ((s, dir) => {
       // composed curation: repetition gate + length gate, then a
       // deterministic per-language quota — the end-to-end shape of a

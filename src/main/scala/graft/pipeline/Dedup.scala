@@ -404,4 +404,48 @@ object Dedup {
       .filter(col("cosine") >= threshold)
     graft.core.Materialize.releasing(out, Seq(sigs))
   }
+
+  /** Corpus-wide paragraph dedup — the C4/RefinedWeb curation step:
+    * split every document on `sep`, keep only the FIRST occurrence of
+    * each distinct paragraph corpus-wide (smallest (doc_id, position)),
+    * reassemble each document from its surviving paragraphs in original
+    * order. Returns (id, text_dedup, n_paras_kept, n_paras) — one row
+    * per input document (a document whose every paragraph occurred
+    * earlier keeps an empty text).
+    *
+    * Scale shape: two partial-agg'd hash aggregates and NO join on the
+    * paragraph corpus — the winner per paragraph is a `min_by` keyed by
+    * the paragraph itself (boilerplate skew collapses map-side: a
+    * million copies of one footer become one row per partition before
+    * the exchange), and the winners ARE the surviving instances, so
+    * reassembly is a second aggregate keyed by doc id. The only join is
+    * doc-id-keyed, to re-attach all-lost documents.
+    */
+  def paragraphDedup(docs: DataFrame, sep: String = "\n",
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    val qsep = java.util.regex.Pattern.quote(sep)
+    val paras = split(coalesce(col(textCol), lit("")), qsep)
+    val winners = docs
+      .select(col(idCol).cast("long").as("id"), posexplode(paras))
+      .toDF("id", "idx", "para")
+      .groupBy("para")
+      .agg(min_by(struct(col("id"), col("idx")),
+        struct(col("id"), col("idx"))).as("w"))
+      .select(col("w.id").as("id"), col("w.idx").as("idx"), col("para"))
+    val reassembled = winners.groupBy("id")
+      .agg(array_sort(collect_list(struct(col("idx"), col("para"))))
+        .as("ps"))
+      .select(col("id"),
+        concat_ws(sep, transform(col("ps"), p => p("para")))
+          .as("text_dedup"),
+        size(col("ps")).cast("long").as("n_paras_kept"))
+    docs.select(col(idCol).cast("long").as("id"),
+        size(paras).cast("long").as("n_paras"))
+      .join(reassembled, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"),
+        coalesce(col("n_paras_kept"), lit(0L)).as("n_paras_kept"),
+        col("n_paras"))
+  }
 }

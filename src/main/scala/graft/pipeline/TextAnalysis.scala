@@ -171,4 +171,36 @@ object TextAnalysis {
       round(dupFrac(grams(2)), 6).as("dup_bigram_frac"),
       round(dupFrac(grams(3)), 6).as("dup_trigram_frac"))
   }
+
+  /** PII patterns for [[redactPii]] — written in the RE2∩Java regex
+    * subset (no lookaround, no backrefs) so the DuckDB oracle runs the
+    * byte-identical patterns.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+\\d[\\d -]{7,}\\d"
+  val IpRe = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+
+  /** PII redaction — the scrub pass a public-corpus pipeline runs
+    * before training: replace emails / international-format phone
+    * numbers / dotted-quad IPs with typed placeholders, and report
+    * per-document match counts (counted independently on the raw text;
+    * replacement is sequential email → phone → ip, and placeholders
+    * contain no digits or `@` so later passes cannot re-match earlier
+    * redactions). Pure per-row codegen'd regex expressions — the scan
+    * IS the job, no shuffle. Returns
+    * (id, n_emails, n_phones, n_ips, text_redacted).
+    */
+  def redactPii(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    docs.select(col(idCol).cast("long").as("id"),
+      regexp_count(t, lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(t, lit(PhoneRe)).cast("long").as("n_phones"),
+      regexp_count(t, lit(IpRe)).cast("long").as("n_ips"),
+      regexp_replace(regexp_replace(regexp_replace(t,
+          EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>"),
+          IpRe, "<IP>")
+        .as("text_redacted"))
+  }
 }

@@ -526,6 +526,51 @@ class PipelineSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("paragraphDedup keeps only first corpus-wide occurrence, in order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "A\nB\nC"),
+      (2L, "B\nD"),   // B first seen in doc 1 → only D survives
+      (3L, "A\nE\nB"), // A,B seen → only E survives
+      (4L, "A\nB\nC")) // exact dup of doc 1 → loses everything
+      .toDF("doc_id", "text")
+    val r = Dedup.paragraphDedup(docs)
+      .as[(Long, String, Long, Long)].collect().map(t => t._1 -> t).toMap
+    assert(r(1L) == ((1L, "A\nB\nC", 3L, 3L)))
+    assert(r(2L) == ((2L, "D", 1L, 2L)))
+    assert(r(3L) == ((3L, "E", 1L, 3L)))
+    assert(r(4L) == ((4L, "", 0L, 3L)))
+    // winner selection must be partitioning-invariant (deterministic
+    // min_by, not "whichever partition got there first")
+    val again = Dedup.paragraphDedup(docs.repartition(5))
+      .as[(Long, String, Long, Long)].collect().map(t => t._1 -> t).toMap
+    assert(again == r)
+  }
+
+  test("redactPii: planted email/phone/ip scrubbed; redacted text is clean") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "write to bob.smith@corp.example.org or +44 20 7946 0958 now"),
+      (2L, "server at 192.168.1.17 and 10.0.0.1"),
+      (3L, "plain text, nothing to scrub"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val r = TextAnalysis.redactPii(docs)
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(t => t._1 -> t).toMap
+    assert(r(1L)._2 == 1L && r(1L)._3 == 1L && r(1L)._4 == 0L)
+    assert(r(1L)._5 == "write to <EMAIL> or <PHONE> now")
+    assert(r(2L)._4 == 2L &&
+      r(2L)._5 == "server at <IP> and <IP>")
+    assert(r(3L) == ((3L, 0L, 0L, 0L, "plain text, nothing to scrub")))
+    assert(r(4L) == ((4L, 0L, 0L, 0L, "")))
+    // idempotence: a second pass over redacted text finds nothing
+    val second = TextAnalysis.redactPii(
+      TextAnalysis.redactPii(docs).select(col("id").as("doc_id"),
+        col("text_redacted").as("text")))
+      .as[(Long, Long, Long, Long, String)].collect()
+    assert(second.forall(t => t._2 == 0L && t._3 == 0L && t._4 == 0L))
+  }
+
   test("reliable-checkpoint flag produces identical results") {
     val pts = SynthGeo.customerPoints(spark, dir)
     val base = graft.weights.KnnWeights.build(pts,
