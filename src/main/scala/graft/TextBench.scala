@@ -67,6 +67,41 @@ object TextBench {
         .select(sum(length(col("text")))).head().getLong(0))
       html.unpersist(false)
 
+      // curation family: repetition stats, decontamination (bench =
+      // every 997th doc, ~0.1% — realistic benchmark:corpus ratio),
+      // url-level dedup over minted messy spellings, corpus-wide
+      // paragraph dedup with planted boilerplate, PII scrub, vocab
+      val (_, tRep) = time(TextAnalysis.repetitionStats(docs).count())
+      val benchSet = docs.filter(pmod(col("doc_id"), lit(997)) === 0)
+      val (_, tDecon) = time(
+        graft.pipeline.Curation.decontaminate(docs, benchSet).count())
+      val pages = docs.select(
+        concat(lit("https://site-"),
+          pmod(col("doc_id"), lit(5000)).cast("string"),
+          when(pmod(col("doc_id"), lit(3)) === 0, lit(".example/p/"))
+            .otherwise(lit(".EXAMPLE/p/")),
+          (col("doc_id") % 200000).cast("string"),
+          when(pmod(col("doc_id"), lit(2)) === 0,
+            lit("?utm_source=x")).otherwise(lit("#f"))).as("url"),
+        timestamp_seconds(lit(1704067200L) + col("doc_id") % 86400)
+          .as("warc_ts"))
+      val (_, tUrl) = time(
+        graft.pipeline.Webtext.urlDedup(pages).count())
+      val pDocs = docs.select(col("doc_id"),
+        concat(lit("shared header\n"), col("text"), lit("\nfooter "),
+          pmod(col("doc_id"), lit(7)).cast("string")).as("text"))
+      // consume text_dedup so reassembly is inside the timing
+      val (_, tPara) = time(Dedup.paragraphDedup(pDocs)
+        .select(sum(length(col("text_dedup")))).head().getLong(0))
+      val piiDocs = docs.select(col("doc_id"),
+        concat(col("text"), lit(" user"), col("doc_id").cast("string"),
+          lit("@ex.org +1 555-000-1234 at 10.0.0.7")).as("text"))
+      val (_, tRedact) = time(TextAnalysis.redactPii(piiDocs)
+        .select(sum(col("n_emails") + col("n_phones") + col("n_ips")))
+        .head().getLong(0))
+      val (_, tVocab) = time(
+        graft.pipeline.Curation.vocabTopK(docs, k = 1000).count())
+
       val emb = spark.range(nEmb).select(
           col("id").as("vec_id"),
           transform(sequence(lit(1), lit(64)),
@@ -83,7 +118,7 @@ object TextBench {
       docs.unpersist(false); emb.unpersist(false)
 
       val r = (t: Double) => math.round(n / t)
-      println(s"""{"metric":"text_pipeline","n":$n,"n_emb":$nEmb,"cpus":"$cpus","unit":"sec","exact_dedup_sec":$tExact,"exact_dedup_rows_per_sec":${r(tExact)},"minhash_sec":$tMinhash,"minhash_rows_per_sec":${r(tMinhash)},"minhash_pairs":$mhPairs,"simhash_sec":$tSimhash,"simhash_rows_per_sec":${r(tSimhash)},"simhash_pairs":$shPairs,"langid_sec":$tLang,"langid_rows_per_sec":${r(tLang)},"quality_sec":$tQual,"quality_rows_per_sec":${r(tQual)},"fingerprint_sec":$tFp,"fingerprint_rows_per_sec":${r(tFp)},"extract_sec":$tExtract,"extract_rows_per_sec":${r(tExtract)},"ann_brute_sec":$tBrute,"ann_ivf_sec":$tIvf}""")
+      println(s"""{"metric":"text_pipeline","n":$n,"n_emb":$nEmb,"cpus":"$cpus","unit":"sec","exact_dedup_sec":$tExact,"exact_dedup_rows_per_sec":${r(tExact)},"minhash_sec":$tMinhash,"minhash_rows_per_sec":${r(tMinhash)},"minhash_pairs":$mhPairs,"simhash_sec":$tSimhash,"simhash_rows_per_sec":${r(tSimhash)},"simhash_pairs":$shPairs,"langid_sec":$tLang,"langid_rows_per_sec":${r(tLang)},"quality_sec":$tQual,"quality_rows_per_sec":${r(tQual)},"fingerprint_sec":$tFp,"fingerprint_rows_per_sec":${r(tFp)},"extract_sec":$tExtract,"extract_rows_per_sec":${r(tExtract)},"repetition_sec":$tRep,"repetition_rows_per_sec":${r(tRep)},"decontaminate_sec":$tDecon,"decontaminate_rows_per_sec":${r(tDecon)},"url_dedup_sec":$tUrl,"url_dedup_rows_per_sec":${r(tUrl)},"paragraph_dedup_sec":$tPara,"paragraph_dedup_rows_per_sec":${r(tPara)},"pii_redact_sec":$tRedact,"pii_redact_rows_per_sec":${r(tRedact)},"vocab_topk_sec":$tVocab,"vocab_topk_rows_per_sec":${r(tVocab)},"ann_brute_sec":$tBrute,"ann_ivf_sec":$tIvf}""")
     } finally spark.stop()
   }
 }
