@@ -582,6 +582,53 @@ object OracleSql {
              AS text_redacted
          FROM d ORDER BY id""",
 
+    // near-dup cluster resolution: connected components of the minted
+    // Lehmer pair graph; oracle = recursive min-label closure (labels
+    // only propagate downhill, so the UNION-dedup fixpoint is the
+    // reachable-minimum per node)
+    "q87_dup_clusters" ->
+      """WITH RECURSIVE
+         nn AS (SELECT count(*) AS n FROM documents),
+         e0 AS (SELECT doc_id AS u,
+                  ((doc_id*48271) % 2147483647) % (SELECT n FROM nn) AS v
+                FROM documents WHERE doc_id % 3 <> 0),
+         e AS (SELECT least(u,v) AS u, greatest(u,v) AS v
+               FROM e0 WHERE u <> v),
+         eb AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+         reach(id, lbl) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT eb.v, r.lbl FROM reach r JOIN eb ON eb.u = r.id
+           WHERE r.lbl < eb.v),
+         cc AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id)
+         SELECT id, component FROM cc ORDER BY id""",
+
+    // composed dedup: keep the canonical (min-id) doc per duplicate
+    // cluster with the count of members dropped alongside it
+    "q88_dedup_survivors" ->
+      """WITH RECURSIVE
+         nn AS (SELECT count(*) AS n FROM documents),
+         e0 AS (SELECT doc_id AS u,
+                  ((doc_id*48271) % 2147483647) % (SELECT n FROM nn) AS v
+                FROM documents WHERE doc_id % 3 <> 0),
+         e AS (SELECT least(u,v) AS u, greatest(u,v) AS v
+               FROM e0 WHERE u <> v),
+         eb AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+         reach(id, lbl) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT eb.v, r.lbl FROM reach r JOIN eb ON eb.u = r.id
+           WHERE r.lbl < eb.v),
+         cc AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id),
+         sz AS (SELECT component, count(*) - 1 AS n_dupes_removed
+                FROM cc GROUP BY component)
+         SELECT d.doc_id, d.lang, d.n_chars,
+           CAST(sz.n_dupes_removed AS BIGINT) AS n_dupes_removed
+         FROM documents d
+         JOIN cc ON d.doc_id = cc.id AND cc.id = cc.component
+         JOIN sz USING (component)
+         ORDER BY d.doc_id""",
+
     // corpus vocabulary top-k: global token counts, ties by token text
     "q84_vocab_topk" ->
       """WITH t AS (SELECT unnest(string_split(coalesce(text, ''), ' '))

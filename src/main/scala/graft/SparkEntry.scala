@@ -727,6 +727,33 @@ object SparkEntry {
           quota = 3, idCol = "doc_id")
         .orderBy("lang", "rk")
     }),
+    "q87_dup_clusters" -> ((s, dir) => {
+      // near-dup cluster resolution: distributed connected components
+      // (large-star/small-star) over a minted Lehmer pair graph — the
+      // transitive-closure step that turns LSH pair output into
+      // deletable duplicate groups (mix of chains, trees, cycles,
+      // isolates; 175 components at sf0.01)
+      val docs = SynthGeo.table(s, dir, "documents")
+      val n = docs.count()
+      val pairs = docs.filter(col("doc_id") % 3 =!= 0)
+        .select(col("doc_id").as("id_a"),
+          (col("doc_id") * 48271 % 2147483647L % n).as("id_b"))
+      graft.pipeline.Dedup.dupClusters(docs, pairs).orderBy("id")
+    }),
+    "q88_dedup_survivors" -> ((s, dir) => {
+      // composed dedup end-to-end: pairs -> clusters -> keep the
+      // canonical (min-id) doc per group, reporting how many were
+      // dropped with it
+      val docs = SynthGeo.table(s, dir, "documents")
+      val n = docs.count()
+      val pairs = docs.filter(col("doc_id") % 3 =!= 0)
+        .select(col("doc_id").as("id_a"),
+          (col("doc_id") * 48271 % 2147483647L % n).as("id_b"))
+      graft.pipeline.Dedup.dropNearDuplicates(docs, pairs)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col("n_dupes_removed"))
+        .orderBy("doc_id")
+    }),
 
     // ---- events: windowed aggregation (micro-batch equivalent of the
     // Structured Streaming pipeline in graft.streaming) ----

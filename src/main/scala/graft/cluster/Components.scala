@@ -1,0 +1,116 @@
+package graft.cluster
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over an edge list.
+  *
+  * Alternating large-star / small-star (Kiveris et al., "Connected
+  * Components in MapReduce and Beyond", ACM SoCC 2014), converging in
+  * O(log^2 n) rounds — on a 10^12-node near-dup graph that is ~a dozen
+  * rounds of node-keyed shuffles, versus O(diameter) rounds for naive
+  * min-label propagation (a chain-shaped contiguity graph makes the
+  * diameter O(sqrt n)).
+  *
+  * Both star operations are expressed as one `min` aggregation plus one
+  * equi-join — NO adjacency list is ever collected, so per-task memory
+  * is bounded regardless of degree skew: a boilerplate paragraph shared
+  * by 10^8 pages yields one 10^8-degree node, which a
+  * groupBy+collect_list formulation materializes as a single array row
+  * (2 GB row limit / OOM) while the min+join formulation streams and
+  * spills. Same hazard analysis as the LSH pair expansion in
+  * [[graft.pipeline.Dedup.minhashLsh]].
+  *
+  * Uses: resolving near-duplicate PAIRS (minhash / simhash / embedding
+  * LSH output) into duplicate CLUSTERS with a canonical representative
+  * (component = min member id) so the corpus can actually be deduped;
+  * and GeoDa-style connectivity analysis of a spatial weights graph
+  * (component and island detection — the Weights Manager summary the
+  * reference's users read before trusting a LISA run).
+  */
+object Components {
+
+  /** Component label per node: `(id, component)` where `component` is
+    * the minimum node id reachable from `id` (the canonical
+    * representative). Edges are undirected; self-loops, duplicates and
+    * either orientation are tolerated. `nodes`, when given, is the node
+    * universe (one id column `nodeCol`) — ids absent from every edge
+    * come back as singleton components of themselves (isolates).
+    *
+    * Each round materializes the shrinking edge set via the engine's
+    * scoped-release checkpoint (local by default,
+    * `spark.graft.checkpoint.reliable=true` for the cluster story), so
+    * lineage stays O(1) across rounds and a killed job resumes from the
+    * last round's blocks rather than round zero.
+    */
+  def connected(edges: DataFrame, aCol: String = "id_a",
+                bCol: String = "id_b", nodes: Option[DataFrame] = None,
+                nodeCol: String = "id", maxIter: Int = 50): DataFrame = {
+    // canonical orientation (u < v), loops dropped, both inputs long
+    var e = edges
+      .select(col(aCol).cast("long").as("x"), col(bCol).cast("long").as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull &&
+        col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("u"),
+        greatest(col("x"), col("y")).as("v"))
+      .distinct()
+    e = graft.core.Materialize.releasing(e, Nil)
+
+    // set fingerprint: count + xor of 64-bit edge hashes (edges are
+    // distinct, so xor-of-set + count collides at ~2^-64; sum would
+    // overflow under ANSI mode)
+    def checksum(d: DataFrame): (Long, Long) = {
+      val r = d.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(u, v))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    var prev = checksum(e)
+    var it = 0
+    var converged = prev._1 == 0L
+    while (!converged && it < maxIter) {
+      // large-star: every node attaches its LARGER neighbors to the
+      // minimum of its closed neighborhood. Centered at u (< v), each
+      // canonical edge contributes (v, m(u)); centers at the larger end
+      // contribute nothing. m(u) <= u < v keeps orientation canonical.
+      val bidir = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mLarge = bidir.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val large = e.join(mLarge, "u")
+        .select(col("m").as("u"), col("v")).distinct()
+      // small-star: every node attaches its SMALLER neighbors and
+      // itself to the minimum of those neighbors. Centered at the
+      // larger end v, m'(v) = min of its smaller neighbors (< v).
+      val mSmall = large.groupBy("v").agg(min(col("u")).as("m"))
+      val small = large.join(mSmall, "v")
+        .select(col("m").as("nu"), col("u").as("nv"))
+        .filter(col("nu") =!= col("nv"))
+        .union(mSmall.select(col("m").as("nu"), col("v").as("nv")))
+        .select(col("nu").as("u"), col("nv").as("v"))
+        .distinct()
+      val next = graft.core.Materialize.releasing(small, Nil)
+      val cur = checksum(next)
+      converged = cur == prev
+      prev = cur
+      e = next
+      it += 1
+    }
+    require(converged || it < maxIter,
+      s"Components.connected did not converge in $maxIter rounds " +
+        "(expected O(log^2 n) — raise maxIter for adversarial inputs)")
+
+    // converged edges are stars (component-min -> member); fold both
+    // ends through a min-agg so the label read needs no star assumption
+    val member = e.select(col("v").as(nodeCol), col("u").as("component"))
+      .union(e.select(col("u").as(nodeCol), col("u").as("component")))
+      .groupBy(nodeCol).agg(min(col("component")).as("component"))
+    nodes match {
+      case None => member.select(col(nodeCol), col("component"))
+      case Some(univ) =>
+        univ.select(col(nodeCol).cast("long").as(nodeCol)).distinct()
+          .join(member, Seq(nodeCol), "left")
+          .select(col(nodeCol),
+            coalesce(col("component"), col(nodeCol)).as("component"))
+    }
+  }
+}

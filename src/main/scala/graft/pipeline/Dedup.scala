@@ -448,4 +448,38 @@ object Dedup {
         coalesce(col("n_paras_kept"), lit(0L)).as("n_paras_kept"),
         col("n_paras"))
   }
+
+  /** Resolve near-duplicate PAIRS (the `(id_a, id_b)` output of
+    * [[minhashLsh]] / [[simhashDup]] / [[embeddingNearDup]]) into
+    * duplicate CLUSTERS: `(id, component)` for every document, where
+    * `component` is the min doc id of the transitive duplicate group
+    * (docs in no pair are singletons of themselves). Near-duplication
+    * is transitive only through the cluster view — A~B and B~C puts A
+    * and C in one group even when the LSH never emitted (A, C); pair
+    * output alone under-deletes. Distributed connected components, see
+    * [[graft.cluster.Components]].
+    */
+  def dupClusters(docs: DataFrame, pairs: DataFrame,
+                  idCol: String = "doc_id", aCol: String = "id_a",
+                  bCol: String = "id_b"): DataFrame =
+    graft.cluster.Components.connected(pairs, aCol, bCol,
+      nodes = Some(docs.select(col(idCol).cast("long").as("id"))),
+      nodeCol = "id")
+
+  /** Drop near-duplicates: keep the canonical (min-id) document of
+    * each duplicate cluster. Returns the surviving docs' rows plus
+    * `n_dupes_removed` (other members of the cluster).
+    */
+  def dropNearDuplicates(docs: DataFrame, pairs: DataFrame,
+                         idCol: String = "doc_id", aCol: String = "id_a",
+                         bCol: String = "id_b"): DataFrame = {
+    val clusters = dupClusters(docs, pairs, idCol, aCol, bCol)
+    val sizes = clusters.groupBy("component")
+      .agg((count(lit(1)) - 1L).as("n_dupes_removed"))
+    docs.join(
+      clusters.filter(col("id") === col("component")).join(sizes, "component")
+        .select(col("id").as("__keep"), col("n_dupes_removed")),
+      docs(idCol).cast("long") === col("__keep"))
+      .drop("__keep")
+  }
 }

@@ -1,0 +1,98 @@
+package graft.cluster
+
+import graft.SparkFixture
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Large-star/small-star connected components vs a brute-force
+  * union-find, plus the topologies that stress the round bound:
+  * long chains (diameter >> O(log^2 n) rounds — min-label propagation
+  * would need ~n rounds), rings, stars, self-loops, duplicate and
+  * reversed edges, isolates via the node-universe join.
+  */
+class ComponentsSpec extends AnyFunSuite {
+  lazy val spark = SparkFixture.spark
+
+  private def brute(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // union-by-min above keeps roots minimal only per-merge; normalize
+    // by taking the min member per root
+    val byRoot = (0 until n).groupBy(find)
+    byRoot.iterator.flatMap { case (_, ms) =>
+      val m = ms.min.toLong; ms.iterator.map(_.toLong -> m)
+    }.toMap
+  }
+
+  private def run(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    val e = edges.toDF("id_a", "id_b")
+    val univ = (0L until n.toLong).toDF("id")
+    Components.connected(e, nodes = Some(univ))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("random graphs match brute-force union-find") {
+    val rnd = new scala.util.Random(20260817L)
+    for (trial <- 0 until 5) {
+      val n = 60 + trial * 50
+      val nEdges = (n * (0.4 + 0.4 * trial)).toInt
+      val edges = Seq.fill(nEdges)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      assert(run(n, edges) === brute(n, edges),
+        s"trial $trial n=$n edges=$nEdges")
+    }
+  }
+
+  test("chain of 400 (diameter >> rounds) converges to one component") {
+    val edges = (0L until 399L).map(i => (i, i + 1))
+    val got = run(400, edges)
+    assert(got.size === 400 && got.values.forall(_ == 0L))
+  }
+
+  test("ring, star, reversed/duplicate edges, self-loops") {
+    val ring = (0L until 50L).map(i => (i, (i + 1) % 50))
+    assert(run(50, ring).values.forall(_ == 0L))
+    val star = (1L until 30L).map(i => (i, 0L))
+    assert(run(30, star).values.forall(_ == 0L))
+    val messy = Seq((1L, 2L), (2L, 1L), (1L, 2L), (3L, 3L), (4L, 5L))
+    assert(run(6, messy) ===
+      Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L, 5L -> 4L))
+  }
+
+  test("empty edge list: every node is its own singleton") {
+    assert(run(5, Nil) === (0L until 5L).map(i => i -> i).toMap)
+  }
+
+  test("without a node universe, only edge endpoints are labeled") {
+    import spark.implicits._
+    val got = Components.connected(Seq((7L, 9L)).toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(7L -> 7L, 9L -> 7L))
+  }
+
+  test("dupClusters + dropNearDuplicates keep one canonical doc per group") {
+    import spark.implicits._
+    val docs = (0L until 10L).map(i => (i, s"text$i")).toDF("doc_id", "text")
+    // pairs 0-1, 1-2 (transitive triple), 5-6; rest singletons
+    val pairs = Seq((0L, 1L), (1L, 2L), (5L, 6L)).toDF("id_a", "id_b")
+    val cl = graft.pipeline.Dedup.dupClusters(docs, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cl === Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 8L, 9L -> 9L))
+    val kept = graft.pipeline.Dedup.dropNearDuplicates(docs, pairs)
+      .select("doc_id", "n_dupes_removed")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kept === Map(0L -> 2L, 3L -> 0L, 4L -> 0L, 5L -> 1L,
+      7L -> 0L, 8L -> 0L, 9L -> 0L))
+  }
+}
