@@ -237,6 +237,27 @@ object OracleSql {
            ON a.gid <> b.gid AND abs(a.cx-b.cx) <= 1 AND abs(a.cy-b.cy) <= 1
          ORDER BY gid, nbr""",
 
+    // GeoDa weights summary: degree stats of the queen graph with
+    // islands from the node-universe left join
+    "q89_weights_summary" ->
+      s"""WITH $CELLS,
+         p AS (SELECT a.gid AS gid, b.gid AS nbr
+               FROM cells a JOIN cells b
+                 ON a.gid <> b.gid AND abs(a.cx-b.cx) <= 1
+                AND abs(a.cy-b.cy) <= 1),
+         deg AS (SELECT c.gid, count(p.nbr) AS deg
+                 FROM cells c LEFT JOIN p ON p.gid = c.gid
+                 GROUP BY c.gid)
+         SELECT count(*) AS n_obs, CAST(sum(deg) AS BIGINT) AS n_nonzero,
+           min(deg) AS min_nbrs, max(deg) AS max_nbrs,
+           round(avg(deg), 6) AS mean_nbrs,
+           CAST(median(deg) AS DOUBLE) AS median_nbrs,
+           round(sum(deg) * 100.0 / (count(*) * count(*)), 6)
+             AS pct_nonzero,
+           CAST(sum(CASE WHEN deg = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_islands
+         FROM deg""",
+
     "q17_rook_pairs" ->
       s"""WITH $CELLS
          SELECT a.gid AS gid, b.gid AS nbr
@@ -628,6 +649,28 @@ object OracleSql {
          JOIN cc ON d.doc_id = cc.id AND cc.id = cc.component
          JOIN sz USING (component)
          ORDER BY d.doc_id""",
+
+    // model-based quality scoring: md5-hashed bag-of-words buckets,
+    // minted linear coefficients, sigmoid output — rounding at 6
+    // decimals makes the value order-invariant across engines
+    "q90_quality_model" ->
+      """WITH w AS (SELECT i AS bucket,
+             ((i*2654435761) % 2000)/1000.0 - 1.0 AS weight
+           FROM generate_series(0, 1023) g(i)),
+         t AS (SELECT doc_id,
+                 unnest(string_split(coalesce(text, ''), ' ')) AS tok
+               FROM documents),
+         b AS (SELECT doc_id,
+                 ('0x' || substr(md5(tok), 1, 8))::BIGINT % 1024 AS bucket
+               FROM t WHERE tok <> ''),
+         tf AS (SELECT doc_id, bucket, count(*) AS tf FROM b GROUP BY 1, 2),
+         sc AS (SELECT tf.doc_id,
+                  round(sum(tf.tf * w.weight) + 0.1, 6) AS score
+                FROM tf JOIN w USING (bucket) GROUP BY tf.doc_id)
+         SELECT d.doc_id AS id, coalesce(sc.score, 0.1) AS score,
+           round(1.0/(1.0 + exp(-coalesce(sc.score, 0.1))), 6) AS prob
+         FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+         ORDER BY id""",
 
     // corpus vocabulary top-k: global token counts, ties by token text
     "q84_vocab_topk" ->

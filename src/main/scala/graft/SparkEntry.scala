@@ -140,6 +140,15 @@ object SparkEntry {
           ContiguityWeights.Conf(queen = true))
         .orderBy("gid", "nbr")
     }),
+    "q89_weights_summary" -> ((s, dir) => {
+      // GeoDa Weights-Manager connectivity panel over the queen graph:
+      // n, edges, degree min/max/mean/median, % non-zero, islands
+      val polys = SynthGeo.partPolygons(s, dir)
+      graft.weights.WeightsSummary.summary(
+        ContiguityWeights.adjacency(polys,
+          ContiguityWeights.Conf(queen = true)),
+        polys)
+    }),
     "q17_rook_pairs" -> ((s, dir) => {
       ContiguityWeights.adjacency(SynthGeo.partPolygons(s, dir),
           ContiguityWeights.Conf(queen = false))
@@ -739,6 +748,17 @@ object SparkEntry {
         .select(col("doc_id").as("id_a"),
           (col("doc_id") * 48271 % 2147483647L % n).as("id_b"))
       graft.pipeline.Dedup.dupClusters(docs, pairs).orderBy("id")
+    }),
+    "q90_quality_model" -> ((s, dir) => {
+      // model-based quality filter: hashed bag-of-words linear scorer
+      // (fastText-style classifier gate) with deterministically minted
+      // coefficients standing in for a trained model
+      val docs = SynthGeo.table(s, dir, "documents")
+      val w = s.range(1024).select(col("id").as("bucket"),
+        (col("id") * 2654435761L % 2000 / lit(1000.0) - 1.0).as("weight"))
+      graft.pipeline.Curation.hashedLinearScore(docs, w,
+          dim = 1024, bias = 0.1)
+        .orderBy("id")
     }),
     "q88_dedup_survivors" -> ((s, dir) => {
       // composed dedup end-to-end: pairs -> clusters -> keep the

@@ -104,4 +104,43 @@ object Curation {
       .groupBy("token").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token"))
       .limit(k)
+
+  /** Model-based quality scoring: a hashed bag-of-words linear
+    * classifier — the fastText-style quality filter of modern
+    * pretraining pipelines (classifier scores gate which documents
+    * enter the training mix). Tokens hash into `dim` buckets via the
+    * first 8 hex digits of md5 (deterministic and replayable in plain
+    * SQL); `weights` carries the trained model's coefficients as
+    * `(bucket, weight)` rows. `score = bias + sum tf(b) * w(b)`,
+    * `prob = sigmoid(score)`, both rounded to 6 decimals so the value
+    * is invariant to floating-point summation order.
+    *
+    * Scale shape: term frequencies collapse map-side (partial agg on
+    * `(id, bucket)`), the weight vector joins BROADCAST (a model of
+    * dim 10^6 is a few MB), and the only corpus-sized exchange is the
+    * per-doc re-agg keyed by doc id. Docs with no tokens score `bias`.
+    */
+  def hashedLinearScore(docs: DataFrame, weights: DataFrame,
+                        dim: Int = 1024, bias: Double = 0.0,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val tf = docs.select(col(idCol).cast("long").as("id"),
+        explode(split(coalesce(col(textCol), lit("")), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .select(col("id"),
+        (conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long")
+          % dim).as("bucket"))
+      .groupBy("id", "bucket").agg(count(lit(1)).as("tf"))
+    val scored = tf.join(
+        broadcast(weights.select(col("bucket").cast("long").as("bucket"),
+          col("weight").cast("double").as("w"))),
+        Seq("bucket"), "left")
+      .groupBy("id")
+      .agg(sum(col("tf") * coalesce(col("w"), lit(0.0))).as("s"))
+    docs.select(col(idCol).cast("long").as("id")).join(scored, Seq("id"), "left")
+      .select(col("id"),
+        round(coalesce(col("s"), lit(0.0)) + bias, 6).as("score"))
+      .select(col("id"), col("score"),
+        round(lit(1.0) / (lit(1.0) + exp(-col("score"))), 6).as("prob"))
+  }
 }
