@@ -220,6 +220,94 @@ object OracleSql {
          FROM knn k JOIN vals v ON k.nbr = v.gid
          GROUP BY k.gid ORDER BY gid""",
 
+    // global Moran's I with Cliff-Ord moments: S0/S1/S2 replayed over
+    // the row-standardized kNN graph, variance under normality and
+    // randomization
+    "q91_global_moran" ->
+      s"""WITH $KNN4, $VALS,
+         deg AS (SELECT gid, count(*) AS d FROM knn GROUP BY gid),
+         w AS (SELECT k.gid, k.nbr, 1.0/deg.d AS w
+               FROM knn k JOIN deg USING (gid)),
+         wr AS (SELECT a.gid, a.nbr, a.w, b.w AS wrev
+                FROM w a LEFT JOIN w b
+                  ON b.gid = a.nbr AND b.nbr = a.gid),
+         s01 AS (SELECT sum(w) AS s0,
+                   sum(pow(w + coalesce(wrev, 0), 2) /
+                     (CASE WHEN wrev IS NULL THEN 1.0 ELSE 2.0 END)) AS s1
+                 FROM wr),
+         rsums AS (SELECT gid, sum(w) AS rsum FROM w GROUP BY gid),
+         csums AS (SELECT nbr AS gid, sum(w) AS csum FROM w GROUP BY nbr),
+         s2t AS (SELECT sum(pow(coalesce(rsum, 0) + coalesce(csum, 0), 2))
+                   AS s2
+                 FROM rsums FULL JOIN csums USING (gid)),
+         mt AS (SELECT avg(value) AS m FROM vals),
+         zm AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                  sum(pow(value - m, 2)) AS sz2,
+                  sum(pow(value - m, 4)) AS sz4
+                FROM vals, mt),
+         numt AS (SELECT sum(w.w * (vi.value - m) * (vj.value - m)) AS num
+                  FROM w JOIN vals vi ON w.gid = vi.gid
+                         JOIN vals vj ON w.nbr = vj.gid, mt),
+         base AS (SELECT n, s0, s1, s2, n/s0*num/sz2 AS i,
+                    -1.0/(n-1) AS e_i, n*sz4/(sz2*sz2) AS k
+                  FROM numt, s01, s2t, zm),
+         v AS (SELECT i, e_i,
+                 (n*n*s1 - n*s2 + 3*s0*s0)/((n*n-1)*s0*s0) - e_i*e_i
+                   AS var_norm,
+                 (n*((n*n-3*n+3)*s1 - n*s2 + 3*s0*s0)
+                   - k*((n*n-n)*s1 - 2*n*s2 + 6*s0*s0))
+                   / ((n-1)*(n-2)*(n-3)*s0*s0) - e_i*e_i AS var_rand
+               FROM base)
+         SELECT round(i, 6) AS i, round(e_i, 6) AS e_i,
+           round(var_norm, 8) AS var_norm,
+           round((i-e_i)/sqrt(var_norm), 6) AS z_norm,
+           round(var_rand, 8) AS var_rand,
+           round((i-e_i)/sqrt(var_rand), 6) AS z_rand
+         FROM v""",
+
+    // global Geary's c, same S-moments, Cliff-Ord variances
+    "q92_global_geary" ->
+      s"""WITH $KNN4, $VALS,
+         deg AS (SELECT gid, count(*) AS d FROM knn GROUP BY gid),
+         w AS (SELECT k.gid, k.nbr, 1.0/deg.d AS w
+               FROM knn k JOIN deg USING (gid)),
+         wr AS (SELECT a.gid, a.nbr, a.w, b.w AS wrev
+                FROM w a LEFT JOIN w b
+                  ON b.gid = a.nbr AND b.nbr = a.gid),
+         s01 AS (SELECT sum(w) AS s0,
+                   sum(pow(w + coalesce(wrev, 0), 2) /
+                     (CASE WHEN wrev IS NULL THEN 1.0 ELSE 2.0 END)) AS s1
+                 FROM wr),
+         rsums AS (SELECT gid, sum(w) AS rsum FROM w GROUP BY gid),
+         csums AS (SELECT nbr AS gid, sum(w) AS csum FROM w GROUP BY nbr),
+         s2t AS (SELECT sum(pow(coalesce(rsum, 0) + coalesce(csum, 0), 2))
+                   AS s2
+                 FROM rsums FULL JOIN csums USING (gid)),
+         mt AS (SELECT avg(value) AS m FROM vals),
+         zm AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                  sum(pow(value - m, 2)) AS sz2,
+                  sum(pow(value - m, 4)) AS sz4
+                FROM vals, mt),
+         numt AS (SELECT sum(w.w * pow(vi.value - vj.value, 2)) AS num
+                  FROM w JOIN vals vi ON w.gid = vi.gid
+                         JOIN vals vj ON w.nbr = vj.gid),
+         base AS (SELECT n, s0, s1, s2,
+                    (n-1)/(2.0*s0)*num/sz2 AS c, n*sz4/(sz2*sz2) AS k
+                  FROM numt, s01, s2t, zm),
+         v AS (SELECT c,
+                 ((2*s1 + s2)*(n-1) - 4*s0*s0)/(2*(n+1)*s0*s0) AS var_norm,
+                 ((n-1)*s1*(n*n - 3*n + 3 - (n-1)*k)
+                   - 0.25*((n-1)*s2*(n*n + 3*n - 6 - (n*n - n + 2)*k))
+                   + s0*s0*(n*n - 3 - (n-1)*(n-1)*k))
+                   / (n*(n-2)*(n-3)*s0*s0) AS var_rand
+               FROM base)
+         SELECT round(c, 6) AS c, 1.0 AS e_c,
+           round(var_norm, 8) AS var_norm,
+           round((c-1)/sqrt(var_norm), 6) AS z_norm,
+           round(var_rand, 8) AS var_rand,
+           round((c-1)/sqrt(var_rand), 6) AS z_rand
+         FROM v""",
+
     "q15_moran_stat" ->
       s"""WITH $KNN4, $VALS,
          z AS (SELECT gid,

@@ -140,6 +140,32 @@ object SparkEntry {
           ContiguityWeights.Conf(queen = true))
         .orderBy("gid", "nbr")
     }),
+    "q91_global_moran" -> ((s, dir) => {
+      // global Moran's I with Cliff-Ord analytical inference (normality
+      // + randomization moments) over the kNN(4) graph — the scalar
+      // companion of the q30 local map; closed-form, no permutation
+      // passes over the edge list
+      val vals = SynthGeo.customerValues(s, dir)
+      val prs = KnnWeights.pairs(SynthGeo.customerPoints(s, dir),
+        KnnWeights.Conf(k = 4, cellSize = Some(4.0)))
+      graft.stats.GlobalStats.moran(vals, prs).select(
+        round(col("i"), 6).as("i"), round(col("e_i"), 6).as("e_i"),
+        round(col("var_norm"), 8).as("var_norm"),
+        round(col("z_norm"), 6).as("z_norm"),
+        round(col("var_rand"), 8).as("var_rand"),
+        round(col("z_rand"), 6).as("z_rand"))
+    }),
+    "q92_global_geary" -> ((s, dir) => {
+      val vals = SynthGeo.customerValues(s, dir)
+      val prs = KnnWeights.pairs(SynthGeo.customerPoints(s, dir),
+        KnnWeights.Conf(k = 4, cellSize = Some(4.0)))
+      graft.stats.GlobalStats.geary(vals, prs).select(
+        round(col("c"), 6).as("c"), col("e_c"),
+        round(col("var_norm"), 8).as("var_norm"),
+        round(col("z_norm"), 6).as("z_norm"),
+        round(col("var_rand"), 8).as("var_rand"),
+        round(col("z_rand"), 6).as("z_rand"))
+    }),
     "q89_weights_summary" -> ((s, dir) => {
       // GeoDa Weights-Manager connectivity panel over the queen graph:
       // n, edges, degree min/max/mean/median, % non-zero, islands
