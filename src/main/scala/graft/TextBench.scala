@@ -101,6 +101,24 @@ object TextBench {
         .head().getLong(0))
       val (_, tVocab) = time(
         graft.pipeline.Curation.vocabTopK(docs, k = 1000).count())
+      // model-based quality gate: 64k-bucket hashed linear scorer
+      val wModel = spark.range(65536).select(col("id").as("bucket"),
+        (col("id") * 2654435761L % 2000 / lit(1000.0) - 1.0).as("weight"))
+      // consume the scores (a bare count lets Catalyst eliminate the
+      // unique-keyed left join and skip the scorer entirely)
+      val (_, tModel) = time {
+        graft.pipeline.Curation.hashedLinearScore(docs, wModel,
+          dim = 65536).agg(sum(col("prob"))).head(); n
+      }
+      // near-dup cluster resolution: connected components over a
+      // Lehmer functional graph on the same doc ids (~2/3 n edges;
+      // mixed chains/trees/cycles — the dedup-graph shape)
+      val ccEdges = docs.select(col("doc_id").as("id_a"),
+          (col("doc_id") * 48271 % 2147483647L % n).as("id_b"))
+        .filter(col("id_a") % 3 =!= 0)
+      val (_, tCc) = time(graft.cluster.Components
+        .connected(ccEdges, nodes = Some(docs.select(
+          col("doc_id").as("id")))).count())
 
       val emb = spark.range(nEmb).select(
           col("id").as("vec_id"),
@@ -118,7 +136,7 @@ object TextBench {
       docs.unpersist(false); emb.unpersist(false)
 
       val r = (t: Double) => math.round(n / t)
-      println(s"""{"metric":"text_pipeline","n":$n,"n_emb":$nEmb,"cpus":"$cpus","unit":"sec","exact_dedup_sec":$tExact,"exact_dedup_rows_per_sec":${r(tExact)},"minhash_sec":$tMinhash,"minhash_rows_per_sec":${r(tMinhash)},"minhash_pairs":$mhPairs,"simhash_sec":$tSimhash,"simhash_rows_per_sec":${r(tSimhash)},"simhash_pairs":$shPairs,"langid_sec":$tLang,"langid_rows_per_sec":${r(tLang)},"quality_sec":$tQual,"quality_rows_per_sec":${r(tQual)},"fingerprint_sec":$tFp,"fingerprint_rows_per_sec":${r(tFp)},"extract_sec":$tExtract,"extract_rows_per_sec":${r(tExtract)},"repetition_sec":$tRep,"repetition_rows_per_sec":${r(tRep)},"decontaminate_sec":$tDecon,"decontaminate_rows_per_sec":${r(tDecon)},"url_dedup_sec":$tUrl,"url_dedup_rows_per_sec":${r(tUrl)},"paragraph_dedup_sec":$tPara,"paragraph_dedup_rows_per_sec":${r(tPara)},"pii_redact_sec":$tRedact,"pii_redact_rows_per_sec":${r(tRedact)},"vocab_topk_sec":$tVocab,"vocab_topk_rows_per_sec":${r(tVocab)},"ann_brute_sec":$tBrute,"ann_ivf_sec":$tIvf}""")
+      println(s"""{"metric":"text_pipeline","n":$n,"n_emb":$nEmb,"cpus":"$cpus","unit":"sec","exact_dedup_sec":$tExact,"exact_dedup_rows_per_sec":${r(tExact)},"minhash_sec":$tMinhash,"minhash_rows_per_sec":${r(tMinhash)},"minhash_pairs":$mhPairs,"simhash_sec":$tSimhash,"simhash_rows_per_sec":${r(tSimhash)},"simhash_pairs":$shPairs,"langid_sec":$tLang,"langid_rows_per_sec":${r(tLang)},"quality_sec":$tQual,"quality_rows_per_sec":${r(tQual)},"fingerprint_sec":$tFp,"fingerprint_rows_per_sec":${r(tFp)},"extract_sec":$tExtract,"extract_rows_per_sec":${r(tExtract)},"repetition_sec":$tRep,"repetition_rows_per_sec":${r(tRep)},"decontaminate_sec":$tDecon,"decontaminate_rows_per_sec":${r(tDecon)},"url_dedup_sec":$tUrl,"url_dedup_rows_per_sec":${r(tUrl)},"paragraph_dedup_sec":$tPara,"paragraph_dedup_rows_per_sec":${r(tPara)},"pii_redact_sec":$tRedact,"pii_redact_rows_per_sec":${r(tRedact)},"vocab_topk_sec":$tVocab,"vocab_topk_rows_per_sec":${r(tVocab)},"model_score_sec":$tModel,"model_score_rows_per_sec":${r(tModel)},"cc_sec":$tCc,"cc_rows_per_sec":${r(tCc)},"ann_brute_sec":$tBrute,"ann_ivf_sec":$tIvf}""")
     } finally spark.stop()
   }
 }

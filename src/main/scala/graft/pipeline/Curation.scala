@@ -115,28 +115,30 @@ object Curation {
     * `prob = sigmoid(score)`, both rounded to 6 decimals so the value
     * is invariant to floating-point summation order.
     *
-    * Scale shape: term frequencies collapse map-side (partial agg on
-    * `(id, bucket)`), the weight vector joins BROADCAST (a model of
-    * dim 10^6 is a few MB), and the only corpus-sized exchange is the
-    * per-doc re-agg keyed by doc id. Docs with no tokens score `bias`.
+    * Scale shape: the weight vector joins BROADCAST against the
+    * exploded tokens (a model of dim 10^6 is a few MB), and the per-doc
+    * sum collapses MAP-SIDE (partial agg keyed by doc id), so the only
+    * exchange carries ~one row per document — never the token stream.
+    * Σ_b tf(b)·w(b) ≡ Σ_tokens w(bucket(token)), so no term-frequency
+    * pre-aggregation (which would shuffle the near-unique (doc, bucket)
+    * stream) is needed. Docs with no tokens score `bias`.
     */
   def hashedLinearScore(docs: DataFrame, weights: DataFrame,
                         dim: Int = 1024, bias: Double = 0.0,
                         idCol: String = "doc_id",
                         textCol: String = "text"): DataFrame = {
-    val tf = docs.select(col(idCol).cast("long").as("id"),
+    val scored = docs.select(col(idCol).cast("long").as("id"),
         explode(split(coalesce(col(textCol), lit("")), " ")).as("tok"))
       .filter(length(col("tok")) > 0)
       .select(col("id"),
         (conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long")
           % dim).as("bucket"))
-      .groupBy("id", "bucket").agg(count(lit(1)).as("tf"))
-    val scored = tf.join(
+      .join(
         broadcast(weights.select(col("bucket").cast("long").as("bucket"),
           col("weight").cast("double").as("w"))),
         Seq("bucket"), "left")
       .groupBy("id")
-      .agg(sum(col("tf") * coalesce(col("w"), lit(0.0))).as("s"))
+      .agg(sum(coalesce(col("w"), lit(0.0))).as("s"))
     docs.select(col(idCol).cast("long").as("id")).join(scored, Seq("id"), "left")
       .select(col("id"),
         round(coalesce(col("s"), lit(0.0)) + bias, 6).as("score"))

@@ -89,4 +89,27 @@ class PlanSpec extends AnyFunSuite {
     assert(lazyAdj.limit(5).count() > 0)
     cachedSrc.unpersist(blocking = false)
   }
+
+  test("hashed linear scorer broadcasts the model, never the corpus") {
+    val docs = SynthGeo.table(spark, dir, "documents")
+    val w = spark.range(1024).select(col("id").as("bucket"),
+      (col("id") % 7).cast("double").as("weight"))
+    val scored = graft.pipeline.Curation.hashedLinearScore(docs, w)
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the model side feeds the broadcast exchange; the corpus must not
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("weights summary reduces map-side: partial aggregates, no window") {
+    import spark.implicits._
+    val pairs = (1L to 100L).flatMap(i => Seq((i, i % 7), (i % 7, i)))
+      .toDF("gid", "nbr")
+    val nodes = (1L to 100L).toDF("gid")
+    val plan = graft.weights.WeightsSummary.summary(pairs, nodes)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"),
+      plan)
+  }
 }
