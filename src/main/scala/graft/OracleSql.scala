@@ -829,6 +829,39 @@ object OracleSql {
          SELECT z.gid AS gid, round(z.z * lagt.lag, 4) AS moran_i
          FROM z JOIN lagt ON z.gid = lagt.gid ORDER BY gid""",
 
+    // bivariate local Moran: z of the first variable times the kNN
+    // neighbor lag of the second's z (both sample-sd standardized)
+    "q93_local_bimoran" ->
+      s"""WITH $KNN4, $VALS,
+         v2 AS (SELECT gid, CAST((gid*7) % 30 + 1 AS DOUBLE) AS value2
+                FROM vals),
+         zx AS (SELECT gid, (value - avg(value) OVER ()) /
+                  stddev_samp(value) OVER () AS z
+                FROM vals),
+         zy AS (SELECT gid, (value2 - avg(value2) OVER ()) /
+                  stddev_samp(value2) OVER () AS z
+                FROM v2),
+         lagt AS (SELECT k.gid, avg(zy.z) AS lag
+                  FROM knn k JOIN zy ON k.nbr = zy.gid GROUP BY k.gid)
+         SELECT zx.gid AS gid, round(zx.z * lagt.lag, 4) AS bimoran_i
+         FROM zx JOIN lagt ON zx.gid = lagt.gid ORDER BY gid""",
+
+    // token-budget mixture draw: greedy admit per language stratum in
+    // Lehmer order until 2000 tokens accumulated (oracle = the naive
+    // running-sum window the bucketed prefix sum must reproduce)
+    "q94_token_budget_sample" ->
+      """WITH d AS (SELECT lang, doc_id,
+             (doc_id*48271) % 2147483647 AS k,
+             CAST(len(list_filter(string_split(coalesce(text, ''), ' '),
+               t -> t <> '')) AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (SELECT lang, doc_id, k, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY lang ORDER BY k, doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum
+           FROM d)
+         SELECT lang, doc_id AS sample_id, n_tokens
+         FROM c WHERE cum - n_tokens < 2000 ORDER BY lang, sample_id""",
+
     "q31_local_g" ->
       s"""WITH $KNN4, $VALS,
          tot AS (SELECT sum(value) AS sall FROM vals),
@@ -1061,6 +1094,47 @@ object OracleSql {
          SELECT zt.gid AS gid, zt.tile AS tile,
                 round(coalesce(zt.z * lagt.lag, 0.0), 4) AS stat
          FROM zt LEFT JOIN lagt ON zt.gid = lagt.gid ORDER BY gid""",
+
+    // per-tile bivariate Moran: per-window standardization of both
+    // variables, lag over the second's z with in-tile neighbor trim
+    "q95_tile_bimoran" ->
+      s"""WITH $KNN4, $VALS,
+         tiles AS (SELECT gid,
+                     (CAST(floor(x / 40.0) AS BIGINT) + 1048576) * 2097152 +
+                     (CAST(floor(y / 40.0) AS BIGINT) + 1048576) AS tile
+                   FROM pts),
+         v2 AS (SELECT gid, CAST((gid*7) % 30 + 1 AS DOUBLE) AS value
+                FROM vals),
+         tvx AS (SELECT t.gid, t.tile, v.value
+                 FROM tiles t JOIN vals v ON t.gid = v.gid),
+         tvy AS (SELECT t.gid, t.tile, v.value
+                 FROM tiles t JOIN v2 v ON t.gid = v.gid),
+         momx AS (SELECT tile, avg(value) AS m, stddev_samp(value) AS sd,
+                         count(*) AS cnt
+                  FROM tvx GROUP BY tile),
+         zx AS (SELECT tvx.gid, tvx.tile,
+                  CASE WHEN m2.cnt <= 1 THEN tvx.value
+                       WHEN m2.sd = 0 OR m2.sd IS NULL
+                         THEN tvx.value - m2.m
+                       ELSE (tvx.value - m2.m) / m2.sd END AS z
+                FROM tvx JOIN momx m2 ON tvx.tile = m2.tile),
+         momy AS (SELECT tile, avg(value) AS m, stddev_samp(value) AS sd,
+                         count(*) AS cnt
+                  FROM tvy GROUP BY tile),
+         zy AS (SELECT tvy.gid, tvy.tile,
+                  CASE WHEN m2.cnt <= 1 THEN tvy.value
+                       WHEN m2.sd = 0 OR m2.sd IS NULL
+                         THEN tvy.value - m2.m
+                       ELSE (tvy.value - m2.m) / m2.sd END AS z
+                FROM tvy JOIN momy m2 ON tvy.tile = m2.tile),
+         tn AS (SELECT k.gid, k.nbr FROM knn k
+                JOIN zx a ON k.gid = a.gid
+                JOIN zx b ON k.nbr = b.gid AND a.tile = b.tile),
+         lagt AS (SELECT tn.gid, avg(zyb.z) AS lag
+                  FROM tn JOIN zy zyb ON tn.nbr = zyb.gid GROUP BY tn.gid)
+         SELECT zx.gid AS gid, zx.tile AS tile,
+                round(coalesce(zx.z * lagt.lag, 0.0), 4) AS stat
+         FROM zx LEFT JOIN lagt ON zx.gid = lagt.gid ORDER BY gid""",
 
     "q69_tile_joincount" ->
       s"""WITH $KNN4, $BINVAR,

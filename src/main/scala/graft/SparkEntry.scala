@@ -274,6 +274,23 @@ object SparkEntry {
       Lisa.localMoran(SynthGeo.customerValues(s, dir), knnWeights4(s, dir))
         .select(col("gid"), round(col("stat"), 4).as("moran_i"))
         .orderBy("gid")),
+    "q93_local_bimoran" -> ((s, dir) => {
+      // bivariate local Moran (GeoDa companion): value × a second
+      // minted variable; z_x times neighbor lag of z_y
+      val vals = SynthGeo.customerValues(s, dir)
+        .withColumn("value2", ((col("gid") * 7) % 30 + 1).cast("double"))
+      Lisa.localBiMoran(vals, knnWeights4(s, dir))
+        .select(col("gid"), round(col("stat"), 4).as("bimoran_i"))
+        .orderBy("gid")
+    }),
+    "q94_token_budget_sample" -> ((s, dir) =>
+      // training-mix draw by TOKEN budget per language stratum: Lehmer
+      // order, greedy admit until 2000 tokens (bucketed prefix sum —
+      // no stratum-wide sort)
+      graft.pipeline.Curation.tokenBudgetSample(
+        SynthGeo.table(s, dir, "documents"), Seq("lang"),
+        budgetTokens = 2000, idCol = "doc_id")
+        .orderBy("lang", "sample_id")),
     "q30f_local_moran_full" -> ((s, dir) =>
       Lisa.localMoran(SynthGeo.customerValues(s, dir), knnWeights4(s, dir))
         .orderBy("gid")),
@@ -560,6 +577,18 @@ object SparkEntry {
       graft.stats.TileLisa.run(graft.stats.TileLisa.Moran, pts,
           SynthGeo.customerValues(s, dir), knnWeights4(s, dir),
           tileSize = 40.0)
+        .select(col("gid"), col("tile"), round(col("stat"), 4).as("stat"))
+        .orderBy("gid")
+    }),
+    "q95_tile_bimoran" -> ((s, dir) => {
+      // per-tile bivariate Moran: z_x × in-tile-trimmed lag(z_y), both
+      // standardized per window
+      val pts = SynthGeo.customerPoints(s, dir)
+      val vals = SynthGeo.customerValues(s, dir)
+      val mv = vals.select(col("gid"), array(col("value"),
+        ((col("gid") * 7) % 30 + 1).cast("double")).as("vals"))
+      graft.stats.TileLisa.runMulti(graft.stats.TileLisa.BiMoran, pts, mv,
+          knnWeights4(s, dir), tileSize = 40.0)
         .select(col("gid"), col("tile"), round(col("stat"), 4).as("stat"))
         .orderBy("gid")
     }),

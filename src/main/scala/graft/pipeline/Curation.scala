@@ -49,6 +49,60 @@ object Curation {
         (col("pos") + 1).cast("long").as("rk")): _*)
   }
 
+  /** Token-budget mixture draw: per stratum, admit documents in
+    * deterministic [[sampleKey]] order until the stratum's TOKEN budget
+    * is reached — the training-mix rule ("x billion tokens of lang=de
+    * from source=cc"), where quotas are counted in tokens, not
+    * documents. A doc is admitted iff the tokens accumulated before it
+    * are under the budget (the draw may overshoot by part of the last
+    * doc — the standard greedy rule, and the SQL-replayable one).
+    *
+    * Scale shape: the naive formulation is a running sum over a window
+    * partitioned by stratum, which forces an ENTIRE stratum into one
+    * task — a 10^12-doc stratum cannot sort in one partition. Here the
+    * prefix sum is computed by key-range bucketing: per-(stratum,
+    * bucket) token totals (one partial-agg'd aggregate, ≤ 32768 rows
+    * per stratum), a window over that tiny frame locates each
+    * stratum's boundary bucket, whole buckets under the boundary admit
+    * with no per-doc ordering at all, and only the ONE boundary bucket
+    * per stratum (≈ stratum/32768 docs) pays a within-bucket window.
+    * Output is row-identical to the naive window.
+    */
+  def tokenBudgetSample(df: DataFrame, strataCols: Seq[String],
+                        budgetTokens: Long, idCol: String,
+                        textCol: String = "text"): DataFrame = {
+    require(strataCols.nonEmpty, "tokenBudgetSample needs >= 1 stratum col")
+    import org.apache.spark.sql.expressions.Window
+    val sCols = strataCols.map(col)
+    val base = df.select(sCols ++ Seq(
+        col(idCol).cast("long").as("__id"),
+        sampleKey(col(idCol)).as("__k"),
+        size(filter(split(coalesce(col(textCol), lit("")), " "),
+          t => length(t) > 0)).cast("long").as("n_tokens")): _*)
+      .withColumn("__b", (col("__k") / 65536L).cast("long"))
+    val bsum = base.groupBy((sCols :+ col("__b")): _*)
+      .agg(sum(col("n_tokens")).as("__bs"))
+    val wB = Window.partitionBy(sCols: _*).orderBy(col("__b"))
+    val cum = bsum.withColumn("__before",
+        sum(col("__bs")).over(wB) - col("__bs"))
+      .filter(col("__before") < budgetTokens) // drop past-budget buckets
+    val joined = base.join(cum, strataCols :+ "__b")
+    val whole = joined.filter(col("__before") + col("__bs") <= budgetTokens)
+    // one boundary bucket per stratum → partitioning by strata alone is
+    // bounded by the bucket width, not the stratum size
+    val wIn = Window.partitionBy(sCols: _*)
+      .orderBy(col("__k"), col("__id"))
+    val boundary = joined
+      .filter(col("__before") + col("__bs") > budgetTokens)
+      .withColumn("__cumIn", sum(col("n_tokens")).over(wIn))
+      .filter(col("__before") + col("__cumIn") - col("n_tokens") <
+        budgetTokens)
+      .drop("__cumIn")
+    whole.unionByName(boundary)
+      .select(sCols ++ Seq(col("__id").as("sample_id"),
+        col("n_tokens")): _*)
+  }
+
   /** Per-document distinct word n-grams — [[TextAnalysis.wordGrams]]
     * (the shared single-space tokenization) de-duplicated per row.
     */

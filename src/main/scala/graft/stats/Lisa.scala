@@ -248,6 +248,25 @@ object Lisa {
     localMoran(values, weights, conf)
   }
 
+  /** Bivariate local Moran over `(gid, value, value2)` — z_x(i) times
+    * the neighbor lag of z_y, conditional permutation over z_y (GeoDa's
+    * bivariate LISA; a GeoDa-surface companion beyond postgeoda's SQL
+    * exports). `value2 == value` reduces bit-identically to
+    * [[localMoran]].
+    */
+  def localBiMoran(values: DataFrame, weights: DataFrame,
+                   conf: Conf = Conf()): DataFrame = {
+    val (gids, mat) = gatherMulti(
+      values.select(col("gid"),
+        array(col("value").cast("double"),
+          col("value2").cast("double")).as("vals")))
+    val zx = mat(0); val zy = mat(1)
+    Stat0.standardize(zx); Stat0.standardize(zy)
+    runKernel(weights, gids, conf, (idx, nbrs, scratch) =>
+      LisaKernels.biMoran(idx, nbrs, zx, zy, conf.permutations, conf.seed,
+        conf.cutoff, scratch))
+  }
+
   /** Getis-Ord G_i / G_i* → (gid, stat, p, c). */
   def localG(values: DataFrame, weights: DataFrame, star: Boolean,
              conf: Conf = Conf()): DataFrame = {

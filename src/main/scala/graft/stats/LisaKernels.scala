@@ -156,6 +156,33 @@ object LisaKernels {
     Triple(obs, p, cluster)
   }
 
+  /** Bivariate local Moran (GeoDa's bivariate LISA, the standard
+    * companion of the univariate map; not in postgeoda's SQL surface):
+    * I_i = z_x(i) * mean_nbr(z_y). Conditional permutation holds
+    * z_x(i) fixed and redraws the neighbor set over z_y — the same
+    * draw stream as the univariate kernel, so `biMoran(x, x)` is
+    * bit-identical to `moran(x)`.
+    */
+  def biMoran(idx: Int, nbrs: Array[Int], zx: Array[Double],
+              zy: Array[Double], permutations: Int, seed: Int,
+              cutoff: Double, scratch: Scratch): Triple = {
+    val n = nbrs.length
+    if (n == 0) return Triple(0.0, 0.0, 5.0)
+    val zi = zx(idx)
+    val lag = meanAt(zy, nbrs, n)
+    val obs = zi * lag
+    val p = permutationP(idx, n, zx.length, obs, permutations, seed, scratch,
+      (d, m) => zi * meanAt(zy, d, m))
+    val cluster =
+      if (p > cutoff) 0.0
+      else if (zi > 0 && lag > 0) 1.0
+      else if (zi < 0 && lag < 0) 2.0
+      else if (zi < 0 && lag > 0) 3.0
+      else if (zi > 0 && lag < 0) 4.0
+      else 0.0
+    Triple(obs, p, cluster)
+  }
+
   /** Getis-Ord G_i (self excluded): sum_nbr(x) / (sumAll - x_i).
     * High/Low label by neighbor-mean vs global mean of the rest.
     */

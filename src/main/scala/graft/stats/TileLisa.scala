@@ -36,6 +36,10 @@ object TileLisa {
   case object JoinCount extends Stat
   /** Multivariate Geary over `vals: array<double>` (q39 semantics). */
   case object MultiGeary extends Stat
+  /** Bivariate Moran over vals = [x, y]: z_x × lag(z_y), both
+    * standardized per window (window-trim semantics).
+    */
+  case object BiMoran extends Stat
   /** Bivariate join count over vals = [x1, x2]; errors on co-location
     * per window row (`postgeoda/src/joincount.c:193-197`).
     */
@@ -262,6 +266,12 @@ object TileLisa {
           case MultiGeary =>
             val zs = mat.map(v => Stat0.scale(v, scaleMethod))
             (idx, nbrs, s) => LisaKernels.multiGeary(idx, nbrs, zs,
+              permutations, seed, cutoff, s)
+          case BiMoran =>
+            require(nv == 2, s"tile bimoran needs 2 variables, got $nv")
+            val zx = mat(0).clone(); Stat0.standardize(zx)
+            val zy = mat(1).clone(); Stat0.standardize(zy)
+            (idx, nbrs, s) => LisaKernels.biMoran(idx, nbrs, zx, zy,
               permutations, seed, cutoff, s)
           case BiJoinCount =>
             require(nv == 2, s"tile bijoincount needs 2 variables, got $nv")

@@ -121,6 +121,18 @@ class TileLisaSpec extends AnyFunSuite {
       .orderBy("gid").select("gid", "stat", "p", "c")
       .as[(Long, Double, Double, Double)].collect()
     assert(mgT.sameElements(mgB))
+    // bivariate Moran (z_x × lag z_y, per-window standardization)
+    val bm = (1 to n).map(i => (i.toLong, (i * 37 % 101).toDouble,
+      (i * 17 % 1000).toDouble)).toDF("gid", "value", "value2")
+    val bmB = Lisa.localBiMoran(bm, w).orderBy("gid")
+      .as[(Long, Double, Double, Double)].collect()
+    val bmT = TileLisa.runMulti(TileLisa.BiMoran, pts,
+        bm.select(col("gid"),
+          array(col("value"), col("value2")).as("vals")),
+        w, tileSize = 1e6)
+      .orderBy("gid").select("gid", "stat", "p", "c")
+      .as[(Long, Double, Double, Double)].collect()
+    assert(bmT.sameElements(bmB))
     // bivariate join count (complementary indicators → never co-located)
     val bi = (1 to n).map { i =>
       val x1 = if ((i * 13) % 7 < 3) 1.0 else 0.0
