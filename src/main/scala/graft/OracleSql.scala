@@ -431,6 +431,20 @@ object OracleSql {
     "q24_hinge15_breaks" -> hingeSql("1.5"),
     "q24b_hinge30_breaks" -> hingeSql("3.0"),
 
+    // equal-interval classification: 5 interior cuts of [min, max] / 6
+    "q96_equal_breaks" ->
+      """WITH m AS (SELECT min(CAST(c_acctbal AS DOUBLE)) AS lo,
+                           max(CAST(c_acctbal AS DOUBLE)) AS hi
+                    FROM customer)
+         SELECT bidx, brk FROM (
+           SELECT CAST(1 AS BIGINT) AS bidx,
+                  round(lo + 1*(hi-lo)/6, 4) AS brk FROM m
+           UNION ALL SELECT CAST(2 AS BIGINT), round(lo + 2*(hi-lo)/6, 4) FROM m
+           UNION ALL SELECT CAST(3 AS BIGINT), round(lo + 3*(hi-lo)/6, 4) FROM m
+           UNION ALL SELECT CAST(4 AS BIGINT), round(lo + 4*(hi-lo)/6, 4) FROM m
+           UNION ALL SELECT CAST(5 AS BIGINT), round(lo + 5*(hi-lo)/6, 4) FROM m
+         ) ORDER BY bidx""",
+
     "q25_stddev_breaks" ->
       s"""WITH m AS (SELECT avg(CAST(c_acctbal AS DOUBLE)) AS mu,
                             stddev_samp(CAST(c_acctbal AS DOUBLE)) AS sd

@@ -263,6 +263,8 @@ object SparkEntry {
       Breaks.quantileBreaks(SynthGeo.customerValues(s, dir), 6))),
     "q26b_percentile_breaks" -> ((s, dir) => breaksDf(s,
       Breaks.percentileBreaks(SynthGeo.customerValues(s, dir)))),
+    "q96_equal_breaks" -> ((s, dir) => breaksDf(s,
+      Breaks.equalIntervalBreaks(SynthGeo.customerValues(s, dir), 6))),
     "q27_natural_breaks" -> ((s, dir) => breaksDf(s,
       Breaks.naturalBreaks(SynthGeo.customerValues(s, dir), 5))),
 

@@ -98,6 +98,21 @@ object Breaks {
   def percentileBreaks(values: DataFrame): Seq[Double] =
     percentiles(values, Seq(1.0, 10.0, 50.0, 90.0, 99.0))
 
+  /** Equal-interval classification — the GeoDa map-classification
+    * family member postgeoda's exported breaks set omits: k-1 interior
+    * cut points `min + i*(max-min)/k`. One min/max aggregate, O(1)
+    * driver rows at any scale.
+    */
+  def equalIntervalBreaks(values: DataFrame, k: Int): Seq[Double] = {
+    require(k >= 2, "equal intervals need k >= 2")
+    val r = values.agg(
+      org.apache.spark.sql.functions.min(col("value").cast("double")),
+      org.apache.spark.sql.functions.max(col("value").cast("double")))
+      .head()
+    val lo = r.getDouble(0); val hi = r.getDouble(1)
+    (1 until k).map(i => lo + i * (hi - lo) / k)
+  }
+
   /** stddev_breaks: mean-2sd, mean-sd, mean, mean+sd, mean+2sd
     * (`breaks.c:236-273`; sample sd).
     */

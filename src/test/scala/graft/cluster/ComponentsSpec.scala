@@ -80,6 +80,33 @@ class ComponentsSpec extends AnyFunSuite {
     assert(got === Map(7L -> 7L, 9L -> 7L))
   }
 
+  test("end-to-end: minhash LSH pairs -> clusters -> one survivor per planted near-dup chain") {
+    import spark.implicits._
+    def words(seed: Int, n: Int) = {
+      val r = new scala.util.Random(seed)
+      Array.fill(n)("w" + r.nextInt(5000))
+    }
+    val distinctDocs = (0L until 20L).map(i => (i, words(i.toInt, 40).mkString(" ")))
+    val base = words(1000, 40)
+    // chained near-dups: B edits A's last word, C edits A's first word —
+    // the LSH emits A~B / A~C (and possibly B~C); only transitive
+    // closure puts all three in one group
+    val a = base.mkString(" ")
+    val b = (base.dropRight(1) :+ "edited").mkString(" ")
+    val c = ("edited2" +: base.drop(1)).mkString(" ")
+    val docs = (distinctDocs ++ Seq((100L, a), (101L, b), (102L, c)))
+      .toDF("doc_id", "text")
+    val pairs = graft.pipeline.Dedup.minhashLsh(docs)
+    // the chain must be connected through at least two pairs
+    assert(pairs.count() >= 2)
+    val kept = graft.pipeline.Dedup.dropNearDuplicates(docs, pairs)
+      .select("doc_id", "n_dupes_removed")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kept.keySet === (0L until 20L).toSet + 100L)
+    assert(kept(100L) === 2L)
+    assert((0L until 20L).forall(kept(_) == 0L))
+  }
+
   test("dupClusters + dropNearDuplicates keep one canonical doc per group") {
     import spark.implicits._
     val docs = (0L until 10L).map(i => (i, s"text$i")).toDF("doc_id", "text")
