@@ -128,6 +128,13 @@ class GuerrySpec extends AnyFunSuite {
     val mvals = guerry.toSeq.map(t => (t._1, Seq(t._3, t._5)))
       .toDF("gid", "vals")
     check(graft.stats.Lisa.localMultiGeary(mvals, w), 19, "multigeary")
+    // bivariate Moran (crm_prs × litercy), both permutation modes:
+    // harness data cols 41-43 (complete) and 44-45 (lookup p/cluster)
+    val bmVals = guerry.toSeq.map(t => (t._1, t._3, t._5))
+      .toDF("gid", "value", "value2")
+    check(graft.stats.Lisa.localBiMoran(bmVals, w), 41, "bimoran")
+    checkLk(graft.stats.Lisa.localBiMoran(bmVals, w, confLk), 41, 44,
+      "bimoran")
     w.unpersist()
   }
 
@@ -145,6 +152,19 @@ class GuerrySpec extends AnyFunSuite {
     // Moran's I = 0.411 for Crm_prs over queen weights [public].
     val globalI = r.map(_._2).sum / r.length * 85.0 / 84.0
     assert(math.abs(globalI - 0.411) < 1e-3, s"global I $globalI")
+  }
+
+  test("GlobalStats.moran on Guerry reproduces the workbook value with significant inference") {
+    import spark.implicits._
+    val polys = guerry.toSeq.map(t => (t._1, t._2)).toDF("gid", "geom")
+    val adj = ContiguityWeights.adjacency(polys,
+      ContiguityWeights.Conf(queen = true))
+    val vals = guerry.toSeq.map(t => (t._1, t._3)).toDF("gid", "value")
+    val r = graft.stats.GlobalStats.moran(vals, adj).head()
+    // GeoDa workbook: Moran's I = 0.411 for Crm_prs over queen [public]
+    assert(math.abs(r.getDouble(0) - 0.411) < 1e-3, s"I ${r.getDouble(0)}")
+    // strong positive autocorrelation → z-scores far beyond critical
+    assert(r.getDouble(3) > 5.0 && r.getDouble(5) > 5.0)
   }
 
   test("Guerry join-count family (uni/bi/co-location) matches the C harness exactly") {

@@ -151,6 +151,17 @@ static double stat_mgeary(const int *ids, int m, int idx, const double *z,
     return (s1 / m + s2 / m) / 2.0;
 }
 
+/* bivariate Moran: z_x(idx) (aux) times the mean of the drawn side's
+ * z_y (array) — LisaKernels.biMoran's statOfDrawn shape */
+static double stat_bimoran(const int *ids, int m, int idx, const double *zy,
+                           double zxi) {
+    (void)idx;
+    double lag = 0;
+    for (int i = 0; i < m; i++) lag += zy[ids[i]];
+    lag /= m;
+    return zxi * lag;
+}
+
 /* join count family: xi (aux) times the sum of the DRAWN side's variable */
 static double stat_jc(const int *ids, int m, int idx, const double *x,
                       double xi) {
@@ -344,7 +355,7 @@ int main(void) {
     for (int i = 0; i < N_OBS; i++) if (n_nbrs[i] > maxk) maxk = n_nbrs[i];
     int *lk_table = build_lookup(N_OBS, maxk);
 
-    printf("gid\tmoran_i\tmoran_p\tmoran_c\tg\tg_p\tg_c\tgstar\tgstar_p\tgstar_c\tgeary\tgeary_p\tgeary_c\tjc\tjc_p\tbjc\tbjc_p\tmjc\tmjc_p\tnn\tmg\tmg_p\tmg_c\tql\tql_p\tmq\tmq_p\tmo_lkp\tmo_lkc\tg_lkp\tg_lkc\tgs_lkp\tgs_lkc\tge_lkp\tge_lkc\tjc_lkp\tbjc_lkp\tmjc_lkp\tql_lkp\tmq_lkp\tmg_lkp\tmg_lkc\n");
+    printf("gid\tmoran_i\tmoran_p\tmoran_c\tg\tg_p\tg_c\tgstar\tgstar_p\tgstar_c\tgeary\tgeary_p\tgeary_c\tjc\tjc_p\tbjc\tbjc_p\tmjc\tmjc_p\tnn\tmg\tmg_p\tmg_c\tql\tql_p\tmq\tmq_p\tmo_lkp\tmo_lkc\tg_lkp\tg_lkc\tgs_lkp\tgs_lkc\tge_lkp\tge_lkc\tjc_lkp\tbjc_lkp\tmjc_lkp\tql_lkp\tmq_lkp\tmg_lkp\tmg_lkc\tbm\tbm_p\tbm_c\tbm_lkp\tbm_lkc\n");
     for (int i = 0; i < N_OBS; i++) {
         int m = n_nbrs[i];
         double pm;
@@ -438,12 +449,34 @@ int main(void) {
         double mg_lkp = lookup_p(i, m, lk_table, maxk, mgobs, stat_mgeary,
                                  z, 0, drawn, &lk_pm);
         int mg_lkc = mg_lkp <= CUTOFF ? 1 : 0;
-        printf("%d\t%.17g\t%.17g\t%d\t%.17g\t%.17g\t%d\t%.17g\t%.17g\t%d\t%.17g\t%.17g\t%d\t%.17g\t%.17g\t%.17g\t%.17g\t%.17g\t%.17g\t%d\t%.17g\t%.17g\t%d\t%.17g\t%.17g\t%.17g\t%.17g\t%.17g\t%d\t%.17g\t%d\t%.17g\t%d\t%.17g\t%d\t%.17g\t%.17g\t%.17g\t%.17g\t%.17g\t%.17g\t%d\n",
+        /* bivariate Moran (crm_prs x litercy, LisaKernels.biMoran):
+         * z_x(i) fixed, conditional permutation over z_y; quadrant
+         * cluster rule on (z_x(i), observed lag of z_y) */
+        double blag = 0;
+        for (int j = 0; j < m; j++) blag += z2[nbrs[i][j]];
+        blag /= m;
+        double bmobs = z[i] * blag;
+        double bmp = permutation_p(i, m, N_OBS, bmobs, stat_bimoran, z2,
+                                   z[i], &work, drawn, &pm);
+        int bmc = bmp > CUTOFF ? 0
+                : (z[i] > 0 && blag > 0) ? 1
+                : (z[i] < 0 && blag < 0) ? 2
+                : (z[i] < 0 && blag > 0) ? 3
+                : (z[i] > 0 && blag < 0) ? 4 : 0;
+        double bm_lkp = lookup_p(i, m, lk_table, maxk, bmobs, stat_bimoran,
+                                 z2, z[i], drawn, &lk_pm);
+        int bm_lkc = bm_lkp > CUTOFF ? 0
+                : (z[i] > 0 && blag > 0) ? 1
+                : (z[i] < 0 && blag < 0) ? 2
+                : (z[i] < 0 && blag > 0) ? 3
+                : (z[i] > 0 && blag < 0) ? 4 : 0;
+        printf("%d\t%.17g\t%.17g\t%d\t%.17g\t%.17g\t%d\t%.17g\t%.17g\t%d\t%.17g\t%.17g\t%d\t%.17g\t%.17g\t%.17g\t%.17g\t%.17g\t%.17g\t%d\t%.17g\t%.17g\t%d\t%.17g\t%.17g\t%.17g\t%.17g\t%.17g\t%d\t%.17g\t%d\t%.17g\t%d\t%.17g\t%d\t%.17g\t%.17g\t%.17g\t%.17g\t%.17g\t%.17g\t%d\t%.17g\t%.17g\t%d\t%.17g\t%d\n",
                i, mo, mp, mc, gobs, gp, gc, gsobs, gsp, gsc, geobs, gep, gec,
                st[0], jc[0], st[1], jc[1], st[2], jc[2], m, mgobs, mgp, mgc,
                st[3], jc[3], st[4], jc[4], mo_lkp, mo_lkc,
                g_lkp, g_lkc, gs_lkp, gs_lkc, ge_lkp, ge_lkc,
-               jclk[0], jclk[1], jclk[2], jclk[3], jclk[4], mg_lkp, mg_lkc);
+               jclk[0], jclk[1], jclk[2], jclk[3], jclk[4], mg_lkp, mg_lkc,
+               bmobs, bmp, bmc, bm_lkp, bm_lkc);
     }
     return 0;
 }
