@@ -49,13 +49,20 @@ object TextBench {
         val r = f
         (r, (System.nanoTime() - t0) / 1e9)
       }
+      // SPARK_GRAFT_TEXT_ONLY=cc,minhash runs just those stages (others
+      // report -1) — focused A/B runs without paying the whole suite,
+      // same hygiene as Bench's SPARK_GRAFT_ONLY
+      val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_TEXT_ONLY")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      def gate(name: String)(f: => (Long, Double)): (Long, Double) =
+        if (only.forall(_.contains(name))) f else (0L, -1.0)
 
-      val (_, tExact) = time(Dedup.exact(docs).count())
-      val (mhPairs, tMinhash) = time(Dedup.minhashLsh(docs).count())
-      val (shPairs, tSimhash) = time(Dedup.simhashDup(docs).count())
-      val (_, tLang) = time(TextAnalysis.languageId(docs).count())
-      val (_, tQual) = time(TextAnalysis.qualityScore(docs).count())
-      val (_, tFp) = time(TextAnalysis.fingerprint(docs).count())
+      val (_, tExact) = gate("exact")(time(Dedup.exact(docs).count()))
+      val (mhPairs, tMinhash) = gate("minhash")(time(Dedup.minhashLsh(docs).count()))
+      val (shPairs, tSimhash) = gate("simhash")(time(Dedup.simhashDup(docs).count()))
+      val (_, tLang) = gate("langid")(time(TextAnalysis.languageId(docs).count()))
+      val (_, tQual) = gate("quality")(time(TextAnalysis.qualityScore(docs).count()))
+      val (_, tFp) = gate("fingerprint")(time(TextAnalysis.fingerprint(docs).count()))
       // html wrap + extract (the WARC ingest path's per-page cost)
       val html = docs.select(col("doc_id"),
         concat(lit("<html><body><p>"), col("text"),
@@ -63,18 +70,18 @@ object TextBench {
           .cast("binary").as("html"),
         lit(null).cast("string").as("text")).cache()
       html.count()
-      val (_, tExtract) = time(TextExtract.withText(html)
-        .select(sum(length(col("text")))).head().getLong(0))
+      val (_, tExtract) = gate("extract")(time(TextExtract.withText(html)
+        .select(sum(length(col("text")))).head().getLong(0)))
       html.unpersist(false)
 
       // curation family: repetition stats, decontamination (bench =
       // every 997th doc, ~0.1% — realistic benchmark:corpus ratio),
       // url-level dedup over minted messy spellings, corpus-wide
       // paragraph dedup with planted boilerplate, PII scrub, vocab
-      val (_, tRep) = time(TextAnalysis.repetitionStats(docs).count())
+      val (_, tRep) = gate("repetition")(time(TextAnalysis.repetitionStats(docs).count()))
       val benchSet = docs.filter(pmod(col("doc_id"), lit(997)) === 0)
-      val (_, tDecon) = time(
-        graft.pipeline.Curation.decontaminate(docs, benchSet).count())
+      val (_, tDecon) = gate("decontaminate")(time(
+        graft.pipeline.Curation.decontaminate(docs, benchSet).count()))
       val pages = docs.select(
         concat(lit("https://site-"),
           pmod(col("doc_id"), lit(5000)).cast("string"),
@@ -85,40 +92,40 @@ object TextBench {
             lit("?utm_source=x")).otherwise(lit("#f"))).as("url"),
         timestamp_seconds(lit(1704067200L) + col("doc_id") % 86400)
           .as("warc_ts"))
-      val (_, tUrl) = time(
-        graft.pipeline.Webtext.urlDedup(pages).count())
+      val (_, tUrl) = gate("url_dedup")(time(
+        graft.pipeline.Webtext.urlDedup(pages).count()))
       val pDocs = docs.select(col("doc_id"),
         concat(lit("shared header\n"), col("text"), lit("\nfooter "),
           pmod(col("doc_id"), lit(7)).cast("string")).as("text"))
       // consume text_dedup so reassembly is inside the timing
-      val (_, tPara) = time(Dedup.paragraphDedup(pDocs)
-        .select(sum(length(col("text_dedup")))).head().getLong(0))
+      val (_, tPara) = gate("paragraph_dedup")(time(Dedup.paragraphDedup(pDocs)
+        .select(sum(length(col("text_dedup")))).head().getLong(0)))
       val piiDocs = docs.select(col("doc_id"),
         concat(col("text"), lit(" user"), col("doc_id").cast("string"),
           lit("@ex.org +1 555-000-1234 at 10.0.0.7")).as("text"))
-      val (_, tRedact) = time(TextAnalysis.redactPii(piiDocs)
+      val (_, tRedact) = gate("pii_redact")(time(TextAnalysis.redactPii(piiDocs)
         .select(sum(col("n_emails") + col("n_phones") + col("n_ips")))
-        .head().getLong(0))
-      val (_, tVocab) = time(
-        graft.pipeline.Curation.vocabTopK(docs, k = 1000).count())
+        .head().getLong(0)))
+      val (_, tVocab) = gate("vocab_topk")(time(
+        graft.pipeline.Curation.vocabTopK(docs, k = 1000).count()))
       // model-based quality gate: 64k-bucket hashed linear scorer
       val wModel = spark.range(65536).select(col("id").as("bucket"),
         (col("id") * 2654435761L % 2000 / lit(1000.0) - 1.0).as("weight"))
       // consume the scores (a bare count lets Catalyst eliminate the
       // unique-keyed left join and skip the scorer entirely)
-      val (_, tModel) = time {
+      val (_, tModel) = gate("model_score")(time {
         graft.pipeline.Curation.hashedLinearScore(docs, wModel,
           dim = 65536).agg(sum(col("prob"))).head(); n
-      }
+      })
       // near-dup cluster resolution: connected components over a
       // Lehmer functional graph on the same doc ids (~2/3 n edges;
       // mixed chains/trees/cycles — the dedup-graph shape)
       val ccEdges = docs.select(col("doc_id").as("id_a"),
           (col("doc_id") * 48271 % 2147483647L % n).as("id_b"))
         .filter(col("id_a") % 3 =!= 0)
-      val (_, tCc) = time(graft.cluster.Components
+      val (_, tCc) = gate("cc")(time(graft.cluster.Components
         .connected(ccEdges, nodes = Some(docs.select(
-          col("doc_id").as("id")))).count())
+          col("doc_id").as("id")))).count()))
 
       val emb = spark.range(nEmb).select(
           col("id").as("vec_id"),
@@ -129,13 +136,13 @@ object TextBench {
       emb.count()
       val queries = emb.filter(
         pmod(col("vec_id"), lit(math.max(1L, nEmb / 256))) === 0)
-      val (_, tBrute) = time(
-        Similarity.bruteTopK(emb, queries, k = 10).count())
-      val (_, tIvf) = time(
-        Similarity.ivfTopK(emb, queries, k = 10).count())
+      val (_, tBrute) = gate("ann_brute")(time(
+        Similarity.bruteTopK(emb, queries, k = 10).count()))
+      val (_, tIvf) = gate("ann_ivf")(time(
+        Similarity.ivfTopK(emb, queries, k = 10).count()))
       docs.unpersist(false); emb.unpersist(false)
 
-      val r = (t: Double) => math.round(n / t)
+      val r = (t: Double) => if (t > 0) math.round(n / t) else -1L
       println(s"""{"metric":"text_pipeline","n":$n,"n_emb":$nEmb,"cpus":"$cpus","unit":"sec","exact_dedup_sec":$tExact,"exact_dedup_rows_per_sec":${r(tExact)},"minhash_sec":$tMinhash,"minhash_rows_per_sec":${r(tMinhash)},"minhash_pairs":$mhPairs,"simhash_sec":$tSimhash,"simhash_rows_per_sec":${r(tSimhash)},"simhash_pairs":$shPairs,"langid_sec":$tLang,"langid_rows_per_sec":${r(tLang)},"quality_sec":$tQual,"quality_rows_per_sec":${r(tQual)},"fingerprint_sec":$tFp,"fingerprint_rows_per_sec":${r(tFp)},"extract_sec":$tExtract,"extract_rows_per_sec":${r(tExtract)},"repetition_sec":$tRep,"repetition_rows_per_sec":${r(tRep)},"decontaminate_sec":$tDecon,"decontaminate_rows_per_sec":${r(tDecon)},"url_dedup_sec":$tUrl,"url_dedup_rows_per_sec":${r(tUrl)},"paragraph_dedup_sec":$tPara,"paragraph_dedup_rows_per_sec":${r(tPara)},"pii_redact_sec":$tRedact,"pii_redact_rows_per_sec":${r(tRedact)},"vocab_topk_sec":$tVocab,"vocab_topk_rows_per_sec":${r(tVocab)},"model_score_sec":$tModel,"model_score_rows_per_sec":${r(tModel)},"cc_sec":$tCc,"cc_rows_per_sec":${r(tCc)},"ann_brute_sec":$tBrute,"ann_ivf_sec":$tIvf}""")
     } finally spark.stop()
   }

@@ -98,6 +98,9 @@ object Components {
     require(converged || it < maxIter,
       s"Components.connected did not converge in $maxIter rounds " +
         "(expected O(log^2 n) — raise maxIter for adversarial inputs)")
+    org.slf4j.LoggerFactory.getLogger(getClass).info(
+      s"Components.connected converged in $it rounds " +
+        s"(${prev._1} star edges)")
 
     // converged edges are stars (component-min -> member); fold both
     // ends through a min-agg so the label read needs no star assumption
