@@ -63,6 +63,40 @@ object PageStream {
       .select(col("window.start").as("win_start"), col("host"),
         col("n_pages"), col("total_chars"))
 
+  /** Streaming quality gate: the fastText-style hashed linear scorer
+    * ([[graft.pipeline.Curation.hashedLinearScore]]) over a page
+    * stream — token explode, broadcast model join, per-page re-agg
+    * keyed by (url, warc_ts). The watermark bounds aggregation state to
+    * the in-flight pages; zero-token pages emit one null-bucket row so
+    * EVERY page is scored (score = bias — a streaming aggregate cannot
+    * left-join the page universe back in). Batch and stream share the
+    * code path (`withWatermark` is a no-op on batch frames).
+    */
+  def scoreStream(pages: DataFrame, weights: DataFrame, dim: Int = 1024,
+                  bias: Double = 0.0,
+                  watermark: String = "2 hours"): DataFrame = {
+    val toks = filter(split(coalesce(col("text"), lit("")), " "),
+      t => length(t) > 0)
+    pages
+      .withWatermark("warc_ts", watermark)
+      .select(col("url"), col("warc_ts"),
+        explode(when(size(toks) === 0,
+            array(lit(null).cast("string"))).otherwise(toks)).as("tok"))
+      .select(col("url"), col("warc_ts"),
+        (conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long")
+          % dim).as("bucket"))
+      .join(broadcast(weights.select(
+          col("bucket").cast("long").as("bucket"),
+          col("weight").cast("double").as("w"))),
+        Seq("bucket"), "left")
+      .groupBy(col("url"), col("warc_ts"))
+      .agg(sum(coalesce(col("w"), lit(0.0))).as("s"))
+      .select(col("url"), col("warc_ts"),
+        round(col("s") + bias, 6).as("score"))
+      .select(col("url"), col("warc_ts"), col("score"),
+        round(lit(1.0) / (lit(1.0) + exp(-col("score"))), 6).as("prob"))
+  }
+
   case class Page(url: String, text: String)
   case class SeenState(firstUrl: String, n: Long)
   case class DedupOut(url: String, simhash: Long, is_duplicate: Boolean,

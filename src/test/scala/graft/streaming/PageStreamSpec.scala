@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.SparkFixture
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 class PageStreamSpec extends AnyFunSuite {
@@ -49,6 +50,38 @@ class PageStreamSpec extends AnyFunSuite {
     assert(streamed.sameElements(batch))
     // 120 minutes starting mid-hour → 3 hourly windows × 5 hosts
     assert(streamed.length == 15, s"${streamed.length}")
+  }
+
+  test("streaming model-score gate equals the batch scorer per page") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val t0 = 1700000000000L
+    val pages = (1 to 60).map { i =>
+      (s"https://qs/$i", new java.sql.Timestamp(t0 + i * 1000L),
+        if (i % 7 == 0) "" else s"tok${i % 9} tok${i % 5} shared word")
+    }
+    val w = spark.range(256).select(col("id").as("bucket"),
+      (col("id") % 11).cast("double").as("weight"))
+    val mem = MemoryStream[(String, java.sql.Timestamp, String)]
+    mem.addData(pages.take(30))
+    val q = PageStream.scoreStream(
+        mem.toDF().toDF("url", "warc_ts", "text"), w, dim = 256, bias = 0.5)
+      .writeStream.format("memory").queryName("qscore")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    mem.addData(pages.drop(30))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("qscore").orderBy("url").collect()
+    val batch = PageStream.scoreStream(
+        pages.toDF("url", "warc_ts", "text"), w, dim = 256, bias = 0.5)
+      .orderBy("url").collect()
+    assert(streamed.sameElements(batch) && streamed.length == 60)
+    // empty pages are scored at the bias, not dropped
+    val empties = spark.table("qscore")
+      .filter(col("url").isin((7 to 60 by 7).map(i => s"https://qs/$i"): _*))
+      .select("score").collect().map(_.getDouble(0))
+    assert(empties.length == 8 && empties.forall(_ == 0.5))
   }
 
   test("streaming PIP join equals batch on both physical paths") {
