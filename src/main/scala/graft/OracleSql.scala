@@ -752,6 +752,26 @@ object OracleSql {
          JOIN sz USING (component)
          ORDER BY d.doc_id""",
 
+    // unigram log-prob scoring: top-50 vocab (count desc, ties by
+    // token), OOV floored at count 1, per-doc mean of ln(n/total)
+    "q97_unigram_logprob" ->
+      """WITH t AS (SELECT doc_id,
+             unnest(string_split(coalesce(text, ''), ' ')) AS token
+           FROM documents),
+         tk AS (SELECT doc_id, token FROM t WHERE token <> ''),
+         tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM tk),
+         v AS (SELECT token, count(*) AS n FROM tk
+               GROUP BY token ORDER BY n DESC, token LIMIT 50),
+         sc AS (SELECT tk.doc_id,
+                  avg(ln(CAST(coalesce(v.n, 1) AS DOUBLE) / total)) AS alp,
+                  count(*) AS n_tokens
+                FROM tk LEFT JOIN v USING (token), tot
+                GROUP BY tk.doc_id)
+         SELECT d.doc_id AS id, round(coalesce(sc.alp, 0.0), 6) AS avg_logp,
+           CAST(coalesce(sc.n_tokens, 0) AS BIGINT) AS n_tokens
+         FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+         ORDER BY id""",
+
     // model-based quality scoring: md5-hashed bag-of-words buckets,
     // minted linear coefficients, sigmoid output — rounding at 6
     // decimals makes the value order-invariant across engines

@@ -806,6 +806,13 @@ object SparkEntry {
           (col("doc_id") * 48271 % 2147483647L % n).as("id_b"))
       graft.pipeline.Dedup.dupClusters(docs, pairs).orderBy("id")
     }),
+    "q97_unigram_logprob" -> ((s, dir) =>
+      // CCNet-style perplexity-proxy gate: mean ln p(token) under the
+      // corpus's own unigram distribution, top-50 vocab broadcast, OOV
+      // at the 1/total floor
+      graft.pipeline.Curation.unigramLogProb(
+        SynthGeo.table(s, dir, "documents"), vocabK = 50)
+        .orderBy("id")),
     "q90_quality_model" -> ((s, dir) => {
       // model-based quality filter: hashed bag-of-words linear scorer
       // (fastText-style classifier gate) with deterministically minted

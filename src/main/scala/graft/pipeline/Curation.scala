@@ -103,6 +103,39 @@ object Curation {
         col("n_tokens")): _*)
   }
 
+  /** Unigram log-probability scoring — the cheap proxy for the LM
+    * perplexity gate of CCNet-style pipelines: each document scores the
+    * mean ln p(token) under the corpus's own unigram distribution.
+    * p = n(token)/total for the top-`vocabK` tokens (count desc, ties
+    * by token text — [[vocabTopK]]'s deterministic rule); out-of-vocab
+    * tokens take the 1/total floor. Zero-token docs score 0.
+    *
+    * Scale shape: the vocabulary is a top-k heap merge
+    * (TakeOrderedAndProject) BROADCAST back against the exploded token
+    * stream — the corpus never shuffles by token — and the per-doc mean
+    * collapses map-side keyed by doc id. `total` is one scalar
+    * aggregate (O(1) driver rows).
+    */
+  def unigramLogProb(docs: DataFrame, vocabK: Int = 65536,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol).cast("long").as("id"),
+        explode(split(coalesce(col(textCol), lit("")), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    val total = toks.count().toDouble
+    val scored = toks
+      .join(broadcast(vocabTopK(docs, vocabK, textCol)),
+        Seq("token"), "left")
+      .select(col("id"),
+        log(coalesce(col("n"), lit(1L)).cast("double") / total).as("lp"))
+      .groupBy("id")
+      .agg(avg(col("lp")).as("alp"), count(lit(1)).as("n_tokens"))
+    docs.select(col(idCol).cast("long").as("id")).join(scored, Seq("id"), "left")
+      .select(col("id"),
+        round(coalesce(col("alp"), lit(0.0)), 6).as("avg_logp"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+  }
+
   /** Per-document distinct word n-grams — [[TextAnalysis.wordGrams]]
     * (the shared single-space tokenization) de-duplicated per row.
     */
