@@ -265,6 +265,42 @@ object OracleSql {
            round((i-e_i)/sqrt(var_rand), 6) AS z_rand
          FROM v""",
 
+    // global BB join count: binary weights, nonfree-sampling moments
+    // (p2/p3/p4 hypergeometric factors, S-moment index decomposition)
+    "q98_global_joincount" ->
+      s"""WITH $KNN4, $BINVAR,
+         w AS (SELECT gid, nbr, 1.0 AS w FROM knn),
+         wr AS (SELECT a.gid, a.nbr, a.w, b.w AS wrev
+                FROM w a LEFT JOIN w b
+                  ON b.gid = a.nbr AND b.nbr = a.gid),
+         s01 AS (SELECT sum(w) AS s0,
+                   sum(pow(w + coalesce(wrev, 0), 2) /
+                     (CASE WHEN wrev IS NULL THEN 1.0 ELSE 2.0 END)) AS s1
+                 FROM wr),
+         rsums AS (SELECT gid, sum(w) AS rsum FROM w GROUP BY gid),
+         csums AS (SELECT nbr AS gid, sum(w) AS csum FROM w GROUP BY nbr),
+         s2t AS (SELECT sum(pow(coalesce(rsum, 0) + coalesce(csum, 0), 2))
+                   AS s2
+                 FROM rsums FULL JOIN csums USING (gid)),
+         cnts AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS n1
+                  FROM bin),
+         numt AS (SELECT sum(w.w * bi.x * bj.x) AS num
+                  FROM w JOIN bin bi ON w.gid = bi.gid
+                         JOIN bin bj ON w.nbr = bj.gid),
+         base AS (SELECT num, s0, s1, s2,
+                    n1*(n1-1)/(n*(n-1)) AS p2,
+                    n1*(n1-1)*(n1-2)/(n*(n-1)*(n-2)) AS p3,
+                    n1*(n1-1)*(n1-2)*(n1-3)/(n*(n-1)*(n-2)*(n-3)) AS p4
+                  FROM numt, s01, s2t, cnts),
+         v AS (SELECT 0.5*num AS bb, 0.5*s0*p2 AS e_bb,
+                 0.25*(s1*p2 + (s2 - 2*s1)*p3 + (s0*s0 + s1 - s2)*p4)
+                   - pow(0.5*s0*p2, 2) AS var_rand
+               FROM base)
+         SELECT round(bb, 6) AS bb, round(e_bb, 6) AS e_bb,
+           round(var_rand, 8) AS var_rand,
+           round((bb - e_bb)/sqrt(var_rand), 6) AS z_rand
+         FROM v""",
+
     // global Geary's c, same S-moments, Cliff-Ord variances
     "q92_global_geary" ->
       s"""WITH $KNN4, $VALS,

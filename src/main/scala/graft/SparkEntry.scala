@@ -166,6 +166,16 @@ object SparkEntry {
         round(col("var_rand"), 8).as("var_rand"),
         round(col("z_rand"), 6).as("z_rand"))
     }),
+    "q98_global_joincount" -> ((s, dir) => {
+      // global BB join count with nonfree-sampling analytical moments —
+      // completes the GeoDa global panel (Moran, Geary, join count)
+      val prs = KnnWeights.pairs(SynthGeo.customerPoints(s, dir),
+        KnnWeights.Conf(k = 4, cellSize = Some(4.0)))
+      graft.stats.GlobalStats.joinCount(binaryVar(s, dir), prs).select(
+        round(col("bb"), 6).as("bb"), round(col("e_bb"), 6).as("e_bb"),
+        round(col("var_rand"), 8).as("var_rand"),
+        round(col("z_rand"), 6).as("z_rand"))
+    }),
     "q89_weights_summary" -> ((s, dir) => {
       // GeoDa Weights-Manager connectivity panel over the queen graph:
       // n, edges, degree min/max/mean/median, % non-zero, islands

@@ -109,6 +109,54 @@ object GlobalStats {
         ((col("i") - col("e_i")) / sqrt(col("var_rand"))).as("z_rand"))
   }
 
+  /** Global (same-colour BB) join count over a binary 0/1 variable:
+    * one row `(bb, e_bb, var_rand, z_rand)` with the
+    * sampling-without-replacement (nonfree/randomization) moments —
+    * BB = ½ ΣΣ w_ij x_i x_j,
+    * E[BB] = ½ S0 p2,
+    * Var[BB] = ¼ (S1 p2 + (S2−2S1) p3 + (S0²+S1−S2) p4) − E²,
+    * where p_k = n1!/(n1−k)! ÷ n!/(n−k)! is the probability k distinct
+    * draws are all ones. The decomposition S0² = S1 + (S2−2S1) +
+    * (S0²+S1−S2) groups ordered pair-products by shared indices; the
+    * moments are validated empirically by the 20k-permutation Monte
+    * Carlo in GlobalStatsSpec. Binary weights (GeoDa's join-count
+    * convention).
+    */
+  def joinCount(vals: DataFrame, pairs: DataFrame): DataFrame = {
+    val w = weighted(pairs, rowStandardized = false)
+    val v = vals.select(col("gid").cast("long").as("gid"),
+      col("value").cast("double").as("x"))
+    val chk = v.agg(
+      sum(when(col("x") =!= 0.0 && col("x") =!= 1.0, 1L).otherwise(0L)),
+      count(lit(1)), sum(col("x"))).head()
+    require(chk.getLong(0) == 0L,
+      "global join count needs a binary 0/1 variable (joincount.c semantics)")
+    val num = w
+      .join(v.select(col("gid"), col("x").as("xi")), "gid")
+      .join(v.select(col("gid").as("nbr"), col("x").as("xj")), "nbr")
+      .agg(coalesce(sum(col("w") * col("xi") * col("xj")), lit(0.0))
+        .as("num"))
+    val counts = v.agg(count(lit(1)).cast("double").as("n"),
+      sum(col("x")).as("n1"))
+    num.crossJoin(sMoments(w)).crossJoin(counts)
+      .select(col("num"), col("s0"), col("s1"), col("s2"),
+        (col("n1") * (col("n1") - 1) /
+          (col("n") * (col("n") - 1))).as("p2"),
+        (col("n1") * (col("n1") - 1) * (col("n1") - 2) /
+          (col("n") * (col("n") - 1) * (col("n") - 2))).as("p3"),
+        (col("n1") * (col("n1") - 1) * (col("n1") - 2) * (col("n1") - 3) /
+          (col("n") * (col("n") - 1) * (col("n") - 2) * (col("n") - 3)))
+          .as("p4"))
+      .select((lit(0.5) * col("num")).as("bb"),
+        (lit(0.5) * col("s0") * col("p2")).as("e_bb"),
+        (lit(0.25) * (col("s1") * col("p2") +
+          (col("s2") - lit(2.0) * col("s1")) * col("p3") +
+          (col("s0") * col("s0") + col("s1") - col("s2")) * col("p4")) -
+          pow(lit(0.5) * col("s0") * col("p2"), 2)).as("var_rand"))
+      .select(col("bb"), col("e_bb"), col("var_rand"),
+        ((col("bb") - col("e_bb")) / sqrt(col("var_rand"))).as("z_rand"))
+  }
+
   /** Global Geary's c: one row `(c, e_c, var_norm, z_norm, var_rand,
     * z_rand)` (E[c] = 1; c < 1 means positive autocorrelation).
     */

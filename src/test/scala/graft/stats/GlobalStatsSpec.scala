@@ -107,6 +107,42 @@ class GlobalStatsSpec extends AnyFunSuite {
       s"empirical var $v vs var_rand $varRand")
   }
 
+  test("global join count: statistic matches brute force; moments match 20k real permutations") {
+    import spark.implicits._
+    val ind = xs.map(v => if (v > 7.0) 1.0 else 0.0)
+    def bruteBB(x: Array[Double]): Double =
+      edges.map { case (i, j) => x(i) * x(j) }.sum / 2.0
+    val vals = ind.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toSeq.toDF("gid", "value")
+    val pairs = edges.map { case (a, b) => (a.toLong, b.toLong) }
+      .toDF("gid", "nbr")
+    val r = GlobalStats.joinCount(vals, pairs).head()
+    val (bb, eBB, varRand) =
+      (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+    assert(bb === bruteBB(ind))
+    val rnd = new scala.util.Random(777)
+    val perm = ind.clone()
+    val samples = Array.fill(20000) {
+      var k = n - 1
+      while (k > 0) {
+        val j = rnd.nextInt(k + 1)
+        val t = perm(k); perm(k) = perm(j); perm(j) = t
+        k -= 1
+      }
+      bruteBB(perm)
+    }
+    val m = samples.sum / samples.length
+    val v = samples.map(s => (s - m) * (s - m)).sum / (samples.length - 1)
+    assert(math.abs(m - eBB) / eBB < 0.01, s"empirical mean $m vs E $eBB")
+    assert(math.abs(v - varRand) / varRand < 0.05,
+      s"empirical var $v vs var_rand $varRand")
+    intercept[IllegalArgumentException] {
+      GlobalStats.joinCount(
+        xs.zipWithIndex.map { case (x, i) => (i.toLong, x) }
+          .toSeq.toDF("gid", "value"), pairs).head()
+    }
+  }
+
   test("normality variance matches brute S-moment recomputation (binary, asymmetric kNN-like graph)") {
     import spark.implicits._
     // directed graph: i -> (i+1) % n and i -> (i*7+3) % n — reverse
