@@ -788,6 +788,66 @@ object OracleSql {
          JOIN sz USING (component)
          ORDER BY d.doc_id""",
 
+    // the full curation chain: repetition gate (rounded trigram dup
+    // frac), hashed-model gate, decontamination gate (bench docs
+    // dropped), then the per-language token-budget draw — each stage's
+    // algebra verbatim from its standalone oracle
+    "q99_curation_full_chain" ->
+      """WITH s AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS a
+                    FROM documents),
+         toks AS (SELECT doc_id, unnest(a) AS tok,
+                         generate_subscripts(a, 1) AS i FROM s),
+         rg AS (SELECT doc_id, tok || ' ' || lead(tok,1) OVER w || ' ' ||
+                  lead(tok,2) OVER w AS g3
+                FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+         ragg AS (SELECT doc_id, count(g3) AS n3, count(DISTINCT g3) AS d3
+                  FROM rg GROUP BY doc_id),
+         rep AS (SELECT doc_id,
+                   round(CASE WHEN n3 = 0 THEN 0.0
+                         ELSE 1.0 - CAST(d3 AS DOUBLE)/n3 END, 6) AS dtf
+                 FROM ragg),
+         mw AS (SELECT i AS bucket,
+                  ((i*2654435761) % 2000)/1000.0 - 1.0 AS weight
+                FROM generate_series(0, 1023) g(i)),
+         mb AS (SELECT doc_id,
+                  ('0x' || substr(md5(tok),1,8))::BIGINT % 1024 AS bucket
+                FROM toks WHERE tok <> ''),
+         mtf AS (SELECT doc_id, bucket, count(*) AS tf
+                 FROM mb GROUP BY 1, 2),
+         msc AS (SELECT mtf.doc_id,
+                   round(sum(mtf.tf * mw.weight) + 0.1, 6) AS score
+                 FROM mtf JOIN mw USING (bucket) GROUP BY mtf.doc_id),
+         model AS (SELECT d.doc_id, coalesce(msc.score, 0.1) AS score
+                   FROM documents d
+                   LEFT JOIN msc ON d.doc_id = msc.doc_id),
+         dg AS (SELECT DISTINCT doc_id, g3 FROM rg WHERE g3 IS NOT NULL),
+         bench AS (SELECT DISTINCT g3 FROM dg WHERE doc_id % 37 = 0),
+         dagg AS (SELECT d.doc_id, count(*) AS n_ngrams,
+                    count(b.g3) AS n_cont
+                  FROM dg d LEFT JOIN bench b ON d.g3 = b.g3
+                  GROUP BY d.doc_id),
+         decon AS (SELECT d0.doc_id,
+                     round(CASE WHEN coalesce(a.n_ngrams, 0) = 0 THEN 0.0
+                           ELSE CAST(a.n_cont AS DOUBLE)/a.n_ngrams END, 6)
+                       AS cf
+                   FROM documents d0
+                   LEFT JOIN dagg a ON d0.doc_id = a.doc_id),
+         keep AS (SELECT d.doc_id, d.lang, d.text FROM documents d
+                  JOIN rep USING (doc_id) JOIN model USING (doc_id)
+                  JOIN decon USING (doc_id)
+                  WHERE rep.dtf <= 0.2 AND model.score >= 0.0
+                    AND decon.cf < 0.5 AND d.doc_id % 37 <> 0),
+         kd AS (SELECT lang, doc_id, (doc_id*48271) % 2147483647 AS k,
+                  CAST(len(list_filter(string_split(coalesce(text, ''), ' '),
+                    t -> t <> '')) AS BIGINT) AS n_tokens
+                FROM keep),
+         kc AS (SELECT lang, doc_id, n_tokens,
+                  sum(n_tokens) OVER (PARTITION BY lang ORDER BY k, doc_id
+                    ROWS UNBOUNDED PRECEDING) AS cum
+                FROM kd)
+         SELECT lang, doc_id AS sample_id, n_tokens
+         FROM kc WHERE cum - n_tokens < 1500 ORDER BY lang, sample_id""",
+
     // unigram log-prob scoring: top-50 vocab (count desc, ties by
     // token), OOV floored at count 1, per-doc mean of ln(n/total)
     "q97_unigram_logprob" ->

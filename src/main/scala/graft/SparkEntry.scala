@@ -789,6 +789,32 @@ object SparkEntry {
           lit(".7")).as("text"))
       graft.pipeline.TextAnalysis.redactPii(docs).orderBy("id")
     }),
+    "q99_curation_full_chain" -> ((s, dir) => {
+      // the full modern-pretraining curation chain in one plan:
+      // Gopher repetition gate → fastText-style model gate →
+      // benchmark decontamination (bench docs excluded) →
+      // per-language token-budget training-mix draw. Every stage is a
+      // scan/broadcast/partial-agg shape; the only corpus-keyed
+      // exchanges are per-doc re-aggs and the boundary-bucket window
+      val docs = SynthGeo.table(s, dir, "documents")
+      val rep = graft.pipeline.TextAnalysis.repetitionStats(docs)
+        .select(col("id").as("doc_id"), col("dup_trigram_frac"))
+      val w = s.range(1024).select(col("id").as("bucket"),
+        (col("id") * 2654435761L % 2000 / lit(1000.0) - 1.0).as("weight"))
+      val model = graft.pipeline.Curation.hashedLinearScore(docs, w,
+          dim = 1024, bias = 0.1)
+        .select(col("id").as("doc_id"), col("score"))
+      val decon = graft.pipeline.Curation.decontaminate(docs,
+          docs.filter(col("doc_id") % 37 === 0))
+        .select(col("id").as("doc_id"), col("contamination_frac"))
+      val keep = docs.join(rep, "doc_id").join(model, "doc_id")
+        .join(decon, "doc_id")
+        .filter(col("dup_trigram_frac") <= 0.2 && col("score") >= 0.0 &&
+          col("contamination_frac") < 0.5 && col("doc_id") % 37 =!= 0)
+      graft.pipeline.Curation.tokenBudgetSample(keep, Seq("lang"),
+          budgetTokens = 1500, idCol = "doc_id")
+        .orderBy("lang", "sample_id")
+    }),
     "q81_curation_pipeline" -> ((s, dir) => {
       // composed curation: repetition gate + length gate, then a
       // deterministic per-language quota — the end-to-end shape of a
