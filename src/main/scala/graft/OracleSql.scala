@@ -435,6 +435,29 @@ object OracleSql {
            round((t2/(t2 + t1/b)) * rr + (1 - t2/(t2 + t1/b)) * t1, 6) AS ebrate
          FROM t1t, t2t ORDER BY gid""",
 
+    // Local Moran over the EB-smoothed rate: q21's shrinkage algebra,
+    // rounded, then the q30 standardize + lag composition
+    "q100_local_moran_ebrate" ->
+      s"""WITH $KNN4, $RATES,
+         tot AS (SELECT sum(e) AS se, sum(b) AS sb,
+                        CAST(count(*) AS DOUBLE) AS n FROM r),
+         t1t AS (SELECT gid, e, b, e/b AS rr, se/sb AS t1, sb, n
+                 FROM r, tot),
+         t2t AS (SELECT greatest(
+                   sum(b*(rr-t1)*(rr-t1))/max(sb) - max(t1)/(max(sb)/max(n)),
+                   0.0) AS t2 FROM t1t),
+         eb AS (SELECT gid,
+                  round((t2/(t2 + t1/b)) * rr + (1 - t2/(t2 + t1/b)) * t1,
+                    6) AS v
+                FROM t1t, t2t),
+         z AS (SELECT gid,
+                 (v - avg(v) OVER ()) / stddev_samp(v) OVER () AS z
+               FROM eb),
+         lagt AS (SELECT k.gid, avg(z2.z) AS lag
+                  FROM knn k JOIN z z2 ON k.nbr = z2.gid GROUP BY k.gid)
+         SELECT z.gid AS gid, round(z.z * lagt.lag, 4) AS moran_eb
+         FROM z JOIN lagt ON z.gid = lagt.gid ORDER BY gid""",
+
     "q22_spatial_rate" ->
       s"""WITH $KNN4, $RATES,
          nbrs AS (SELECT k.gid, sum(r2.e) AS sne, sum(r2.b) AS snb

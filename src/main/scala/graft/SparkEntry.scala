@@ -252,6 +252,17 @@ object SparkEntry {
         .select(col("gid"), round(col("ebrate"), 6).as("ebrate"))
         .orderBy("gid")
     }),
+    "q100_local_moran_ebrate" -> ((s, dir) => {
+      // GeoDa's "Local Moran with EB Rate" workflow: empirical-Bayes
+      // rate smoothing feeding the LISA — operator composition, rate
+      // rounded to 6 before standardization so both engines z-score
+      // identical inputs
+      val eb = Rates.ebRate(SynthGeo.customerRates(s, dir))
+        .select(col("gid"), round(col("ebrate"), 6).as("value"))
+      Lisa.localMoran(eb, knnWeights4(s, dir))
+        .select(col("gid"), round(col("stat"), 4).as("moran_eb"))
+        .orderBy("gid")
+    }),
     "q22_spatial_rate" -> ((s, dir) => {
       Rates.spatialRate(SynthGeo.customerRates(s, dir), knnWeights4(s, dir))
         .orderBy("gid")

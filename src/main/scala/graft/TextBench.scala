@@ -117,6 +117,19 @@ object TextBench {
         graft.pipeline.Curation.hashedLinearScore(docs, wModel,
           dim = 65536).agg(sum(col("prob"))).head(); n
       })
+      // token-budget training-mix draw: 8 minted language strata,
+      // budget = 1/16 of each stratum's tokens (forces the boundary
+      // bucket's partial window in every stratum)
+      val langDocs = docs.withColumn("lang",
+        concat(lit("l"), pmod(col("doc_id"), lit(8)).cast("string")))
+      val (_, tBudget) = gate("token_budget")(time(
+        graft.pipeline.Curation.tokenBudgetSample(langDocs, Seq("lang"),
+          budgetTokens = n / 8 * 40 / 16, idCol = "doc_id").count()))
+      // unigram log-prob gate: 64k-term vocab broadcast
+      val (_, tLogp) = gate("unigram_logp")(time {
+        graft.pipeline.Curation.unigramLogProb(docs, vocabK = 65536)
+          .agg(sum(col("avg_logp"))).head(); n
+      })
       // near-dup cluster resolution: connected components over a
       // Lehmer functional graph on the same doc ids (~2/3 n edges;
       // mixed chains/trees/cycles — the dedup-graph shape)
@@ -143,7 +156,7 @@ object TextBench {
       docs.unpersist(false); emb.unpersist(false)
 
       val r = (t: Double) => if (t > 0) math.round(n / t) else -1L
-      println(s"""{"metric":"text_pipeline","n":$n,"n_emb":$nEmb,"cpus":"$cpus","unit":"sec","exact_dedup_sec":$tExact,"exact_dedup_rows_per_sec":${r(tExact)},"minhash_sec":$tMinhash,"minhash_rows_per_sec":${r(tMinhash)},"minhash_pairs":$mhPairs,"simhash_sec":$tSimhash,"simhash_rows_per_sec":${r(tSimhash)},"simhash_pairs":$shPairs,"langid_sec":$tLang,"langid_rows_per_sec":${r(tLang)},"quality_sec":$tQual,"quality_rows_per_sec":${r(tQual)},"fingerprint_sec":$tFp,"fingerprint_rows_per_sec":${r(tFp)},"extract_sec":$tExtract,"extract_rows_per_sec":${r(tExtract)},"repetition_sec":$tRep,"repetition_rows_per_sec":${r(tRep)},"decontaminate_sec":$tDecon,"decontaminate_rows_per_sec":${r(tDecon)},"url_dedup_sec":$tUrl,"url_dedup_rows_per_sec":${r(tUrl)},"paragraph_dedup_sec":$tPara,"paragraph_dedup_rows_per_sec":${r(tPara)},"pii_redact_sec":$tRedact,"pii_redact_rows_per_sec":${r(tRedact)},"vocab_topk_sec":$tVocab,"vocab_topk_rows_per_sec":${r(tVocab)},"model_score_sec":$tModel,"model_score_rows_per_sec":${r(tModel)},"cc_sec":$tCc,"cc_rows_per_sec":${r(tCc)},"ann_brute_sec":$tBrute,"ann_ivf_sec":$tIvf}""")
+      println(s"""{"metric":"text_pipeline","n":$n,"n_emb":$nEmb,"cpus":"$cpus","unit":"sec","exact_dedup_sec":$tExact,"exact_dedup_rows_per_sec":${r(tExact)},"minhash_sec":$tMinhash,"minhash_rows_per_sec":${r(tMinhash)},"minhash_pairs":$mhPairs,"simhash_sec":$tSimhash,"simhash_rows_per_sec":${r(tSimhash)},"simhash_pairs":$shPairs,"langid_sec":$tLang,"langid_rows_per_sec":${r(tLang)},"quality_sec":$tQual,"quality_rows_per_sec":${r(tQual)},"fingerprint_sec":$tFp,"fingerprint_rows_per_sec":${r(tFp)},"extract_sec":$tExtract,"extract_rows_per_sec":${r(tExtract)},"repetition_sec":$tRep,"repetition_rows_per_sec":${r(tRep)},"decontaminate_sec":$tDecon,"decontaminate_rows_per_sec":${r(tDecon)},"url_dedup_sec":$tUrl,"url_dedup_rows_per_sec":${r(tUrl)},"paragraph_dedup_sec":$tPara,"paragraph_dedup_rows_per_sec":${r(tPara)},"pii_redact_sec":$tRedact,"pii_redact_rows_per_sec":${r(tRedact)},"vocab_topk_sec":$tVocab,"vocab_topk_rows_per_sec":${r(tVocab)},"model_score_sec":$tModel,"model_score_rows_per_sec":${r(tModel)},"cc_sec":$tCc,"cc_rows_per_sec":${r(tCc)},"token_budget_sec":$tBudget,"token_budget_rows_per_sec":${r(tBudget)},"unigram_logp_sec":$tLogp,"unigram_logp_rows_per_sec":${r(tLogp)},"ann_brute_sec":$tBrute,"ann_ivf_sec":$tIvf}""")
     } finally spark.stop()
   }
 }
