@@ -435,6 +435,26 @@ object OracleSql {
            round((t2/(t2 + t1/b)) * rr + (1 - t2/(t2 + t1/b)) * t1, 6) AS ebrate
          FROM t1t, t2t ORDER BY gid""",
 
+    // differential local Moran: signed-sum event-value change per
+    // minted location (late half minus early half), zero-filled over
+    // the customer universe, then standardize + lag
+    "q101_differential_moran" ->
+      s"""WITH $KNN4, $VALS,
+         nc AS (SELECT count(*) AS n FROM vals),
+         diff AS (SELECT (user_id % (SELECT n FROM nc)) + 1 AS gid,
+                    round(sum(CASE WHEN epoch(ts) < 1705363200
+                                   THEN -value ELSE value END), 6) AS d
+                  FROM events GROUP BY 1),
+         dv AS (SELECT v.gid, coalesce(diff.d, 0.0) AS v
+                FROM vals v LEFT JOIN diff ON v.gid = diff.gid),
+         z AS (SELECT gid,
+                 (v - avg(v) OVER ()) / stddev_samp(v) OVER () AS z
+               FROM dv),
+         lagt AS (SELECT k.gid, avg(z2.z) AS lag
+                  FROM knn k JOIN z z2 ON k.nbr = z2.gid GROUP BY k.gid)
+         SELECT z.gid AS gid, round(z.z * lagt.lag, 4) AS diff_moran
+         FROM z JOIN lagt ON z.gid = lagt.gid ORDER BY gid""",
+
     // Local Moran over the EB-smoothed rate: q21's shrinkage algebra,
     // rounded, then the q30 standardize + lag composition
     "q100_local_moran_ebrate" ->

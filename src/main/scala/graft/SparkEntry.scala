@@ -263,6 +263,24 @@ object SparkEntry {
         .select(col("gid"), round(col("stat"), 4).as("moran_eb"))
         .orderBy("gid")
     }),
+    "q101_differential_moran" -> ((s, dir) => {
+      // GeoDa's differential local Moran: per-location change of the
+      // event-value total between the two halves of January (signed
+      // sum in one aggregate), locations minted from user_id, then the
+      // LISA over the change variable
+      val cust = SynthGeo.customerValues(s, dir).select(col("gid"))
+      val nCust = cust.count()
+      val diff = SynthGeo.table(s, dir, "events")
+        .select((col("user_id") % nCust + 1).as("gid"),
+          when(unix_timestamp(col("ts")) < 1705363200L, -col("value"))
+            .otherwise(col("value")).as("sv"))
+        .groupBy("gid").agg(round(sum(col("sv")), 6).as("d"))
+      val vals = cust.join(diff, Seq("gid"), "left")
+        .select(col("gid"), coalesce(col("d"), lit(0.0)).as("value"))
+      Lisa.localMoran(vals, knnWeights4(s, dir))
+        .select(col("gid"), round(col("stat"), 4).as("diff_moran"))
+        .orderBy("gid")
+    }),
     "q22_spatial_rate" -> ((s, dir) => {
       Rates.spatialRate(SynthGeo.customerRates(s, dir), knnWeights4(s, dir))
         .orderBy("gid")
