@@ -69,6 +69,24 @@ class ComponentsSpec extends AnyFunSuite {
       Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L, 5L -> 4L))
   }
 
+  test("100k-leaf hub: degree skew resolves without adjacency collection") {
+    import spark.implicits._
+    // one boilerplate-style hub with 100k leaves plus a chain grafted
+    // on a leaf — the shape a shared paragraph induces at web scale; a
+    // collect_list formulation would materialize the hub's adjacency
+    // as one array row, the min+join formulation must not care
+    val hub = (1L to 100000L).map(i => (0L, i))
+    val chain = (100001L to 100050L).map(i => (i - 100000L + 99950L, i))
+    val got = Components.connected(
+        (hub ++ chain).toDF("id_a", "id_b"), maxIter = 50)
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)),
+        org.apache.spark.sql.functions.max("component"),
+        org.apache.spark.sql.functions.min("component")).head()
+    assert(got.getLong(0) === 100051L)
+    assert(got.getLong(1) === 0L && got.getLong(2) === 0L)
+  }
+
   test("empty edge list: every node is its own singleton") {
     assert(run(5, Nil) === (0L until 5L).map(i => i -> i).toMap)
   }
