@@ -455,6 +455,22 @@ object OracleSql {
          SELECT z.gid AS gid, round(z.z * lagt.lag, 4) AS diff_moran
          FROM z JOIN lagt ON z.gid = lagt.gid ORDER BY gid""",
 
+    // Benjamini-Hochberg FDR relabeling: cutoff = max p_(k) with
+    // p_(k) <= k*alpha/n over ranks in (p, gid) order
+    "q102_fdr_significance" ->
+      """WITH pv AS (SELECT CAST(c_custkey AS BIGINT) AS gid,
+             CAST((c_custkey*13) % 997 AS DOUBLE)/997.0 AS p,
+             CAST(c_custkey % 5 AS DOUBLE) AS c
+           FROM customer),
+         rk AS (SELECT gid, p, c,
+                  row_number() OVER (ORDER BY p, gid) AS k,
+                  count(*) OVER () AS n
+                FROM pv),
+         ct AS (SELECT max(p) AS cut FROM rk WHERE p <= k*0.05/n)
+         SELECT gid, p, c,
+           CASE WHEN p <= coalesce(cut, -1.0) THEN c ELSE 0.0 END AS c_adj
+         FROM pv, ct ORDER BY gid""",
+
     // Local Moran over the EB-smoothed rate: q21's shrinkage algebra,
     // rounded, then the q30 standardize + lag composition
     "q100_local_moran_ebrate" ->

@@ -252,6 +252,16 @@ object SparkEntry {
         .select(col("gid"), round(col("ebrate"), 6).as("ebrate"))
         .orderBy("gid")
     }),
+    "q102_fdr_significance" -> ((s, dir) => {
+      // GeoDa's significance filter: Benjamini-Hochberg FDR relabeling
+      // over a minted (SQL-replayable) p surface — the bucketed global
+      // ranking must reproduce the naive window's cutoff exactly
+      val base = SynthGeo.customerValues(s, dir).select(col("gid"),
+        (((col("gid") * 13) % 997).cast("double") / 997.0).as("p"),
+        (col("gid") % 5).cast("double").as("c"))
+      graft.stats.Significance.adjust(base, alpha = 0.05)
+        .orderBy("gid")
+    }),
     "q100_local_moran_ebrate" -> ((s, dir) => {
       // GeoDa's "Local Moran with EB Rate" workflow: empirical-Bayes
       // rate smoothing feeding the LISA — operator composition, rate

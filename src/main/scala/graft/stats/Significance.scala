@@ -1,0 +1,76 @@
+package graft.stats
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Multiple-comparison correction for LISA maps — GeoDa's significance
+  * filter (the dropdown next to every cluster map): Bonferroni bound
+  * `α/n` and the Benjamini-Hochberg False Discovery Rate cutoff
+  * (largest p_(k) with p_(k) ≤ k·α/n over the p-values sorted
+  * ascending). Rows keep their cluster label only when p passes the
+  * adjusted cutoff; both corrections are stricter than the raw α the
+  * labels were computed with, so relabeling is a pure filter.
+  *
+  * The BH rank is a GLOBAL order statistic. A
+  * `row_number().over(orderBy(p))` window computes it by dragging the
+  * whole table into ONE task — the standard formulation that dies at
+  * scale. Here the rank is assembled from key-range buckets (the same
+  * scheme as `Curation.tokenBudgetSample`): per-bucket counts (one
+  * partial-agg'd aggregate over ≤65536 rows), a window over that tiny
+  * frame for the cumulative-before term, and a within-bucket
+  * row_number whose partitions are bounded by n/65536 regardless of
+  * how big n is. Output is row-identical to the naive global window.
+  *
+  * Join-count-family rows with the undefined-p convention (p < 0) are
+  * excluded from n and never significant.
+  */
+object Significance {
+
+  private val Buckets = 65536
+
+  /** BH cutoff (None when nothing is significant). One O(1)-row driver
+    * fetch; everything else is distributed.
+    */
+  def fdrCutoff(df: DataFrame, alpha: Double, pCol: String = "p",
+                idCol: String = "gid"): Option[Double] = {
+    val p = df.select(col(pCol).cast("double").as("p"),
+        col(idCol).cast("long").as("__id"))
+      .filter(col("p") >= 0.0)
+      .withColumn("__b",
+        least(floor(col("p") * Buckets), lit(Buckets - 1)).cast("long"))
+    val cum = p.groupBy("__b").agg(count(lit(1)).as("__c"))
+      .withColumn("__before",
+        sum(col("__c")).over(Window.orderBy(col("__b"))) - col("__c"))
+    val nTotal = broadcast(cum.agg(sum(col("__c")).cast("double").as("__n")))
+    val ranked = p.join(broadcast(cum), "__b")
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__b")).orderBy(col("p"), col("__id"))))
+      .crossJoin(nTotal)
+      .select(col("p"),
+        ((col("__before") + col("__rn")) * alpha / col("__n")).as("__thr"))
+    val r = ranked.filter(col("p") <= col("__thr")).agg(max(col("p"))).head()
+    if (r.isNullAt(0)) None else Some(r.getDouble(0))
+  }
+
+  /** Relabel under a corrected cutoff: adds `c_adj` (original cluster
+    * where p passes, else 0). `method`: "fdr" (Benjamini-Hochberg),
+    * "bonferroni" (α/n), or "raw" (α itself).
+    */
+  def adjust(df: DataFrame, alpha: Double = 0.05, method: String = "fdr",
+             pCol: String = "p", cCol: String = "c",
+             idCol: String = "gid"): DataFrame = {
+    val cutoff: Double = method match {
+      case "fdr" => fdrCutoff(df, alpha, pCol, idCol).getOrElse(-1.0)
+      case "bonferroni" =>
+        alpha / df.filter(col(pCol).cast("double") >= 0.0).count()
+      case "raw" => alpha
+      case other => throw new IllegalArgumentException(
+        s"significance method must be fdr|bonferroni|raw, got $other")
+    }
+    df.withColumn("c_adj",
+      when(col(pCol).cast("double") >= 0.0 &&
+        col(pCol).cast("double") <= cutoff, col(cCol))
+        .otherwise(lit(0.0).cast(df.schema(cCol).dataType)))
+  }
+}
