@@ -868,6 +868,29 @@ object SparkEntry {
           quota = 3, idCol = "doc_id")
         .orderBy("lang", "rk")
     }),
+    "q103_image_neardup" -> ((s, dir) => {
+      // image near-duplicate pairs over minted PNGs (REAL imageio
+      // decode → perceptual aHash → shared Hamming buckets): every
+      // 10th image is a +4-brightness re-encode of its predecessor —
+      // the "slightly edited re-upload" the filter must catch
+      val spark2 = s
+      import spark2.implicits._
+      val media = SynthGeo.table(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("id")).as[Long]
+        .map { id =>
+          val bytes =
+            if (id % 10 == 9)
+              graft.pipeline.Multimodal.shiftPng(
+                graft.pipeline.Multimodal.synthPng(32, 24, 7L + 97L * (id - 1)), 4)
+            else graft.pipeline.Multimodal.synthPng(32, 24, 7L + 97L * id)
+          (id, bytes)
+        }.toDF("id", "bytes")
+      // maxHamming 2: the +4-shift re-encode drifts ≤2 bits
+      // (PipelineSpec); the synthetic gradient corpus is deliberately
+      // collision-prone at wider radii
+      graft.pipeline.Multimodal.imageNearDup(media, maxHamming = 2)
+        .orderBy("id_a", "id_b")
+    }),
     "q87_dup_clusters" -> ((s, dir) => {
       // near-dup cluster resolution: distributed connected components
       // (large-star/small-star) over a minted Lehmer pair graph — the

@@ -213,13 +213,27 @@ object Dedup {
       .as[(Long, String)]
       .map { case (id, t) => (id, simhash(t, shingleSize)) }
       .toDF("id", "sh").cache()
+    graft.core.Materialize.releasing(
+      hammingPairs(hashed, maxHamming, tables, prefixBits), Seq(hashed))
+  }
+
+  /** Hamming-ball pair search over 64-bit signatures `(id, sh)`:
+    * rotate-and-prefix buckets (shared by text SimHash and image
+    * perceptual-hash dedup — any 64-bit locality-preserving signature
+    * plugs in). Returns `(id_a, id_b, hamming)` with hamming ≤
+    * `maxHamming`; no all-pairs anywhere.
+    */
+  private[pipeline] def hammingPairs(hashed: DataFrame, maxHamming: Int,
+                                     tables: Int, prefixBits: Int): DataFrame = {
+    val spark = hashed.sparkSession
+    import spark.implicits._
     val rotated = hashed.as[(Long, Long)].flatMap { case (id, h) =>
       (0 until tables).iterator.map { r =>
         val rot = java.lang.Long.rotateLeft(h, r * (64 / tables))
         (id, h, r, rot >>> (64 - prefixBits))
       }
     }.toDF("id", "sh", "rot", "bucket")
-    val out = rotated.as("a").join(rotated.as("b"),
+    rotated.as("a").join(rotated.as("b"),
         $"a.rot" === $"b.rot" && $"a.bucket" === $"b.bucket" &&
           $"a.id" < $"b.id")
       .select($"a.id".as("id_a"), $"b.id".as("id_b"),
@@ -227,7 +241,6 @@ object Dedup {
       .withColumn("hamming", bit_count(col("sha").bitwiseXOR(col("shb"))))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
-    graft.core.Materialize.releasing(out, Seq(hashed))
   }
 
   /** Exact n-gram Jaccard similarity for candidate pairs (id_a, id_b):

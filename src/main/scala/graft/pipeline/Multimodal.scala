@@ -183,6 +183,91 @@ object Multimodal {
         "pixel_mean", "pixel_sd")
   }
 
+  /** 64-bit perceptual average-hash (aHash) of a decoded luma plane:
+    * block means over an 8×8 partition of the image, bit i set when
+    * cell i exceeds the grid mean. Invariant to uniform brightness
+    * shifts and re-encodes that preserve block ordering — the standard
+    * cheap image near-dup signature. Undecodable images (the decoder's
+    * zeroed-meta convention) hash to 0.
+    */
+  def aHash(img: DecodedImage): Long = {
+    val w = img.meta.width; val h = img.meta.height
+    if (w <= 0 || h <= 0 || img.pixels.length < w * h) return 0L
+    val sums = new Array[Double](64)
+    val cnts = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      val by = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val i = by * 8 + x * 8 / w
+        sums(i) += (img.pixels(y * w + x) & 0xFF)
+        cnts(i) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val means = Array.tabulate(64)(i =>
+      if (cnts(i) == 0) 0.0 else sums(i) / cnts(i))
+    var avg = 0.0; means.foreach(avg += _); avg /= 64
+    var bits = 0L; var i = 0
+    while (i < 64) { if (means(i) > avg) bits |= (1L << i); i += 1 }
+    bits
+  }
+
+  /** Image near-duplicate pairs: perceptual aHash per image (real
+    * decode, per-partition decoder handle), then the engine's shared
+    * Hamming rotate-and-prefix bucket join
+    * ([[graft.pipeline.Dedup]]) — the multimodal twin of the text
+    * SimHash path, no all-pairs. Undecodable blobs hash to 0 and pair
+    * only among themselves (hamming 0), which the caller can drop by
+    * filtering hash 0.
+    */
+  def imageNearDup(media: DataFrame, maxHamming: Int = 5,
+                   decoder: Decoder = ImageIoDecoder,
+                   idCol: String = "id", binCol: String = "bytes",
+                   tables: Int = 8, prefixBits: Int = 16): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val hashed = media.select(col(idCol).cast("long").as("id"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val d = decoder
+        it.map { case (id, b) => (id, aHash(d.decodeImage(b))) }
+      }.toDF("id", "sh").cache()
+    graft.core.Materialize.releasing(
+      Dedup.hammingPairs(hashed, maxHamming, tables, prefixBits),
+      Seq(hashed))
+  }
+
+  /** Re-encode a PNG with every channel shifted by `delta` (clamped) —
+    * the minted "slightly edited re-upload" fixture for image near-dup
+    * tests and queries.
+    */
+  def shiftPng(bytes: Array[Byte], delta: Int): Array[Byte] = {
+    import java.awt.image.BufferedImage
+    val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val out = new BufferedImage(src.getWidth, src.getHeight,
+      BufferedImage.TYPE_INT_RGB)
+    def clamp(v: Int) = math.max(0, math.min(255, v))
+    var y = 0
+    while (y < src.getHeight) {
+      var x = 0
+      while (x < src.getWidth) {
+        val rgb = src.getRGB(x, y)
+        out.setRGB(x, y,
+          (clamp(((rgb >> 16) & 0xFF) + delta) << 16) |
+          (clamp(((rgb >> 8) & 0xFF) + delta) << 8) |
+          clamp((rgb & 0xFF) + delta))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(out, "png", bos)
+    bos.toByteArray
+  }
+
   /** Frame sampling for video-ish payloads: (id, bytes) → one row per
     * sampled frame with its features — the explode-shaped half of the
     * multimodal contract.

@@ -291,6 +291,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(fr.length == 1 && fr(0).getInt(2) == 5)
   }
 
+  test("image near-dup: aHash brightness-invariant, planted edits found, distinct images not") {
+    import spark.implicits._
+    // 6 distinct 32x24 images; ids 100-102 are +4-brightness re-encodes
+    // of ids 0-2 (the "slightly edited re-upload"); id 200 is corrupt
+    val base = (0L until 6L).map(i => (i, Multimodal.synthPng(32, 24, 7L + 97L * i)))
+    val edited = (0L until 3L).map(i =>
+      (100L + i, Multimodal.shiftPng(base(i.toInt)._2, 4)))
+    val media = (base ++ edited :+ (200L, "junk".getBytes("UTF-8")))
+      .toDF("id", "bytes")
+    // uniform brightness shift preserves block-vs-average ordering
+    val d = Multimodal.ImageIoDecoder
+    (0 until 3).foreach { i =>
+      val h0 = Multimodal.aHash(d.decodeImage(base(i)._2))
+      val h1 = Multimodal.aHash(d.decodeImage(edited(i)._2))
+      assert(java.lang.Long.bitCount(h0 ^ h1) <= 2, s"img $i drifted")
+    }
+    val pairs = Multimodal.imageNearDup(media, maxHamming = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L until 3L).foreach(i => assert(pairs.contains((i, 100L + i))))
+    // distinct base images never pair with each other
+    assert(!pairs.exists { case (a, b) => a < 6L && b < 6L })
+    // the corrupt blob (hash 0) pairs with nothing here
+    assert(!pairs.exists { case (a, b) => a == 200L || b == 200L })
+  }
+
   test("multimodal frame sampling: animated GIF yields every Nth frame") {
     import spark.implicits._
     // 4-frame animated GIF via the JDK gif writer; frame f is a flat
