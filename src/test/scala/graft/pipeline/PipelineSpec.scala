@@ -462,6 +462,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(Dedup.embeddingNearDup(emb.limit(100)).count() >= 0)
     assert(spark.sharedState.cacheManager.isEmpty,
       "embeddingNearDup must release its signature cache")
+    assert(graft.cluster.Components.connected(
+      docs.limit(200).select(col("doc_id").as("id_a"),
+        (col("doc_id") * 7 % 200).as("id_b"))).count() >= 0)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "Components rounds must not pin CacheManager entries")
+    assert(Multimodal.imageNearDup(
+      docs.limit(20).select(col("doc_id").as("id"),
+        lit("x".getBytes("UTF-8")).as("bytes"))).count() >= 0)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "imageNearDup must release its hash cache")
     val q = emb.limit(5).select(col("vec_id"), col("embedding"))
     assert(Similarity.ivfTopK(emb.limit(200), q, k = 3).count() > 0)
     assert(spark.sharedState.cacheManager.isEmpty,
