@@ -63,16 +63,21 @@ object TextBench {
       val (_, tLang) = gate("langid")(time(TextAnalysis.languageId(docs).count()))
       val (_, tQual) = gate("quality")(time(TextAnalysis.qualityScore(docs).count()))
       val (_, tFp) = gate("fingerprint")(time(TextAnalysis.fingerprint(docs).count()))
-      // html wrap + extract (the WARC ingest path's per-page cost)
-      val html = docs.select(col("doc_id"),
-        concat(lit("<html><body><p>"), col("text"),
-          lit("</p><script>var x=1;</script></body></html>"))
-          .cast("binary").as("html"),
-        lit(null).cast("string").as("text")).cache()
-      html.count()
-      val (_, tExtract) = gate("extract")(time(TextExtract.withText(html)
-        .select(sum(length(col("text")))).head().getLong(0)))
-      html.unpersist(false)
+      // html wrap + extract (the WARC ingest path's per-page cost);
+      // the wrapped corpus is built+cached only when the stage runs
+      val (_, tExtract) =
+        if (only.forall(_.contains("extract"))) {
+          val html = docs.select(col("doc_id"),
+            concat(lit("<html><body><p>"), col("text"),
+              lit("</p><script>var x=1;</script></body></html>"))
+              .cast("binary").as("html"),
+            lit(null).cast("string").as("text")).cache()
+          html.count()
+          val r = time(TextExtract.withText(html)
+            .select(sum(length(col("text")))).head().getLong(0))
+          html.unpersist(false)
+          r
+        } else (0L, -1.0)
 
       // curation family: repetition stats, decontamination (bench =
       // every 997th doc, ~0.1% — realistic benchmark:corpus ratio),
@@ -140,20 +145,26 @@ object TextBench {
         .connected(ccEdges, nodes = Some(docs.select(
           col("doc_id").as("id")))).count()))
 
-      val emb = spark.range(nEmb).select(
-          col("id").as("vec_id"),
-          transform(sequence(lit(1), lit(64)),
-            d => (pmod(xxhash64(col("id") * lit(67) + d), lit(2000L))
-              .cast("float") / 1000.0f - 1.0f)).as("embedding"))
-        .cache()
-      emb.count()
-      val queries = emb.filter(
-        pmod(col("vec_id"), lit(math.max(1L, nEmb / 256))) === 0)
-      val (_, tBrute) = gate("ann_brute")(time(
-        Similarity.bruteTopK(emb, queries, k = 10).count()))
-      val (_, tIvf) = gate("ann_ivf")(time(
-        Similarity.ivfTopK(emb, queries, k = 10).count()))
-      docs.unpersist(false); emb.unpersist(false)
+      // the embedding corpus is minted+cached only when an ANN stage runs
+      val (tBrute, tIvf) =
+        if (only.forall(o => o.contains("ann_brute") || o.contains("ann_ivf"))) {
+          val emb = spark.range(nEmb).select(
+              col("id").as("vec_id"),
+              transform(sequence(lit(1), lit(64)),
+                d => (pmod(xxhash64(col("id") * lit(67) + d), lit(2000L))
+                  .cast("float") / 1000.0f - 1.0f)).as("embedding"))
+            .cache()
+          emb.count()
+          val queries = emb.filter(
+            pmod(col("vec_id"), lit(math.max(1L, nEmb / 256))) === 0)
+          val tb = gate("ann_brute")(time(
+            Similarity.bruteTopK(emb, queries, k = 10).count()))._2
+          val ti = gate("ann_ivf")(time(
+            Similarity.ivfTopK(emb, queries, k = 10).count()))._2
+          emb.unpersist(false)
+          (tb, ti)
+        } else (-1.0, -1.0)
+      docs.unpersist(false)
 
       val r = (t: Double) => if (t > 0) math.round(n / t) else -1L
       println(s"""{"metric":"text_pipeline","n":$n,"n_emb":$nEmb,"cpus":"$cpus","unit":"sec","exact_dedup_sec":$tExact,"exact_dedup_rows_per_sec":${r(tExact)},"minhash_sec":$tMinhash,"minhash_rows_per_sec":${r(tMinhash)},"minhash_pairs":$mhPairs,"simhash_sec":$tSimhash,"simhash_rows_per_sec":${r(tSimhash)},"simhash_pairs":$shPairs,"langid_sec":$tLang,"langid_rows_per_sec":${r(tLang)},"quality_sec":$tQual,"quality_rows_per_sec":${r(tQual)},"fingerprint_sec":$tFp,"fingerprint_rows_per_sec":${r(tFp)},"extract_sec":$tExtract,"extract_rows_per_sec":${r(tExtract)},"repetition_sec":$tRep,"repetition_rows_per_sec":${r(tRep)},"decontaminate_sec":$tDecon,"decontaminate_rows_per_sec":${r(tDecon)},"url_dedup_sec":$tUrl,"url_dedup_rows_per_sec":${r(tUrl)},"paragraph_dedup_sec":$tPara,"paragraph_dedup_rows_per_sec":${r(tPara)},"pii_redact_sec":$tRedact,"pii_redact_rows_per_sec":${r(tRedact)},"vocab_topk_sec":$tVocab,"vocab_topk_rows_per_sec":${r(tVocab)},"model_score_sec":$tModel,"model_score_rows_per_sec":${r(tModel)},"cc_sec":$tCc,"cc_rows_per_sec":${r(tCc)},"token_budget_sec":$tBudget,"token_budget_rows_per_sec":${r(tBudget)},"unigram_logp_sec":$tLogp,"unigram_logp_rows_per_sec":${r(tLogp)},"ann_brute_sec":$tBrute,"ann_ivf_sec":$tIvf}""")

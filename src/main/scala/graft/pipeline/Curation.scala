@@ -119,21 +119,29 @@ object Curation {
   def unigramLogProb(docs: DataFrame, vocabK: Int = 65536,
                      idCol: String = "doc_id",
                      textCol: String = "text"): DataFrame = {
+    // one cached tokenization feeds vocab, total and scoring (scoped
+    // release below); the vocab is built from the NON-EMPTY tokens —
+    // [[vocabTopK]] counts empty split artifacts (q84 semantics), which
+    // would displace a real term from the top-k here
     val toks = docs.select(col(idCol).cast("long").as("id"),
         explode(split(coalesce(col(textCol), lit("")), " ")).as("token"))
       .filter(length(col("token")) > 0)
+      .cache()
     val total = toks.count().toDouble
+    val vocab = toks.groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(vocabK)
     val scored = toks
-      .join(broadcast(vocabTopK(docs, vocabK, textCol)),
-        Seq("token"), "left")
+      .join(broadcast(vocab), Seq("token"), "left")
       .select(col("id"),
         log(coalesce(col("n"), lit(1L)).cast("double") / total).as("lp"))
       .groupBy("id")
       .agg(avg(col("lp")).as("alp"), count(lit(1)).as("n_tokens"))
-    docs.select(col(idCol).cast("long").as("id")).join(scored, Seq("id"), "left")
+    val out = docs.select(col(idCol).cast("long").as("id"))
+      .join(scored, Seq("id"), "left")
       .select(col("id"),
         round(coalesce(col("alp"), lit(0.0)), 6).as("avg_logp"),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+    graft.core.Materialize.releasing(out, Seq(toks))
   }
 
   /** Per-document distinct word n-grams — [[TextAnalysis.wordGrams]]
@@ -210,6 +218,14 @@ object Curation {
     * pre-aggregation (which would shuffle the near-unique (doc, bucket)
     * stream) is needed. Docs with no tokens score `bias`.
     */
+  /** md5-prefix feature bucket — the ONE definition shared by the
+    * batch scorer and the streaming gate
+    * ([[graft.streaming.PageStream.scoreStream]]); batch/stream score
+    * parity depends on both using exactly this expression.
+    */
+  def tokenBucket(tok: Column, dim: Int): Column =
+    conv(substring(md5(tok), 1, 8), 16, 10).cast("long") % dim
+
   def hashedLinearScore(docs: DataFrame, weights: DataFrame,
                         dim: Int = 1024, bias: Double = 0.0,
                         idCol: String = "doc_id",
@@ -217,9 +233,7 @@ object Curation {
     val scored = docs.select(col(idCol).cast("long").as("id"),
         explode(split(coalesce(col(textCol), lit("")), " ")).as("tok"))
       .filter(length(col("tok")) > 0)
-      .select(col("id"),
-        (conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long")
-          % dim).as("bucket"))
+      .select(col("id"), tokenBucket(col("tok"), dim).as("bucket"))
       .join(
         broadcast(weights.select(col("bucket").cast("long").as("bucket"),
           col("weight").cast("double").as("w"))),

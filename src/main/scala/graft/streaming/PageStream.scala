@@ -83,8 +83,7 @@ object PageStream {
         explode(when(size(toks) === 0,
             array(lit(null).cast("string"))).otherwise(toks)).as("tok"))
       .select(col("url"), col("warc_ts"),
-        (conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long")
-          % dim).as("bucket"))
+        graft.pipeline.Curation.tokenBucket(col("tok"), dim).as("bucket"))
       .join(broadcast(weights.select(
           col("bucket").cast("long").as("bucket"),
           col("weight").cast("double").as("w"))),

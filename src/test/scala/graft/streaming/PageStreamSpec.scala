@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.SparkFixture
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, regexp_extract}
 import org.scalatest.funsuite.AnyFunSuite
 
 class PageStreamSpec extends AnyFunSuite {
@@ -82,6 +82,19 @@ class PageStreamSpec extends AnyFunSuite {
       .filter(col("url").isin((7 to 60 by 7).map(i => s"https://qs/$i"): _*))
       .select("score").collect().map(_.getDouble(0))
     assert(empties.length == 8 && empties.forall(_ == 0.5))
+    // cross-operator parity: the streaming gate must score exactly as
+    // the batch Curation scorer (shared tokenBucket + rounding)
+    val viaCuration = graft.pipeline.Curation.hashedLinearScore(
+        pages.zipWithIndex.map { case ((_, _, t), i) => (i.toLong, t) }
+          .toDF("doc_id", "text"),
+        w, dim = 256, bias = 0.5)
+      .orderBy("id").collect().map(r => (r.getDouble(1), r.getDouble(2)))
+    val viaStream = spark.table("qscore")
+      .withColumn("n", regexp_extract(col("url"), "(\\d+)$", 1)
+        .cast("long") - 1)
+      .orderBy("n").select("score", "prob")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    assert(viaStream.sameElements(viaCuration))
   }
 
   test("streaming PIP join equals batch on both physical paths") {
