@@ -7,6 +7,15 @@ package graft
   * SQL; the permutation p-values and cluster labels (no SQL equivalent)
   * are value-checked by committed goldens plus the independent C-harness
   * pins on Guerry (GuerrySpec).
+  *
+  * Rendering convention: every `round(...)` is wrapped `(round(...) + 0.0)`.
+  * DuckDB's round preserves IEEE sign-of-zero (round(-1e-6, 4) = -0.0) while
+  * Spark's round goes through BigDecimal, which has no signed zero — so a
+  * tiny negative rounding to zero renders "-0.0" on the oracle side and
+  * "0.0" on the Spark side, failing the driver's value-hash compare even
+  * though the numbers are equal (r5's q101 red cell). `x + 0.0` maps -0.0
+  * to +0.0 and is the identity on every other double, eliminating the
+  * whole class at zero numeric cost.
   */
 object OracleSql {
 
@@ -146,23 +155,23 @@ object OracleSql {
        qs AS (SELECT ${pct("25.0")} AS q1, ${pct("50.0")} AS q2,
                      ${pct("75.0")} AS q3)
        SELECT bidx, brk FROM (
-         SELECT CAST(1 AS BIGINT) AS bidx, round(q1 - $h*(q3-q1), 4) AS brk FROM qs
-         UNION ALL SELECT CAST(2 AS BIGINT), round(q1, 4) FROM qs
-         UNION ALL SELECT CAST(3 AS BIGINT), round(q2, 4) FROM qs
-         UNION ALL SELECT CAST(4 AS BIGINT), round(q3, 4) FROM qs
-         UNION ALL SELECT CAST(5 AS BIGINT), round(q3 + $h*(q3-q1), 4) FROM qs) t
+         SELECT CAST(1 AS BIGINT) AS bidx, (round(q1 - $h*(q3-q1), 4) + 0.0) AS brk FROM qs
+         UNION ALL SELECT CAST(2 AS BIGINT), (round(q1, 4) + 0.0) FROM qs
+         UNION ALL SELECT CAST(3 AS BIGINT), (round(q2, 4) + 0.0) FROM qs
+         UNION ALL SELECT CAST(4 AS BIGINT), (round(q3, 4) + 0.0) FROM qs
+         UNION ALL SELECT CAST(5 AS BIGINT), (round(q3 + $h*(q3-q1), 4) + 0.0) FROM qs) t
        ORDER BY bidx"""
 
   val all: Map[String, String] = Map(
     "q01_pricing_agg" ->
       """SELECT l_returnflag, l_linestatus,
            sum(l_quantity) AS sum_qty,
-           round(sum(l_extendedprice), 2) AS sum_base,
+           (round(sum(l_extendedprice), 2) + 0.0) AS sum_base,
            count(*) AS n_rows
          FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q02_join_agg" ->
-      """SELECT n_name, round(sum(o_totalprice), 2) AS revenue,
+      """SELECT n_name, (round(sum(o_totalprice), 2) + 0.0) AS revenue,
            count(*) AS n_orders
          FROM orders
          JOIN customer ON o_custkey = c_custkey
@@ -216,7 +225,7 @@ object OracleSql {
 
     "q14_spatial_lag" ->
       s"""WITH $KNN4, $VALS
-         SELECT k.gid AS gid, round(avg(v.value), 4) AS lag
+         SELECT k.gid AS gid, (round(avg(v.value), 4) + 0.0) AS lag
          FROM knn k JOIN vals v ON k.nbr = v.gid
          GROUP BY k.gid ORDER BY gid""",
 
@@ -258,11 +267,11 @@ object OracleSql {
                    - k*((n*n-n)*s1 - 2*n*s2 + 6*s0*s0))
                    / ((n-1)*(n-2)*(n-3)*s0*s0) - e_i*e_i AS var_rand
                FROM base)
-         SELECT round(i, 6) AS i, round(e_i, 6) AS e_i,
-           round(var_norm, 8) AS var_norm,
-           round((i-e_i)/sqrt(var_norm), 6) AS z_norm,
-           round(var_rand, 8) AS var_rand,
-           round((i-e_i)/sqrt(var_rand), 6) AS z_rand
+         SELECT (round(i, 6) + 0.0) AS i, (round(e_i, 6) + 0.0) AS e_i,
+           (round(var_norm, 8) + 0.0) AS var_norm,
+           (round((i-e_i)/sqrt(var_norm), 6) + 0.0) AS z_norm,
+           (round(var_rand, 8) + 0.0) AS var_rand,
+           (round((i-e_i)/sqrt(var_rand), 6) + 0.0) AS z_rand
          FROM v""",
 
     // global BB join count: binary weights, nonfree-sampling moments
@@ -296,9 +305,9 @@ object OracleSql {
                  0.25*(s1*p2 + (s2 - 2*s1)*p3 + (s0*s0 + s1 - s2)*p4)
                    - pow(0.5*s0*p2, 2) AS var_rand
                FROM base)
-         SELECT round(bb, 6) AS bb, round(e_bb, 6) AS e_bb,
-           round(var_rand, 8) AS var_rand,
-           round((bb - e_bb)/sqrt(var_rand), 6) AS z_rand
+         SELECT (round(bb, 6) + 0.0) AS bb, (round(e_bb, 6) + 0.0) AS e_bb,
+           (round(var_rand, 8) + 0.0) AS var_rand,
+           (round((bb - e_bb)/sqrt(var_rand), 6) + 0.0) AS z_rand
          FROM v""",
 
     // global Geary's c, same S-moments, Cliff-Ord variances
@@ -337,11 +346,11 @@ object OracleSql {
                    + s0*s0*(n*n - 3 - (n-1)*(n-1)*k))
                    / (n*(n-2)*(n-3)*s0*s0) AS var_rand
                FROM base)
-         SELECT round(c, 6) AS c, 1.0 AS e_c,
-           round(var_norm, 8) AS var_norm,
-           round((c-1)/sqrt(var_norm), 6) AS z_norm,
-           round(var_rand, 8) AS var_rand,
-           round((c-1)/sqrt(var_rand), 6) AS z_rand
+         SELECT (round(c, 6) + 0.0) AS c, 1.0 AS e_c,
+           (round(var_norm, 8) + 0.0) AS var_norm,
+           (round((c-1)/sqrt(var_norm), 6) + 0.0) AS z_norm,
+           (round(var_rand, 8) + 0.0) AS var_rand,
+           (round((c-1)/sqrt(var_rand), 6) + 0.0) AS z_rand
          FROM v""",
 
     "q15_moran_stat" ->
@@ -351,7 +360,7 @@ object OracleSql {
                FROM vals),
          lagt AS (SELECT k.gid, avg(z2.z) AS lag
                   FROM knn k JOIN z z2 ON k.nbr = z2.gid GROUP BY k.gid)
-         SELECT z.gid AS gid, round(z.z * lagt.lag, 4) AS moran_i
+         SELECT z.gid AS gid, (round(z.z * lagt.lag, 4) + 0.0) AS moran_i
          FROM z JOIN lagt ON z.gid = lagt.gid ORDER BY gid""",
 
     "q16_queen_pairs" ->
@@ -374,9 +383,9 @@ object OracleSql {
                  GROUP BY c.gid)
          SELECT count(*) AS n_obs, CAST(sum(deg) AS BIGINT) AS n_nonzero,
            min(deg) AS min_nbrs, max(deg) AS max_nbrs,
-           round(avg(deg), 6) AS mean_nbrs,
+           (round(avg(deg), 6) + 0.0) AS mean_nbrs,
            CAST(median(deg) AS DOUBLE) AS median_nbrs,
-           round(sum(deg) * 100.0 / (count(*) * count(*)), 6)
+           (round(sum(deg) * 100.0 / (count(*) * count(*)), 6) + 0.0)
              AS pct_nonzero,
            CAST(sum(CASE WHEN deg = 0 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_islands
@@ -432,7 +441,7 @@ object OracleSql {
                    sum(b*(rr-t1)*(rr-t1))/max(sb) - max(t1)/(max(sb)/max(n)),
                    0.0) AS t2 FROM t1t)
          SELECT gid,
-           round((t2/(t2 + t1/b)) * rr + (1 - t2/(t2 + t1/b)) * t1, 6) AS ebrate
+           (round((t2/(t2 + t1/b)) * rr + (1 - t2/(t2 + t1/b)) * t1, 6) + 0.0) AS ebrate
          FROM t1t, t2t ORDER BY gid""",
 
     // differential local Moran: signed-sum event-value change per
@@ -442,8 +451,8 @@ object OracleSql {
       s"""WITH $KNN4, $VALS,
          nc AS (SELECT count(*) AS n FROM vals),
          diff AS (SELECT (user_id % (SELECT n FROM nc)) + 1 AS gid,
-                    round(sum(CASE WHEN epoch(ts) < 1705363200
-                                   THEN -value ELSE value END), 6) AS d
+                    (round(sum(CASE WHEN epoch(ts) < 1705363200
+                                   THEN -value ELSE value END), 6) + 0.0) AS d
                   FROM events GROUP BY 1),
          dv AS (SELECT v.gid, coalesce(diff.d, 0.0) AS v
                 FROM vals v LEFT JOIN diff ON v.gid = diff.gid),
@@ -452,7 +461,7 @@ object OracleSql {
                FROM dv),
          lagt AS (SELECT k.gid, avg(z2.z) AS lag
                   FROM knn k JOIN z z2 ON k.nbr = z2.gid GROUP BY k.gid)
-         SELECT z.gid AS gid, round(z.z * lagt.lag, 4) AS diff_moran
+         SELECT z.gid AS gid, (round(z.z * lagt.lag, 4) + 0.0) AS diff_moran
          FROM z JOIN lagt ON z.gid = lagt.gid ORDER BY gid""",
 
     // Benjamini-Hochberg FDR relabeling: cutoff = max p_(k) with
@@ -483,15 +492,15 @@ object OracleSql {
                    sum(b*(rr-t1)*(rr-t1))/max(sb) - max(t1)/(max(sb)/max(n)),
                    0.0) AS t2 FROM t1t),
          eb AS (SELECT gid,
-                  round((t2/(t2 + t1/b)) * rr + (1 - t2/(t2 + t1/b)) * t1,
-                    6) AS v
+                  (round((t2/(t2 + t1/b)) * rr + (1 - t2/(t2 + t1/b)) * t1,
+                    6) + 0.0) AS v
                 FROM t1t, t2t),
          z AS (SELECT gid,
                  (v - avg(v) OVER ()) / stddev_samp(v) OVER () AS z
                FROM eb),
          lagt AS (SELECT k.gid, avg(z2.z) AS lag
                   FROM knn k JOIN z z2 ON k.nbr = z2.gid GROUP BY k.gid)
-         SELECT z.gid AS gid, round(z.z * lagt.lag, 4) AS moran_eb
+         SELECT z.gid AS gid, (round(z.z * lagt.lag, 4) + 0.0) AS moran_eb
          FROM z JOIN lagt ON z.gid = lagt.gid ORDER BY gid""",
 
     "q22_spatial_rate" ->
@@ -518,9 +527,9 @@ object OracleSql {
                   sum(bv*(rr-t1)*(rr-t1))/max(sb) - max(t1)/(max(sb)/max(n)) AS t2raw,
                   max(t1) AS t1 FROM wt1 GROUP BY gid)
          SELECT r.gid AS gid,
-           round((greatest(t2raw, 0.0)/(greatest(t2raw, 0.0) + t1/r.b)) * (r.e/r.b)
+           (round((greatest(t2raw, 0.0)/(greatest(t2raw, 0.0) + t1/r.b)) * (r.e/r.b)
              + (1 - greatest(t2raw, 0.0)/(greatest(t2raw, 0.0) + t1/r.b)) * t1,
-             6) AS sebrate
+             6) + 0.0) AS sebrate
          FROM r LEFT JOIN t2 ON r.gid = t2.gid ORDER BY gid""",
 
     "q24_hinge15_breaks" -> hingeSql("1.5"),
@@ -533,11 +542,11 @@ object OracleSql {
                     FROM customer)
          SELECT bidx, brk FROM (
            SELECT CAST(1 AS BIGINT) AS bidx,
-                  round(lo + 1*(hi-lo)/6, 4) AS brk FROM m
-           UNION ALL SELECT CAST(2 AS BIGINT), round(lo + 2*(hi-lo)/6, 4) FROM m
-           UNION ALL SELECT CAST(3 AS BIGINT), round(lo + 3*(hi-lo)/6, 4) FROM m
-           UNION ALL SELECT CAST(4 AS BIGINT), round(lo + 4*(hi-lo)/6, 4) FROM m
-           UNION ALL SELECT CAST(5 AS BIGINT), round(lo + 5*(hi-lo)/6, 4) FROM m
+                  (round(lo + 1*(hi-lo)/6, 4) + 0.0) AS brk FROM m
+           UNION ALL SELECT CAST(2 AS BIGINT), (round(lo + 2*(hi-lo)/6, 4) + 0.0) FROM m
+           UNION ALL SELECT CAST(3 AS BIGINT), (round(lo + 3*(hi-lo)/6, 4) + 0.0) FROM m
+           UNION ALL SELECT CAST(4 AS BIGINT), (round(lo + 4*(hi-lo)/6, 4) + 0.0) FROM m
+           UNION ALL SELECT CAST(5 AS BIGINT), (round(lo + 5*(hi-lo)/6, 4) + 0.0) FROM m
          ) ORDER BY bidx""",
 
     "q25_stddev_breaks" ->
@@ -545,31 +554,31 @@ object OracleSql {
                             stddev_samp(CAST(c_acctbal AS DOUBLE)) AS sd
                      FROM customer)
          SELECT bidx, brk FROM (
-           SELECT CAST(1 AS BIGINT) AS bidx, round(mu - 2*sd, 4) AS brk FROM m
-           UNION ALL SELECT CAST(2 AS BIGINT), round(mu - sd, 4) FROM m
-           UNION ALL SELECT CAST(3 AS BIGINT), round(mu, 4) FROM m
-           UNION ALL SELECT CAST(4 AS BIGINT), round(mu + sd, 4) FROM m
-           UNION ALL SELECT CAST(5 AS BIGINT), round(mu + 2*sd, 4) FROM m) t
+           SELECT CAST(1 AS BIGINT) AS bidx, (round(mu - 2*sd, 4) + 0.0) AS brk FROM m
+           UNION ALL SELECT CAST(2 AS BIGINT), (round(mu - sd, 4) + 0.0) FROM m
+           UNION ALL SELECT CAST(3 AS BIGINT), (round(mu, 4) + 0.0) FROM m
+           UNION ALL SELECT CAST(4 AS BIGINT), (round(mu + sd, 4) + 0.0) FROM m
+           UNION ALL SELECT CAST(5 AS BIGINT), (round(mu + 2*sd, 4) + 0.0) FROM m) t
          ORDER BY bidx""",
 
     "q26_quantile_breaks" ->
       s"""WITH $SORTED_VALS
          SELECT bidx, brk FROM (
-           SELECT CAST(1 AS BIGINT) AS bidx, round(${pct("(100.0 * 1) / 6")}, 4) AS brk
-           UNION ALL SELECT CAST(2 AS BIGINT), round(${pct("(100.0 * 2) / 6")}, 4)
-           UNION ALL SELECT CAST(3 AS BIGINT), round(${pct("(100.0 * 3) / 6")}, 4)
-           UNION ALL SELECT CAST(4 AS BIGINT), round(${pct("(100.0 * 4) / 6")}, 4)
-           UNION ALL SELECT CAST(5 AS BIGINT), round(${pct("(100.0 * 5) / 6")}, 4)) t
+           SELECT CAST(1 AS BIGINT) AS bidx, (round(${pct("(100.0 * 1) / 6")}, 4) + 0.0) AS brk
+           UNION ALL SELECT CAST(2 AS BIGINT), (round(${pct("(100.0 * 2) / 6")}, 4) + 0.0)
+           UNION ALL SELECT CAST(3 AS BIGINT), (round(${pct("(100.0 * 3) / 6")}, 4) + 0.0)
+           UNION ALL SELECT CAST(4 AS BIGINT), (round(${pct("(100.0 * 4) / 6")}, 4) + 0.0)
+           UNION ALL SELECT CAST(5 AS BIGINT), (round(${pct("(100.0 * 5) / 6")}, 4) + 0.0)) t
          ORDER BY bidx""",
 
     "q26b_percentile_breaks" ->
       s"""WITH $SORTED_VALS
          SELECT bidx, brk FROM (
-           SELECT CAST(1 AS BIGINT) AS bidx, round(${pct("1.0")}, 4) AS brk
-           UNION ALL SELECT CAST(2 AS BIGINT), round(${pct("10.0")}, 4)
-           UNION ALL SELECT CAST(3 AS BIGINT), round(${pct("50.0")}, 4)
-           UNION ALL SELECT CAST(4 AS BIGINT), round(${pct("90.0")}, 4)
-           UNION ALL SELECT CAST(5 AS BIGINT), round(${pct("99.0")}, 4)) t
+           SELECT CAST(1 AS BIGINT) AS bidx, (round(${pct("1.0")}, 4) + 0.0) AS brk
+           UNION ALL SELECT CAST(2 AS BIGINT), (round(${pct("10.0")}, 4) + 0.0)
+           UNION ALL SELECT CAST(3 AS BIGINT), (round(${pct("50.0")}, 4) + 0.0)
+           UNION ALL SELECT CAST(4 AS BIGINT), (round(${pct("90.0")}, 4) + 0.0)
+           UNION ALL SELECT CAST(5 AS BIGINT), (round(${pct("99.0")}, 4) + 0.0)) t
          ORDER BY bidx""",
 
     "q61_codec_roundtrip" ->
@@ -588,8 +597,8 @@ object OracleSql {
          r AS (SELECT (CAST(floor(x / 4.0) AS BIGINT) + 1048576) * 2097152 +
                       (CAST(floor(y / 4.0) AS BIGINT) + 1048576) AS cell,
                       x FROM pts)
-         SELECT cell, count(*) AS n, round(sum(x), 4) AS sum_val,
-                round(avg(x), 4) AS avg_val
+         SELECT cell, count(*) AS n, (round(sum(x), 4) + 0.0) AS sum_val,
+                (round(avg(x), 4) + 0.0) AS avg_val
          FROM r GROUP BY cell ORDER BY cell""",
 
     "q65_vectorize" ->
@@ -635,14 +644,14 @@ object OracleSql {
              AS n_spaces,
            CAST(length(text) - length(replace(text, '.', '')) AS BIGINT)
              AS n_periods,
-           round(CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE)
-             / CAST(length(text) AS DOUBLE), 6) AS space_ratio
+           (round(CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE)
+             / CAST(length(text) AS DOUBLE), 6) + 0.0) AS space_ratio
          FROM documents ORDER BY doc_id""",
 
     "q60_event_hourly" ->
       """SELECT event_type,
            CAST(floor(epoch(ts) / 3600.0) AS BIGINT) AS hr,
-           count(*) AS n, round(sum(value), 4) AS sum_val
+           count(*) AS n, (round(sum(value), 4) + 0.0) AS sum_val
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // Gopher-style duplicate-n-gram fractions; n-grams via per-doc
@@ -665,14 +674,14 @@ object OracleSql {
                   count(g3) AS n3, count(DISTINCT g3) AS d3
            FROM grams GROUP BY doc_id)
          SELECT doc_id AS id, CAST(n1 AS BIGINT) AS n_words,
-           round(CASE WHEN n1 = 0 THEN 0.0
-                      ELSE 1.0 - CAST(d1 AS DOUBLE) / n1 END, 6)
+           (round(CASE WHEN n1 = 0 THEN 0.0
+                      ELSE 1.0 - CAST(d1 AS DOUBLE) / n1 END, 6) + 0.0)
              AS dup_word_frac,
-           round(CASE WHEN n2 = 0 THEN 0.0
-                      ELSE 1.0 - CAST(d2 AS DOUBLE) / n2 END, 6)
+           (round(CASE WHEN n2 = 0 THEN 0.0
+                      ELSE 1.0 - CAST(d2 AS DOUBLE) / n2 END, 6) + 0.0)
              AS dup_bigram_frac,
-           round(CASE WHEN n3 = 0 THEN 0.0
-                      ELSE 1.0 - CAST(d3 AS DOUBLE) / n3 END, 6)
+           (round(CASE WHEN n3 = 0 THEN 0.0
+                      ELSE 1.0 - CAST(d3 AS DOUBLE) / n3 END, 6) + 0.0)
              AS dup_trigram_frac
          FROM agg ORDER BY id""",
 
@@ -697,9 +706,9 @@ object OracleSql {
          SELECT d0.doc_id AS id,
            CAST(coalesce(a.n_ngrams, 0) AS BIGINT) AS n_ngrams,
            CAST(coalesce(a.n_contaminated, 0) AS BIGINT) AS n_contaminated,
-           round(CASE WHEN coalesce(a.n_ngrams, 0) = 0 THEN 0.0
+           (round(CASE WHEN coalesce(a.n_ngrams, 0) = 0 THEN 0.0
                       ELSE CAST(a.n_contaminated AS DOUBLE) / a.n_ngrams END,
-             6) AS contamination_frac
+             6) + 0.0) AS contamination_frac
          FROM documents d0 LEFT JOIN agg a ON d0.doc_id = a.doc_id
          ORDER BY id""",
 
@@ -862,8 +871,8 @@ object OracleSql {
          ragg AS (SELECT doc_id, count(g3) AS n3, count(DISTINCT g3) AS d3
                   FROM rg GROUP BY doc_id),
          rep AS (SELECT doc_id,
-                   round(CASE WHEN n3 = 0 THEN 0.0
-                         ELSE 1.0 - CAST(d3 AS DOUBLE)/n3 END, 6) AS dtf
+                   (round(CASE WHEN n3 = 0 THEN 0.0
+                         ELSE 1.0 - CAST(d3 AS DOUBLE)/n3 END, 6) + 0.0) AS dtf
                  FROM ragg),
          mw AS (SELECT i AS bucket,
                   ((i*2654435761) % 2000)/1000.0 - 1.0 AS weight
@@ -874,7 +883,7 @@ object OracleSql {
          mtf AS (SELECT doc_id, bucket, count(*) AS tf
                  FROM mb GROUP BY 1, 2),
          msc AS (SELECT mtf.doc_id,
-                   round(sum(mtf.tf * mw.weight) + 0.1, 6) AS score
+                   (round(sum(mtf.tf * mw.weight) + 0.1, 6) + 0.0) AS score
                  FROM mtf JOIN mw USING (bucket) GROUP BY mtf.doc_id),
          model AS (SELECT d.doc_id, coalesce(msc.score, 0.1) AS score
                    FROM documents d
@@ -886,8 +895,8 @@ object OracleSql {
                   FROM dg d LEFT JOIN bench b ON d.g3 = b.g3
                   GROUP BY d.doc_id),
          decon AS (SELECT d0.doc_id,
-                     round(CASE WHEN coalesce(a.n_ngrams, 0) = 0 THEN 0.0
-                           ELSE CAST(a.n_cont AS DOUBLE)/a.n_ngrams END, 6)
+                     (round(CASE WHEN coalesce(a.n_ngrams, 0) = 0 THEN 0.0
+                           ELSE CAST(a.n_cont AS DOUBLE)/a.n_ngrams END, 6) + 0.0)
                        AS cf
                    FROM documents d0
                    LEFT JOIN dagg a ON d0.doc_id = a.doc_id),
@@ -922,7 +931,7 @@ object OracleSql {
                   count(*) AS n_tokens
                 FROM tk LEFT JOIN v USING (token), tot
                 GROUP BY tk.doc_id)
-         SELECT d.doc_id AS id, round(coalesce(sc.alp, 0.0), 6) AS avg_logp,
+         SELECT d.doc_id AS id, (round(coalesce(sc.alp, 0.0), 6) + 0.0) AS avg_logp,
            CAST(coalesce(sc.n_tokens, 0) AS BIGINT) AS n_tokens
          FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
          ORDER BY id""",
@@ -942,10 +951,10 @@ object OracleSql {
                FROM t WHERE tok <> ''),
          tf AS (SELECT doc_id, bucket, count(*) AS tf FROM b GROUP BY 1, 2),
          sc AS (SELECT tf.doc_id,
-                  round(sum(tf.tf * w.weight) + 0.1, 6) AS score
+                  (round(sum(tf.tf * w.weight) + 0.1, 6) + 0.0) AS score
                 FROM tf JOIN w USING (bucket) GROUP BY tf.doc_id)
          SELECT d.doc_id AS id, coalesce(sc.score, 0.1) AS score,
-           round(1.0/(1.0 + exp(-coalesce(sc.score, 0.1))), 6) AS prob
+           (round(1.0/(1.0 + exp(-coalesce(sc.score, 0.1))), 6) + 0.0) AS prob
          FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
          ORDER BY id""",
 
@@ -975,8 +984,8 @@ object OracleSql {
          keep AS (
            SELECT d.doc_id, d.lang
            FROM documents d JOIN rep r ON d.doc_id = r.doc_id
-           WHERE round(CASE WHEN r.n3 = 0 THEN 0.0
-                            ELSE 1.0 - CAST(r.d3 AS DOUBLE) / r.n3 END, 6)
+           WHERE (round(CASE WHEN r.n3 = 0 THEN 0.0
+                            ELSE 1.0 - CAST(r.d3 AS DOUBLE) / r.n3 END, 6) + 0.0)
                    <= 0.2
              AND d.n_chars >= 100)
          SELECT lang, doc_id AS sample_id, CAST(rk AS BIGINT) AS rk
@@ -1015,7 +1024,7 @@ object OracleSql {
       s"""WITH $KNN4, $VALS, $ZVALS,
          lagt AS (SELECT k.gid, avg(z2.z) AS lag
                   FROM knn k JOIN z z2 ON k.nbr = z2.gid GROUP BY k.gid)
-         SELECT z.gid AS gid, round(z.z * lagt.lag, 4) AS moran_i
+         SELECT z.gid AS gid, (round(z.z * lagt.lag, 4) + 0.0) AS moran_i
          FROM z JOIN lagt ON z.gid = lagt.gid ORDER BY gid""",
 
     // bivariate local Moran: z of the first variable times the kNN
@@ -1032,7 +1041,7 @@ object OracleSql {
                 FROM v2),
          lagt AS (SELECT k.gid, avg(zy.z) AS lag
                   FROM knn k JOIN zy ON k.nbr = zy.gid GROUP BY k.gid)
-         SELECT zx.gid AS gid, round(zx.z * lagt.lag, 4) AS bimoran_i
+         SELECT zx.gid AS gid, (round(zx.z * lagt.lag, 4) + 0.0) AS bimoran_i
          FROM zx JOIN lagt ON zx.gid = lagt.gid ORDER BY gid""",
 
     // token-budget mixture draw: greedy admit per language stratum in
@@ -1056,7 +1065,7 @@ object OracleSql {
          tot AS (SELECT sum(value) AS sall FROM vals),
          num AS (SELECT k.gid, sum(v2.value) AS sn
                  FROM knn k JOIN vals v2 ON k.nbr = v2.gid GROUP BY k.gid)
-         SELECT v.gid AS gid, round(num.sn / (tot.sall - v.value), 8) AS g
+         SELECT v.gid AS gid, (round(num.sn / (tot.sall - v.value), 8) + 0.0) AS g
          FROM vals v JOIN num ON v.gid = num.gid, tot ORDER BY gid""",
 
     "q32_local_gstar" ->
@@ -1064,7 +1073,7 @@ object OracleSql {
          tot AS (SELECT sum(value) AS sall FROM vals),
          num AS (SELECT k.gid, sum(v2.value) AS sn
                  FROM knn k JOIN vals v2 ON k.nbr = v2.gid GROUP BY k.gid)
-         SELECT v.gid AS gid, round((num.sn + v.value) / tot.sall, 8) AS gstar
+         SELECT v.gid AS gid, (round((num.sn + v.value) / tot.sall, 8) + 0.0) AS gstar
          FROM vals v JOIN num ON v.gid = num.gid, tot ORDER BY gid""",
 
     "q33_local_geary" ->
@@ -1073,7 +1082,7 @@ object OracleSql {
                FROM knn k JOIN z za ON k.gid = za.gid
                           JOIN z zb ON k.nbr = zb.gid
                GROUP BY k.gid)
-         SELECT gid, round(c, 4) AS geary FROM g ORDER BY gid""",
+         SELECT gid, (round(c, 4) + 0.0) AS geary FROM g ORDER BY gid""",
 
     "q34_local_joincount" ->
       s"""WITH $KNN4, $BINVAR,
@@ -1165,7 +1174,7 @@ object OracleSql {
                FROM knn k JOIN z2 za ON k.gid = za.gid
                           JOIN z2 zb ON k.nbr = zb.gid
                GROUP BY k.gid)
-         SELECT gid, round(c, 4) AS mgeary FROM g ORDER BY gid""",
+         SELECT gid, (round(c, 4) + 0.0) AS mgeary FROM g ORDER BY gid""",
 
     // ---- neighbor match: two kNNs + exact hypergeometric tail ----
     "q42_neighbor_match" ->
@@ -1201,7 +1210,7 @@ object OracleSql {
                  CROSS JOIN generate_series(1, 6) tx(x) CROSS JOIN nn
                  GROUP BY tv.v)
          SELECT a.gid AS gid, CAST(coalesce(cardt.c, 0) AS BIGINT) AS card,
-                round(hyp.p, 8) AS p
+                (round(hyp.p, 8) + 0.0) AS p
          FROM av a LEFT JOIN cardt ON a.gid = cardt.gid
          JOIN hyp ON hyp.v = coalesce(cardt.c, 0)
          ORDER BY gid""",
@@ -1211,8 +1220,8 @@ object OracleSql {
       s"""WITH $KNN4,
          bw AS (SELECT gid, max(dist) AS bw FROM knn GROUP BY gid),
          w AS (SELECT k.gid, k.nbr,
-                 round(CASE WHEN k.dist / b.bw >= 1 THEN 0.0
-                       ELSE 1.0 - k.dist / b.bw END, 9) AS w
+                 (round(CASE WHEN k.dist / b.bw >= 1 THEN 0.0
+                       ELSE 1.0 - k.dist / b.bw END, 9) + 0.0) AS w
                FROM knn k JOIN bw b ON k.gid = b.gid
                UNION ALL SELECT gid, gid AS nbr, 1.0 AS w FROM pts)
          SELECT gid, nbr, w FROM w ORDER BY gid, nbr""",
@@ -1225,8 +1234,8 @@ object OracleSql {
                    FROM pts a JOIN pts b ON a.gid <> b.gid) t
                  WHERE dist <= 8.0),
          w AS (SELECT gid, nbr,
-                 round(CASE WHEN dist / 8.0 >= 1 THEN 0.0
-                       ELSE 0.75 * (1.0 - (dist/8.0) * (dist/8.0)) END, 9) AS w
+                 (round(CASE WHEN dist / 8.0 >= 1 THEN 0.0
+                       ELSE 0.75 * (1.0 - (dist/8.0) * (dist/8.0)) END, 9) + 0.0) AS w
                FROM prs
                UNION ALL SELECT gid, gid AS nbr, 1.0 AS w FROM pts)
          SELECT gid, nbr, w FROM w ORDER BY gid, nbr""",
@@ -1254,7 +1263,7 @@ object OracleSql {
       s"""WITH $KNN4
          SELECT gid, CAST(gid AS VARCHAR) || ':[' ||
            string_agg(CAST(nbr AS VARCHAR), ',' ORDER BY rk) || ']:[' ||
-           string_agg(CAST(round(1.0/dist, 4) AS VARCHAR), ',' ORDER BY rk)
+           string_agg(CAST((round(1.0/dist, 4) + 0.0) AS VARCHAR), ',' ORDER BY rk)
            || ']' AS txt
          FROM knn GROUP BY gid ORDER BY gid""",
 
@@ -1281,7 +1290,7 @@ object OracleSql {
          lagt AS (SELECT tn.gid, avg(zb.z) AS lag
                   FROM tn JOIN zt zb ON tn.nbr = zb.gid GROUP BY tn.gid)
          SELECT zt.gid AS gid, zt.tile AS tile,
-                round(coalesce(zt.z * lagt.lag, 0.0), 4) AS stat
+                (round(coalesce(zt.z * lagt.lag, 0.0), 4) + 0.0) AS stat
          FROM zt LEFT JOIN lagt ON zt.gid = lagt.gid ORDER BY gid""",
 
     // per-tile bivariate Moran: per-window standardization of both
@@ -1322,7 +1331,7 @@ object OracleSql {
          lagt AS (SELECT tn.gid, avg(zyb.z) AS lag
                   FROM tn JOIN zy zyb ON tn.nbr = zyb.gid GROUP BY tn.gid)
          SELECT zx.gid AS gid, zx.tile AS tile,
-                round(coalesce(zx.z * lagt.lag, 0.0), 4) AS stat
+                (round(coalesce(zx.z * lagt.lag, 0.0), 4) + 0.0) AS stat
          FROM zx LEFT JOIN lagt ON zx.gid = lagt.gid ORDER BY gid""",
 
     "q69_tile_joincount" ->
@@ -1377,7 +1386,7 @@ object OracleSql {
                        JOIN zt zb ON tn.nbr = zb.gid
                GROUP BY tn.gid)
          SELECT zt.gid AS gid, zt.tile AS tile,
-                round(coalesce(g.c, 0.0), 4) AS mgeary
+                (round(coalesce(g.c, 0.0), 4) + 0.0) AS mgeary
          FROM zt LEFT JOIN g ON zt.gid = g.gid ORDER BY gid""",
 
     "q71_tile_quantile" ->
@@ -1504,9 +1513,9 @@ object OracleSql {
          num AS (SELECT tn.gid, sum(nb.value) AS sn
                  FROM tn JOIN tv nb ON tn.nbr = nb.gid GROUP BY tn.gid)
          SELECT v.gid AS gid, v.tile AS tile,
-                round(CASE WHEN num.sn IS NULL
+                (round(CASE WHEN num.sn IS NULL
                            OR tot.sall - v.value = 0 THEN 0.0
-                      ELSE num.sn / (tot.sall - v.value) END, 8) AS g
+                      ELSE num.sn / (tot.sall - v.value) END, 8) + 0.0) AS g
          FROM tv v JOIN tot ON v.tile = tot.tile
          LEFT JOIN num ON v.gid = num.gid ORDER BY gid""",
 
@@ -1522,8 +1531,8 @@ object OracleSql {
          num AS (SELECT tn.gid, sum(nb.value) AS sn
                  FROM tn JOIN tv nb ON tn.nbr = nb.gid GROUP BY tn.gid)
          SELECT v.gid AS gid, v.tile AS tile,
-                round(CASE WHEN num.sn IS NULL OR tot.sall = 0 THEN 0.0
-                      ELSE (num.sn + v.value) / tot.sall END, 8) AS gstar
+                (round(CASE WHEN num.sn IS NULL OR tot.sall = 0 THEN 0.0
+                      ELSE (num.sn + v.value) / tot.sall END, 8) + 0.0) AS gstar
          FROM tv v JOIN tot ON v.tile = tot.tile
          LEFT JOIN num ON v.gid = num.gid ORDER BY gid""",
 
@@ -1548,7 +1557,7 @@ object OracleSql {
                        JOIN zt zb ON tn.nbr = zb.gid
                GROUP BY tn.gid)
          SELECT zt.gid AS gid, zt.tile AS tile,
-                round(coalesce(g.c, 0.0), 4) AS geary
+                (round(coalesce(g.c, 0.0), 4) + 0.0) AS geary
          FROM zt LEFT JOIN g ON zt.gid = g.gid ORDER BY gid""",
 
     // ---- webtext north-rule chain (md5 geocode replayed in SQL) ----
@@ -1580,7 +1589,7 @@ object OracleSql {
                 FROM geo),
          lagw AS (SELECT k.gid, avg(z2.z) AS lag
                   FROM wknn k JOIN zw z2 ON k.nbr = z2.gid GROUP BY k.gid)
-         SELECT zw.gid AS gid, round(zw.z * lagw.lag, 4) AS moran_i
+         SELECT zw.gid AS gid, (round(zw.z * lagw.lag, 4) + 0.0) AS moran_i
          FROM zw JOIN lagw ON zw.gid = lagw.gid ORDER BY gid""",
 
     // ---- LLM-data ops ----
@@ -1609,7 +1618,7 @@ object OracleSql {
                   FROM sc)
          SELECT d.doc_id AS id,
                 coalesce(b.lang, 'und') AS lang_pred,
-                coalesce(round(CAST(b.s AS DOUBLE) / t.t, 6), 0.0)
+                coalesce((round(CAST(b.s AS DOUBLE) / t.t, 6) + 0.0), 0.0)
                   AS confidence
          FROM documents d
          LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.doc_id = b.doc_id
@@ -1639,8 +1648,8 @@ object OracleSql {
                    JOIN sh sb ON sb.doc_id = p.id_b AND sa.s = sb.s
                    GROUP BY 1, 2)
          SELECT p.id_a AS id_a, p.id_b AS id_b,
-                round(CAST(coalesce(i.ni, 0) AS DOUBLE) /
-                  (ca.nsh + cb.nsh - coalesce(i.ni, 0)), 6) AS jaccard
+                (round(CAST(coalesce(i.ni, 0) AS DOUBLE) /
+                  (ca.nsh + cb.nsh - coalesce(i.ni, 0)), 6) + 0.0) AS jaccard
          FROM prs p
          LEFT JOIN inter i ON p.id_a = i.id_a AND p.id_b = i.id_b
          JOIN cnt ca ON ca.doc_id = p.id_a
@@ -1670,7 +1679,7 @@ object OracleSql {
                       row_number() OVER (PARTITION BY qid
                         ORDER BY cosine DESC, id) AS rk
                     FROM scored)
-         SELECT qid, id, CAST(rk AS BIGINT) AS rk, round(cosine, 6) AS cosine
+         SELECT qid, id, CAST(rk AS BIGINT) AS rk, (round(cosine, 6) + 0.0) AS cosine
          FROM ranked WHERE rk <= 10 ORDER BY qid, rk""",
 
     "q57b_ann_ivf" ->
@@ -1734,7 +1743,7 @@ object OracleSql {
              row_number() OVER (PARTITION BY qid
                ORDER BY cosine DESC, id) AS rk
            FROM scored)
-         SELECT qid, id, CAST(rk AS BIGINT) AS rk, round(cosine, 6) AS cosine
+         SELECT qid, id, CAST(rk AS BIGINT) AS rk, (round(cosine, 6) + 0.0) AS cosine
          FROM ranked WHERE rk <= 10 ORDER BY qid, rk""",
 
     "q58b_quality" ->
@@ -1757,8 +1766,8 @@ object OracleSql {
                     AS mwl
            FROM f)
          SELECT id, n_chars, n_tokens,
-                round(alpha_ratio, 6) AS alpha_ratio,
-                round(stopword_ratio, 6) AS stopword_ratio,
+                (round(alpha_ratio, 6) + 0.0) AS alpha_ratio,
+                (round(stopword_ratio, 6) + 0.0) AS stopword_ratio,
                 CASE WHEN n_tokens >= 10 AND alpha_ratio > 0.6
                        AND stopword_ratio > 0.05 AND mwl BETWEEN 3 AND 12
                      THEN 1.0 ELSE 0.0 END AS quality

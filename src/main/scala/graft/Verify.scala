@@ -23,13 +23,16 @@ object Verify {
   /** (rowCount, md5) over sorted canonical row renderings — column-order
     * sensitive, row-order insensitive, null/array/binary safe. Doubles
     * render via Double.toString (shortest-roundtrip, stable across
-    * partitionings per the determinism probe).
+    * partitionings per the determinism probe) after normalizing IEEE
+    * negative zero to +0.0 (`x + 0.0`) — the identity everywhere else —
+    * so goldens can never diverge on sign-of-zero rendering (the class
+    * behind r5's q101 oracle miss; see OracleSql's matching convention).
     */
   def canon(df: org.apache.spark.sql.DataFrame): (Long, String) = {
     def cell(v: Any): String = v match {
       case null => "∅"
-      case d: java.lang.Double => java.lang.Double.toString(d)
-      case f: java.lang.Float => java.lang.Float.toString(f)
+      case d: java.lang.Double => java.lang.Double.toString(d + 0.0)
+      case f: java.lang.Float => java.lang.Float.toString(f + 0.0f)
       case a: scala.collection.Seq[_] => a.map(cell).mkString("[", ",", "]")
       case b: Array[Byte] => java.util.Base64.getEncoder.encodeToString(b)
       case x => String.valueOf(x)
