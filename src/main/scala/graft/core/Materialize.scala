@@ -52,4 +52,20 @@ object Materialize {
     internal.foreach(_.unpersist(blocking = false))
     mat
   }
+
+  /** Explicitly release the storage blocks behind a frame previously
+    * returned by [[releasing]] (a local/reliable checkpoint). Iterative
+    * builders that re-materialize per round (connected components) hold
+    * O(rounds) block sets if they rely on the ContextCleaner alone —
+    * GC-driven, so under memory pressure the blocks linger exactly when
+    * they hurt. `Dataset.unpersist` is useless here (checkpoint blocks
+    * never enter the CacheManager); unpersist the LogicalRDD's own RDD.
+    * No-op for frames that aren't checkpoint-backed.
+    */
+  def release(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

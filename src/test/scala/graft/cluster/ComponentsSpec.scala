@@ -41,16 +41,41 @@ class ComponentsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
-  test("random graphs match brute-force union-find") {
+  /** Run with a forced driver-finish threshold (0 = pure distributed). */
+  private def withThreshold[T](edges: Long)(body: => T): T = {
+    spark.conf.set("spark.graft.cc.driverFinishEdges", edges.toString)
+    try body
+    finally spark.conf.unset("spark.graft.cc.driverFinishEdges")
+  }
+
+  test("random graphs match brute-force union-find (both finish paths)") {
     val rnd = new scala.util.Random(20260817L)
     for (trial <- 0 until 5) {
       val n = 60 + trial * 50
       val nEdges = (n * (0.4 + 0.4 * trial)).toInt
       val edges = Seq.fill(nEdges)(
         (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
-      assert(run(n, edges) === brute(n, edges),
-        s"trial $trial n=$n edges=$nEdges")
+      val expect = brute(n, edges)
+      assert(run(n, edges) === expect, s"trial $trial n=$n edges=$nEdges")
+      assert(withThreshold(0L)(run(n, edges)) === expect,
+        s"distributed trial $trial n=$n edges=$nEdges")
     }
+  }
+
+  test("driver finish is bit-identical to pure distributed alternation") {
+    // dense random graph: starts above a mid-loop threshold, collapses
+    // below it after the first star rounds — exercises the in-loop
+    // trigger, not just the round-0 shortcut
+    val rnd = new scala.util.Random(42L)
+    val n = 200
+    val edges = Seq.fill(3000)(
+      (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+    val distributed = withThreshold(0L)(run(n, edges))
+    val roundZero = run(n, edges) // default 10^6: immediate driver finish
+    val midLoop = withThreshold(500L)(run(n, edges))
+    assert(distributed === brute(n, edges))
+    assert(roundZero === distributed)
+    assert(midLoop === distributed)
   }
 
   test("chain of 400 (diameter >> rounds) converges to one component") {
@@ -77,8 +102,10 @@ class ComponentsSpec extends AnyFunSuite {
     // as one array row, the min+join formulation must not care
     val hub = (1L to 100000L).map(i => (0L, i))
     val chain = (100001L to 100050L).map(i => (i - 100000L + 99950L, i))
-    val got = Components.connected(
-        (hub ++ chain).toDF("id_a", "id_b"), maxIter = 50)
+    // force the pure distributed path — this test is about the star
+    // ops' degree independence, which the driver finish would bypass
+    val got = withThreshold(0L)(Components.connected(
+        (hub ++ chain).toDF("id_a", "id_b"), maxIter = 50))
       .agg(org.apache.spark.sql.functions.count(
           org.apache.spark.sql.functions.lit(1)),
         org.apache.spark.sql.functions.max("component"),
