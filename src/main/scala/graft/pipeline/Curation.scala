@@ -113,22 +113,30 @@ object Curation {
     * Scale shape: the vocabulary is a top-k heap merge
     * (TakeOrderedAndProject) BROADCAST back against the exploded token
     * stream — the corpus never shuffles by token — and the per-doc mean
-    * collapses map-side keyed by doc id. `total` is one scalar
-    * aggregate (O(1) driver rows).
+    * collapses map-side keyed by doc id. What gets cached is the GROUPED
+    * token-count frame (distinct-token cardinality, ~10^9 rows at web
+    * scale), never the exploded token stream itself (~10^12 rows — an
+    * earlier cut cached it to share between `total`/vocab/scoring and
+    * would have pinned corpus-sized MEMORY_AND_DISK blocks cluster-wide);
+    * `total` now folds out of the counts frame (identical value: sum of
+    * group counts = token count) and the scoring pass re-runs the
+    * scan-bound tokenization once instead.
     */
   def unigramLogProb(docs: DataFrame, vocabK: Int = 65536,
                      idCol: String = "doc_id",
                      textCol: String = "text"): DataFrame = {
-    // one cached tokenization feeds vocab, total and scoring (scoped
-    // release below); the vocab is built from the NON-EMPTY tokens —
-    // [[vocabTopK]] counts empty split artifacts (q84 semantics), which
-    // would displace a real term from the top-k here
+    // the vocab is built from the NON-EMPTY tokens — [[vocabTopK]]
+    // counts empty split artifacts (q84 semantics), which would
+    // displace a real term from the top-k here
     val toks = docs.select(col(idCol).cast("long").as("id"),
         explode(split(coalesce(col(textCol), lit("")), " ")).as("token"))
       .filter(length(col("token")) > 0)
+    val tokenCounts = toks.groupBy("token").agg(count(lit(1)).as("n"))
       .cache()
-    val total = toks.count().toDouble
-    val vocab = toks.groupBy("token").agg(count(lit(1)).as("n"))
+    val totalRow = tokenCounts.agg(sum(col("n"))).head()
+    val total =
+      (if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)).toDouble
+    val vocab = tokenCounts
       .orderBy(col("n").desc, col("token")).limit(vocabK)
     val scored = toks
       .join(broadcast(vocab), Seq("token"), "left")
@@ -141,7 +149,7 @@ object Curation {
       .select(col("id"),
         round(coalesce(col("alp"), lit(0.0)), 6).as("avg_logp"),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
-    graft.core.Materialize.releasing(out, Seq(toks))
+    graft.core.Materialize.releasing(out, Seq(tokenCounts))
   }
 
   /** Per-document distinct word n-grams — [[TextAnalysis.wordGrams]]
