@@ -286,19 +286,28 @@ object Dedup {
     */
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
+  /** Max auto-chosen band width: 48 of the signature Long's 64 bits
+    * covers occupancy targets up to n ≈ targetBucket·2^48 (~10^16
+    * vectors at the default) — no real corpus reaches it, so occupancy
+    * control never silently degrades the way the old 24-bit cap did
+    * beyond ~10^9 vectors. (Sharding the corpus by j leading signature
+    * bits is NOT an alternative: shard bits are hash bits, so it equals
+    * a (bits+j)-wide band — except a threshold pair must co-shard with
+    * probability ρ^j with no extra table to recover it, strictly worse
+    * than folding the same bits into each band and letting the table
+    * count compensate.)
+    */
+  private val MaxAutoBandBits = 48
+
   private[pipeline] def embeddingLshParams(n: Long, threshold: Double,
-      bandBits0: Int, tables0: Int, targetBucket: Int): (Int, Int) = {
+      bandBits0: Int, tables0: Int, targetBucket: Int,
+      maxTables: Int = 128): (Int, Int) = {
     val wantBits = math.max(4, math.ceil(
       math.log(math.max(1.0, n.toDouble / targetBucket)) /
         math.log(2.0)).toInt)
     val bandBits =
       if (bandBits0 > 0) bandBits0
-      else math.min(24, wantBits)
-    if (bandBits0 <= 0 && wantBits > 24)
-      log.warn(s"embeddingNearDup: corpus n=$n wants $wantBits band bits " +
-        s"for ~$targetBucket-vector buckets but bits are capped at 24 — " +
-        f"expected occupancy ~${n.toDouble / (1 << 24)}%.0f/bucket; " +
-        "shard the corpus or raise targetBucket")
+      else math.min(MaxAutoBandBits, wantBits)
     val tables =
       if (tables0 > 0) tables0
       else {
@@ -308,13 +317,13 @@ object Dedup {
         val want =
           if (pBand >= 1.0 - 1e-12) 1
           else math.ceil(math.log(0.05) / math.log(1.0 - pBand)).toInt
-        if (want > 32)
+        if (want > maxTables)
           log.warn(f"embeddingNearDup: >=95%% recall at threshold=" +
             f"$threshold%.3f with $bandBits band bits wants $want tables, " +
-            f"capped at 32 — recall at the threshold drops to ~" +
-            f"${(1.0 - math.pow(1.0 - pBand, 32)) * 100}%.1f%%; raise " +
-            "targetBucket (shorter bands) or pass tables explicitly")
-        math.min(32, math.max(1, want))
+            f"capped at $maxTables — recall at the threshold drops to ~" +
+            f"${(1.0 - math.pow(1.0 - pBand, maxTables)) * 100}%.1f%%; " +
+            "raise targetBucket (shorter bands) or pass tables explicitly")
+        math.min(maxTables, math.max(1, want))
       }
     (bandBits, tables)
   }

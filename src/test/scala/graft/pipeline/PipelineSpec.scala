@@ -55,23 +55,69 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("embedding LSH auto-sizing: occupancy-bounded bands, recall-holding tables") {
-    // band bits track corpus size: 2^bits >= n/(2*targetBucket) up to the cap
-    for (n <- Seq(1000L, 100000L, 10000000L, 1000000000L)) {
+    // band bits track corpus size: 2^bits >= n/(2*targetBucket) at ANY
+    // n — including the 10^9-10^13 regime the old 24-bit cap silently
+    // degraded (occupancy would have grown past target with only a warn)
+    for (n <- Seq(1000L, 100000L, 10000000L, 1000000000L,
+        2000000000L, 100000000000L, 10000000000000L)) {
       val (bits, tabs) = Dedup.embeddingLshParams(n, 0.95, 0, 0, 64)
-      assert(bits >= 4 && bits <= 24 && tabs >= 1 && tabs <= 32)
-      if (bits < 24)
-        assert(n.toDouble / (1L << bits) <= 2 * 64, s"n=$n bits=$bits")
+      assert(bits >= 4 && bits <= 48 && tabs >= 1 && tabs <= 128)
+      assert(n.toDouble / math.pow(2.0, bits) <= 2 * 64, s"n=$n bits=$bits")
     }
     // longer bands cost per-band recall; the table count must rise so
-    // >= 95% recall holds at the threshold itself
+    // >= 95% recall holds at the threshold itself — checked into the
+    // beyond-24-bit regime (n=10^12 wants 34 bits; previously warn-capped)
     val rho = 1.0 - math.acos(0.95) / math.Pi
-    for (n <- Seq(1000L, 10000000L)) {
+    for (n <- Seq(1000L, 10000000L, 2000000000L, 1000000000000L)) {
       val (bits, tabs) = Dedup.embeddingLshParams(n, 0.95, 0, 0, 64)
       val recall = 1.0 - math.pow(1.0 - math.pow(rho, bits), tabs)
       assert(recall >= 0.95, s"n=$n bits=$bits tabs=$tabs recall=$recall")
     }
     // explicit parameters pass through untouched
     assert(Dedup.embeddingLshParams(1000L, 0.95, 12, 1, 64) == ((12, 1)))
+  }
+
+  test("embedding LSH beyond 24 band bits: signatures, banding and join work end-to-end") {
+    import spark.implicits._
+    // the occupancy regime a 10^9+ corpus demands, exercised mechanically
+    // at small n by forcing 30-bit bands: wide sign signatures must
+    // build, bucket and self-join correctly (old code could never reach
+    // bits > 24), and planted near-dups must still surface given tables
+    // sized by the same GW bound the auto-sizer uses
+    val dim = 32
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 1500).map { i =>
+      (i.toLong, Seq.fill(dim)(rnd.nextGaussian().toFloat))
+    }
+    val planted = base.take(30).map { case (id, v) =>
+      (id + 1000000L, v.map(x => x + (rnd.nextGaussian() * 0.10).toFloat))
+    }
+    val emb = (base ++ planted).toDF("vec_id", "embedding")
+    val rho = 1.0 - math.acos(0.95) / math.Pi
+    val tabs = math.ceil(
+      math.log(0.05) / math.log(1.0 - math.pow(rho, 30))).toInt
+    val found = Dedup.embeddingNearDup(emb, threshold = 0.95,
+        bandBits = 30, tables = tabs)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i =>
+        dp += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i)
+      }
+      dp / math.sqrt(na * nb)
+    }
+    val eligible = planted.filter { case (pid, pv) =>
+      cos(base((pid - 1000000L).toInt)._2, pv) >= 0.95 }
+    val recalled = eligible.count { case (pid, _) =>
+      found.contains(((pid - 1000000L), pid)) }
+    assert(eligible.length >= 20, s"degenerate fixture: ${eligible.length}")
+    assert(recalled.toDouble / eligible.length >= 0.95,
+      s"recall $recalled/${eligible.length} at 30-bit bands")
+    // 30-bit buckets over 1530 vectors: occupancy collapses to ~1 —
+    // random-pair collisions are gone, so every found pair is verified
+    // >= threshold (exactness is the verifier's, not the buckets')
+    assert(found.forall { case (a, b) => a < b })
   }
 
   test("embedding near-dup: planted recall >= 95% at two corpus sizes") {
