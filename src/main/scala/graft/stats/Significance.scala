@@ -15,12 +15,20 @@ import org.apache.spark.sql.functions._
   * The BH rank is a GLOBAL order statistic. A
   * `row_number().over(orderBy(p))` window computes it by dragging the
   * whole table into ONE task — the standard formulation that dies at
-  * scale. Here the rank is assembled from key-range buckets (the same
-  * scheme as `Curation.tokenBudgetSample`): per-bucket counts (one
-  * partial-agg'd aggregate over ≤65536 rows), a window over that tiny
-  * frame for the cumulative-before term, and a within-bucket
-  * row_number whose partitions are bounded by n/65536 regardless of
-  * how big n is. Output is row-identical to the naive global window.
+  * scale. Here only the MAX rank per distinct p is needed (a tied group
+  * occupying ranks [a, b] passes `p ≤ kα/n` iff it passes at k = b, so
+  * the set of passing p-values — and hence `max(p)` — is unchanged), and
+  * that is a cumulative COUNT, not a row numbering: ties collapse first
+  * through a `groupBy(p)` whose partial aggregation absorbs any tied
+  * mass map-side (permutation p-values are quantized to ~perm+1 distinct
+  * values — at 10^9 rows a naive within-bucket row_number would hand one
+  * task a ~10^6-row partition per popular p), then the cumulative term
+  * is assembled from key-range buckets (the `Curation.tokenBudgetSample`
+  * scheme): per-bucket counts, a window over that ≤65536-row frame for
+  * the before-bucket term, and a within-bucket running sum whose
+  * partitions are bounded by the bucket's DISTINCT-p count — ≤ n/65536
+  * for continuous p, and ~1 per bucket for quantized p. Output is
+  * row-identical to the naive global window.
   *
   * Join-count-family rows with the undefined-p convention (p < 0) are
   * excluded from n and never significant.
@@ -34,21 +42,27 @@ object Significance {
     */
   def fdrCutoff(df: DataFrame, alpha: Double, pCol: String = "p",
                 idCol: String = "gid"): Option[Double] = {
-    val p = df.select(col(pCol).cast("double").as("p"),
-        col(idCol).cast("long").as("__id"))
+    // idCol retained for source compatibility; the tie-collapsing
+    // formulation needs no per-row tiebreaker
+    val _ = idCol
+    val grp = df.select(col(pCol).cast("double").as("p"))
       .filter(col("p") >= 0.0)
+      .groupBy("p").agg(count(lit(1)).as("__c"))
       .withColumn("__b",
         least(floor(col("p") * Buckets), lit(Buckets - 1)).cast("long"))
-    val cum = p.groupBy("__b").agg(count(lit(1)).as("__c"))
+    val bcum = grp.groupBy("__b").agg(sum(col("__c")).as("__bc"))
       .withColumn("__before",
-        sum(col("__c")).over(Window.orderBy(col("__b"))) - col("__c"))
-    val nTotal = broadcast(cum.agg(sum(col("__c")).cast("double").as("__n")))
-    val ranked = p.join(broadcast(cum), "__b")
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col("__b")).orderBy(col("p"), col("__id"))))
+        sum(col("__bc")).over(Window.orderBy(col("__b"))) - col("__bc"))
+    val nTotal =
+      broadcast(bcum.agg(sum(col("__bc")).cast("double").as("__n")))
+    val ranked = grp
+      .join(broadcast(bcum.select(col("__b"), col("__before"))), "__b")
+      .withColumn("__cum", sum(col("__c")).over(
+        Window.partitionBy(col("__b")).orderBy(col("p"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .crossJoin(nTotal)
       .select(col("p"),
-        ((col("__before") + col("__rn")) * alpha / col("__n")).as("__thr"))
+        ((col("__before") + col("__cum")) * alpha / col("__n")).as("__thr"))
     val r = ranked.filter(col("p") <= col("__thr")).agg(max(col("p"))).head()
     if (r.isNullAt(0)) None else Some(r.getDouble(0))
   }
