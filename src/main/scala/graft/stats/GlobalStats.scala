@@ -37,6 +37,23 @@ object GlobalStats {
       .select(col("gid"), col("nbr"), (lit(1.0) / col("deg")).as("w"))
   }
 
+  /** Every endpoint in the weights graph must carry a value row: the
+    * numerator inner-joins values, so an unmatched gid/nbr would drop
+    * its edges from the numerator while still inflating S0/S1/S2 — a
+    * mismatched universe would silently BIAS I, c and BB rather than
+    * fail. One node-keyed anti-join count; distributed, no skew.
+    */
+  private def requireMatchedUniverse(w: DataFrame, v: DataFrame): Unit = {
+    val missing = w.select(col("gid"))
+      .union(w.select(col("nbr").as("gid"))).distinct()
+      .join(v.select(col("gid")), Seq("gid"), "left_anti").count()
+    require(missing == 0L,
+      s"global statistic: $missing weight-graph node(s) have no value " +
+        "row — the edge universe and the value universe must match " +
+        "(edges of unmatched nodes would vanish from the numerator but " +
+        "still count in S0/S1/S2, biasing the statistic)")
+  }
+
   /** One row (s0, s1, s2): S0 = Σw; S1 = ½ ΣΣ (w_ij+w_ji)²; S2 = Σ_i
     * (rowsum_i + colsum_i)². Each present edge contributes its
     * (w + w_reverse)² divided by the number of present directions, so
@@ -78,6 +95,7 @@ object GlobalStats {
     val w = weighted(pairs, rowStandardized)
     val v = vals.select(col("gid").cast("long").as("gid"),
       col("value").cast("double").as("x"))
+    requireMatchedUniverse(w, v)
     val zm = zMoments(vals)
     val zi = v.crossJoin(broadcast(zm.select(col("mean"))))
       .select(col("gid"), (col("x") - col("mean")).as("z"))
@@ -131,6 +149,7 @@ object GlobalStats {
       count(lit(1)), sum(col("x"))).head()
     require(chk.getLong(0) == 0L,
       "global join count needs a binary 0/1 variable (joincount.c semantics)")
+    requireMatchedUniverse(w, v)
     val num = w
       .join(v.select(col("gid"), col("x").as("xi")), "gid")
       .join(v.select(col("gid").as("nbr"), col("x").as("xj")), "nbr")
@@ -165,6 +184,7 @@ object GlobalStats {
     val w = weighted(pairs, rowStandardized)
     val v = vals.select(col("gid").cast("long").as("gid"),
       col("value").cast("double").as("x"))
+    requireMatchedUniverse(w, v)
     val num = w
       .join(v.select(col("gid"), col("x").as("xi")), "gid")
       .join(v.select(col("gid").as("nbr"), col("x").as("xj")), "nbr")

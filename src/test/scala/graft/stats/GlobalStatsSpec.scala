@@ -55,6 +55,28 @@ class GlobalStatsSpec extends AnyFunSuite {
     (vals, pairs)
   }
 
+  test("mismatched edge/value universe fails loudly instead of biasing the statistic") {
+    import spark.implicits._
+    val (vals, pairs) = frames()
+    // drop one value row whose gid still appears in the edge list —
+    // its edges would silently vanish from the numerator while S0/S1/S2
+    // kept counting them
+    val holed = vals.filter(org.apache.spark.sql.functions.col("gid") =!= 7L)
+    for (stat <- Seq(
+        () => GlobalStats.moran(holed, pairs).head(),
+        () => GlobalStats.geary(holed, pairs).head())) {
+      val ex = intercept[Exception](stat())
+      assert(ex.getMessage.contains("no value row"), ex.getMessage)
+    }
+    val bin = vals.select(org.apache.spark.sql.functions.col("gid"),
+      (org.apache.spark.sql.functions.col("gid") % 2).cast("double")
+        .as("value"))
+    val exJc = intercept[Exception](GlobalStats.joinCount(
+      bin.filter(org.apache.spark.sql.functions.col("gid") =!= 7L),
+      pairs).head())
+    assert(exJc.getMessage.contains("no value row"), exJc.getMessage)
+  }
+
   test("Moran statistic matches brute force; randomization moments match 20k real permutations") {
     val (vals, pairs) = frames()
     val r = GlobalStats.moran(vals, pairs).head()
