@@ -108,8 +108,11 @@ object Bench {
     for (sweep <- 1 to runs; (name, fn) <- ordered) {
       if (sweep == 1 || spentByQuery(name) < RepeatBudgetSec) {
         val t0 = System.nanoTime()
+        // NonFatal only: an OOM/interrupt means the JVM is corrupted —
+        // recording it as a query failure and sweeping on would pollute
+        // every later sample; let fatal errors abort the bench run
         try { fn(spark, sfDir).count(); samples(name) += (System.nanoTime() - t0) / 1e9 }
-        catch { case _: Throwable => failsByQuery(name) += 1 }
+        catch { case scala.util.control.NonFatal(_) => failsByQuery(name) += 1 }
         spentByQuery(name) += (System.nanoTime() - t0) / 1e9
       }
     }

@@ -158,15 +158,32 @@ object GraftFunctions {
     ColumnShim.column(DotExpr(ColumnShim.expression(a),
       ColumnShim.expression(b)))
 
+  /** Arity guard for SQL-registered builders: a wrong argument count
+    * must surface as an AnalysisException naming the signature, not an
+    * IndexOutOfBoundsException from exprs(i).
+    */
+  private[catalyst] def arityCheck(name: String, sig: String, n: Int,
+      exprs: Seq[Expression]): Unit =
+    if (exprs.length != n)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> s"`$name`", "expectedNum" -> s"$n ($sig)",
+          "actualNum" -> exprs.length.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"))
+
   /** Register `cell_id` / `tw_hash` / `dot_arr` for SQL use. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cell_id", exprs => CellIdExpr(exprs(0), exprs(1), exprs(2)),
+      "cell_id", exprs => { arityCheck("cell_id", "x, y, res", 3, exprs)
+        CellIdExpr(exprs(0), exprs(1), exprs(2)) },
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "tw_hash", exprs => TwHashExpr(exprs.head), "built-in")
+      "tw_hash", exprs => { arityCheck("tw_hash", "x", 1, exprs)
+        TwHashExpr(exprs.head) }, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_arr", exprs => DotExpr(exprs(0), exprs(1)), "built-in")
+      "dot_arr", exprs => { arityCheck("dot_arr", "a, b", 2, exprs)
+        DotExpr(exprs(0), exprs(1)) }, "built-in")
   }
 }
 
@@ -179,16 +196,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (org.apache.spark.sql.catalyst.FunctionIdentifier("cell_id"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[CellIdExpr].getName, "cell_id"),
-        (exprs: Seq[Expression]) => CellIdExpr(exprs(0), exprs(1), exprs(2))))
+        (exprs: Seq[Expression]) => { GraftFunctions.arityCheck("cell_id",
+          "x, y, res", 3, exprs); CellIdExpr(exprs(0), exprs(1), exprs(2)) }))
     e.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("tw_hash"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[TwHashExpr].getName, "tw_hash"),
-        (exprs: Seq[Expression]) => TwHashExpr(exprs.head)))
+        (exprs: Seq[Expression]) => { GraftFunctions.arityCheck("tw_hash",
+          "x", 1, exprs); TwHashExpr(exprs.head) }))
     e.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("dot_arr"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[DotExpr].getName, "dot_arr"),
-        (exprs: Seq[Expression]) => DotExpr(exprs(0), exprs(1))))
+        (exprs: Seq[Expression]) => { GraftFunctions.arityCheck("dot_arr",
+          "a, b", 2, exprs); DotExpr(exprs(0), exprs(1)) }))
   }
 }

@@ -147,6 +147,16 @@ class CatalystSpec extends AnyFunSuite {
     assert(viaSql == 5.0)
   }
 
+  test("SQL builders reject wrong arity with an analysis error, not IndexOutOfBounds") {
+    GraftFunctions.register(spark)
+    for (bad <- Seq("SELECT dot_arr(array(1.0))",
+        "SELECT cell_id(1.0, 2.0)", "SELECT tw_hash()")) {
+      val ex = intercept[Exception](spark.sql(bad).collect())
+      assert(!ex.isInstanceOf[IndexOutOfBoundsException], bad)
+      assert(ex.getMessage.toLowerCase.contains("requires"), s"$bad: ${ex.getMessage}")
+    }
+  }
+
   test("expressions stay inside WholeStageCodegen (no fallback)") {
     import spark.implicits._
     val df = spark.range(100).select(
