@@ -1,6 +1,6 @@
 package graft.stats
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Global spatial autocorrelation — Moran's I and Geary's c over an
@@ -38,21 +38,21 @@ object GlobalStats {
   }
 
   /** Every endpoint in the weights graph must carry a value row: the
-    * numerator inner-joins values, so an unmatched gid/nbr would drop
-    * its edges from the numerator while still inflating S0/S1/S2 — a
+    * numerator joins values, so an unmatched gid/nbr would drop its
+    * edges from the numerator while still inflating S0/S1/S2 — a
     * mismatched universe would silently BIAS I, c and BB rather than
-    * fail. One node-keyed anti-join count; distributed, no skew.
+    * fail. Checked IN the numerator pass itself: the joins are LEFT and
+    * a null endpoint raises — zero extra jobs (an eager anti-join count
+    * here would add a full edge-list pass per statistic, which at 10^12
+    * edges is ~a third of the whole computation).
     */
-  private def requireMatchedUniverse(w: DataFrame, v: DataFrame): Unit = {
-    val missing = w.select(col("gid"))
-      .union(w.select(col("nbr").as("gid"))).distinct()
-      .join(v.select(col("gid")), Seq("gid"), "left_anti").count()
-    require(missing == 0L,
-      s"global statistic: $missing weight-graph node(s) have no value " +
-        "row — the edge universe and the value universe must match " +
-        "(edges of unmatched nodes would vanish from the numerator but " +
-        "still count in S0/S1/S2, biasing the statistic)")
-  }
+  private def checkedEndpoint(x: Column, side: String): Column =
+    when(x.isNull, raise_error(concat(lit(
+      s"global statistic: weight-graph $side has no value row — the " +
+        "edge universe and the value universe must match (edges of " +
+        "unmatched nodes would vanish from the numerator but still " +
+        "count in S0/S1/S2, biasing the statistic)")))
+      .cast("double")).otherwise(x)
 
   /** One row (s0, s1, s2): S0 = Σw; S1 = ½ ΣΣ (w_ij+w_ji)²; S2 = Σ_i
     * (rowsum_i + colsum_i)². Each present edge contributes its
@@ -95,14 +95,15 @@ object GlobalStats {
     val w = weighted(pairs, rowStandardized)
     val v = vals.select(col("gid").cast("long").as("gid"),
       col("value").cast("double").as("x"))
-    requireMatchedUniverse(w, v)
     val zm = zMoments(vals)
     val zi = v.crossJoin(broadcast(zm.select(col("mean"))))
       .select(col("gid"), (col("x") - col("mean")).as("z"))
     val num = w
-      .join(zi.select(col("gid"), col("z").as("zi")), "gid")
-      .join(zi.select(col("gid").as("nbr"), col("z").as("zj")), "nbr")
-      .agg(sum(col("w") * col("zi") * col("zj")).as("num"))
+      .join(zi.select(col("gid"), col("z").as("zi")), Seq("gid"), "left")
+      .join(zi.select(col("gid").as("nbr"), col("z").as("zj")),
+        Seq("nbr"), "left")
+      .agg(sum(col("w") * checkedEndpoint(col("zi"), "gid") *
+        checkedEndpoint(col("zj"), "nbr")).as("num"))
     num.crossJoin(sMoments(w)).crossJoin(zm)
       .select(col("n"), col("s0"), col("s1"), col("s2"),
         (col("n") / col("s0") * col("num") / col("sz2")).as("i"),
@@ -149,12 +150,12 @@ object GlobalStats {
       count(lit(1)), sum(col("x"))).head()
     require(chk.getLong(0) == 0L,
       "global join count needs a binary 0/1 variable (joincount.c semantics)")
-    requireMatchedUniverse(w, v)
     val num = w
-      .join(v.select(col("gid"), col("x").as("xi")), "gid")
-      .join(v.select(col("gid").as("nbr"), col("x").as("xj")), "nbr")
-      .agg(coalesce(sum(col("w") * col("xi") * col("xj")), lit(0.0))
-        .as("num"))
+      .join(v.select(col("gid"), col("x").as("xi")), Seq("gid"), "left")
+      .join(v.select(col("gid").as("nbr"), col("x").as("xj")),
+        Seq("nbr"), "left")
+      .agg(coalesce(sum(col("w") * checkedEndpoint(col("xi"), "gid") *
+        checkedEndpoint(col("xj"), "nbr")), lit(0.0)).as("num"))
     val counts = v.agg(count(lit(1)).cast("double").as("n"),
       sum(col("x")).as("n1"))
     num.crossJoin(sMoments(w)).crossJoin(counts)
@@ -184,11 +185,12 @@ object GlobalStats {
     val w = weighted(pairs, rowStandardized)
     val v = vals.select(col("gid").cast("long").as("gid"),
       col("value").cast("double").as("x"))
-    requireMatchedUniverse(w, v)
     val num = w
-      .join(v.select(col("gid"), col("x").as("xi")), "gid")
-      .join(v.select(col("gid").as("nbr"), col("x").as("xj")), "nbr")
-      .agg(sum(col("w") * pow(col("xi") - col("xj"), 2)).as("num"))
+      .join(v.select(col("gid"), col("x").as("xi")), Seq("gid"), "left")
+      .join(v.select(col("gid").as("nbr"), col("x").as("xj")),
+        Seq("nbr"), "left")
+      .agg(sum(col("w") * pow(checkedEndpoint(col("xi"), "gid") -
+        checkedEndpoint(col("xj"), "nbr"), 2)).as("num"))
     num.crossJoin(sMoments(w)).crossJoin(zMoments(vals))
       .select(col("n"), col("s0"), col("s1"), col("s2"),
         ((col("n") - 1) / (lit(2.0) * col("s0")) * col("num") /

@@ -62,11 +62,17 @@ class GlobalStatsSpec extends AnyFunSuite {
     // its edges would silently vanish from the numerator while S0/S1/S2
     // kept counting them
     val holed = vals.filter(org.apache.spark.sql.functions.col("gid") =!= 7L)
+    def rootMessages(e: Throwable): String = {
+      val sb = new StringBuilder
+      var t: Throwable = e
+      while (t != null) { sb.append(t.getMessage).append('\n'); t = t.getCause }
+      sb.toString
+    }
     for (stat <- Seq(
         () => GlobalStats.moran(holed, pairs).head(),
         () => GlobalStats.geary(holed, pairs).head())) {
       val ex = intercept[Exception](stat())
-      assert(ex.getMessage.contains("no value row"), ex.getMessage)
+      assert(rootMessages(ex).contains("no value row"), rootMessages(ex))
     }
     val bin = vals.select(org.apache.spark.sql.functions.col("gid"),
       (org.apache.spark.sql.functions.col("gid") % 2).cast("double")
@@ -74,7 +80,7 @@ class GlobalStatsSpec extends AnyFunSuite {
     val exJc = intercept[Exception](GlobalStats.joinCount(
       bin.filter(org.apache.spark.sql.functions.col("gid") =!= 7L),
       pairs).head())
-    assert(exJc.getMessage.contains("no value row"), exJc.getMessage)
+    assert(rootMessages(exJc).contains("no value row"), rootMessages(exJc))
   }
 
   test("Moran statistic matches brute force; randomization moments match 20k real permutations") {
