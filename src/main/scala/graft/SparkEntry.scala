@@ -587,6 +587,19 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
         .orderBy("id_a", "id_b")
     }),
+    "q104_semantic_dedup" -> ((s, dir) => {
+      // SemDeDup: cluster-partitioned exact cosine at a LOW threshold
+      // (0.85 — the regime hyperplane LSH can't reach without an
+      // exploding table count), transitive groups via distributed CC,
+      // one survivor per group by the paper's keep rule (lowest
+      // similarity to own centroid). Planted exact duplicates
+      // (vec_id + 1e6) guarantee non-trivial groups.
+      val emb = SynthGeo.table(s, dir, "embeddings")
+      val planted = emb.withColumn("vec_id", col("vec_id") + 1000000L)
+      graft.pipeline.Dedup.semanticDedup(emb.unionByName(planted),
+          threshold = 0.85, nClusters = 16)
+        .orderBy("id")
+    }),
     "q58_fingerprint" -> ((s, dir) =>
       graft.pipeline.TextAnalysis.fingerprint(
         SynthGeo.table(s, dir, "documents")).orderBy("id")),

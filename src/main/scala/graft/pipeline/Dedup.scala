@@ -504,4 +504,124 @@ object Dedup {
       docs(idCol).cast("long") === col("__keep"))
       .drop("__keep")
   }
+
+  /** CACHED (id, cid, unit) cluster assignment plus the centroid frame
+    * for the semantic-dedup family. Caller releases `assigned`;
+    * `cents` is tiny (k rows) and broadcast downstream.
+    */
+  private def semanticAssign(emb: DataFrame, targetCluster: Int,
+      nClusters0: Int, idCol: String, vecCol: String)
+      : (DataFrame, DataFrame, Long) = {
+    val renamed = emb.select(col(idCol).cast("long").as("vec_id"),
+      col(vecCol).as("embedding"))
+    val n = renamed.count()
+    if (n == 0) return (null, null, 0L)
+    // k from a target cluster size: within-cluster pair volume per
+    // cluster is ~(n/k)^2/2, so k tracks n to hold it flat. Capped at
+    // 65536 centroids (the assignment broadcast: 64k × dim doubles —
+    // ~400 MB at dim 768, the executor-memory ceiling of the flat
+    // scheme; beyond n ≈ 64k·targetCluster ≈ 6.7·10^7 at the default,
+    // cluster sizes grow and the next gear is hierarchical two-level
+    // clustering — documented, not silently degraded)
+    val k =
+      if (nClusters0 > 0) nClusters0
+      else math.max(1L, math.min(65536L,
+        n / math.max(1, targetCluster))).toInt
+    if (nClusters0 <= 0 && n / math.max(1, targetCluster) > 65536L)
+      log.warn(s"semanticNearDup: corpus n=$n wants ${
+        n / targetCluster} clusters for ~$targetCluster-vector " +
+        "clusters but k is capped at 65536 (centroid broadcast bound) " +
+        f"— expected cluster size ~${n / 65536.0}%.0f; pair volume " +
+        "grows quadratically with it. Use hierarchical clustering " +
+        "upstream or raise targetCluster knowingly.")
+    val cents = Similarity.scatteredCentroids(renamed, k)
+    val assigned = Similarity.assignNearest(
+      Similarity.normalized(renamed), cents).cache()
+    (assigned, cents, n)
+  }
+
+  /** Semantic near-duplicate pairs — SemDeDup (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the L2-normalized embeddings into k
+    * centroids ([[Similarity.ivfCentroids]], deterministic seeding +
+    * one Lloyd sweep), then compare pairs exactly — but only WITHIN a
+    * cluster. Returns (id_a, id_b, cosine) with cosine ≥ threshold.
+    *
+    * This is the LOW-threshold complement to [[embeddingNearDup]]: at
+    * τ ≈ 0.7-0.9 the hyperplane-LSH table count explodes (a band's
+    * collision probability ρ^bits collapses when ρ = 1 − acos(τ)/π is
+    * far from 1), while cluster-partitioned exact comparison holds its
+    * cost at ~targetCluster²/2 dot products per cluster regardless of
+    * τ. The trade is SemDeDup's own: pairs straddling a cluster
+    * boundary are missed (the paper's documented recall limitation) —
+    * at τ ≥ 0.95 prefer [[embeddingNearDup]], whose multi-table LSH
+    * carries a recall guarantee.
+    *
+    * Scale shape: the only corpus-sized shuffles are the cluster-keyed
+    * self-join (sort-merge on cid; per-cluster pair expansion streams
+    * and spills, never a collected adjacency) and the k-means
+    * assignment's broadcast dot products. Skew note: a pathological
+    * hot cluster pays its own quadratic pair volume — inherent to the
+    * algorithm, controlled by k, and impossible to salt (every
+    * within-cluster pair is a genuine candidate).
+    */
+  def semanticNearDup(emb: DataFrame, threshold: Double = 0.8,
+                      targetCluster: Int = 1024, nClusters: Int = 0,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val (assigned, _, n) =
+      semanticAssign(emb, targetCluster, nClusters, idCol, vecCol)
+    if (n == 0)
+      return Seq.empty[(Long, Long, Double)].toDF("id_a", "id_b", "cosine")
+    val out = assigned.as("a").join(assigned.as("b"),
+        $"a.cid" === $"b.cid" && $"a.id" < $"b.id")
+      .select($"a.id".as("id_a"), $"b.id".as("id_b"),
+        graft.catalyst.GraftFunctions.dot_arr($"a.unit", $"b.unit")
+          .as("cosine"))
+      .filter(col("cosine") >= threshold)
+    graft.core.Materialize.releasing(out, Seq(assigned))
+  }
+
+  /** Full SemDeDup resolution: semantic pairs → transitive duplicate
+    * groups (distributed CC) → ONE survivor per group under the
+    * paper's keep rule — the member with the LOWEST cosine similarity
+    * to its cluster centroid ("keep the most atypical example",
+    * arXiv:2303.09540 §3; ties broken by min id). Returns one row per
+    * input vector: (id, component, keep).
+    */
+  def semanticDedup(emb: DataFrame, threshold: Double = 0.8,
+                    targetCluster: Int = 1024, nClusters: Int = 0,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val (assigned, cents, n) =
+      semanticAssign(emb, targetCluster, nClusters, idCol, vecCol)
+    if (n == 0)
+      return Seq.empty[(Long, Long, Boolean)]
+        .toDF("id", "component", "keep")
+    val pairs = assigned.as("a").join(assigned.as("b"),
+        $"a.cid" === $"b.cid" && $"a.id" < $"b.id")
+      .filter(graft.catalyst.GraftFunctions.dot_arr($"a.unit", $"b.unit")
+        >= threshold)
+      .select($"a.id".as("id_a"), $"b.id".as("id_b"))
+    val comp = graft.cluster.Components.connected(pairs,
+      nodes = Some(assigned.select(col("id"))), nodeCol = "id")
+    // keep rule needs each member's similarity to its OWN centroid —
+    // recomputed here (assignNearest's max_by discards it); one
+    // broadcast join against the k-row centroid frame
+    val csim = assigned.join(broadcast(cents), "cid")
+      .select(col("id"),
+        graft.catalyst.GraftFunctions.dot_arr(col("unit"), col("cunit"))
+          .as("csim"))
+    val keepers = comp.join(csim, "id")
+      .groupBy("component")
+      .agg(min_by(col("id"), struct(col("csim"), col("id")))
+        .as("__keep"))
+    val out = comp.join(keepers, "component")
+      .select(col("id"), col("component"),
+        (col("id") === col("__keep")).as("keep"))
+    graft.core.Materialize.releasing(out, Seq(assigned))
+  }
 }

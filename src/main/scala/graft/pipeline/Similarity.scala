@@ -81,10 +81,29 @@ object Similarity {
     * refinement sweep (mean of assigned vectors). Returns centroid DF
     * (cid, cunit).
     */
-  def ivfCentroids(corpus: DataFrame, nCentroids: Int): DataFrame = {
+  def ivfCentroids(corpus: DataFrame, nCentroids: Int): DataFrame =
+    lloydCentroids(corpus, nCentroids, scattered = false)
+
+  /** Centroids with HASH-SCATTERED seeds — for cluster-partitioned
+    * workloads (semantic dedup) where seed placement decides recall:
+    * id-order seeding puts consecutive ids (often near-duplicates of
+    * each other) on separate centroids, splitting exactly the groups
+    * the caller wants co-clustered; ordering by xxhash64(id) scatters
+    * the seed draw across the corpus. IVF keeps id-order seeding (its
+    * queries probe several centroids anyway, and the q57b SQL oracle
+    * replays that seeding verbatim).
+    */
+  def scatteredCentroids(corpus: DataFrame, nCentroids: Int): DataFrame =
+    lloydCentroids(corpus, nCentroids, scattered = true)
+
+  private def lloydCentroids(corpus: DataFrame, nCentroids: Int,
+      scattered: Boolean): DataFrame = {
     val c = normalized(corpus).cache()
-    val seeds = c.orderBy("id").limit(nCentroids)
-      .withColumn("cid", row_number().over(Window.orderBy("id")) - 1)
+    // TakeOrdered heap either way — never a global sort
+    val ord =
+      if (scattered) Seq(xxhash64(col("id")), col("id")) else Seq(col("id"))
+    val seeds = c.orderBy(ord: _*).limit(nCentroids)
+      .withColumn("cid", row_number().over(Window.orderBy(ord: _*)) - 1)
       .select(col("cid"), col("unit").as("cunit"))
     // one Lloyd sweep: assign to nearest seed, recompute means. The
     // per-dimension avg columns stay inside ONE codegen'd hash aggregate

@@ -120,6 +120,72 @@ class PipelineSpec extends AnyFunSuite {
     assert(found.forall { case (a, b) => a < b })
   }
 
+  test("semantic dedup (SemDeDup): low-threshold planted groups, paper keep rule") {
+    import spark.implicits._
+    val dim = 32
+    val rnd = new scala.util.Random(11)
+    def unitv(): Array[Double] = {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    // 12 semantic groups: 5 members each, perturbed around a group
+    // direction so within-group cosine ~0.9 — far BELOW the 0.95 LSH
+    // regime, far ABOVE random-pair cosine at dim 32 (±0.18)
+    val groups = (0 until 12).map { g =>
+      val c = unitv()
+      (0 until 5).map { m =>
+        val v = c.zip(unitv()).map { case (a, b) => a + 0.22 * b }
+        (g * 100L + m, v.map(_.toFloat).toSeq)
+      }
+    }
+    val noise = (0 until 400).map(i => (10000L + i, unitv().map(_.toFloat).toSeq))
+    val emb = (groups.flatten ++ noise).toDF("vec_id", "embedding")
+
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i =>
+        dp += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i)
+      }
+      dp / math.sqrt(na * nb)
+    }
+    val all = (groups.flatten ++ noise).toMap
+    val tau = 0.8
+    val truePairs = (for {
+      (ia, va) <- all.toSeq; (ib, vb) <- all.toSeq
+      if ia < ib && cos(va, vb) >= tau
+    } yield (ia, ib)).toSet
+
+    val found = Dedup.semanticNearDup(emb, threshold = tau, nClusters = 24)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // precision is exact by construction (pairs are verified dot
+    // products); recall is SemDeDup's cluster-local guarantee — tight
+    // groups co-cluster, so the bulk of true pairs must surface
+    assert(found.subsetOf(truePairs), s"false positives: ${found -- truePairs}")
+    assert(found.size.toDouble / truePairs.size >= 0.85,
+      s"recall ${found.size}/${truePairs.size}")
+
+    // full resolution: every row labeled, exactly one keeper per
+    // component, keepers have the group-min centroid similarity under
+    // the components actually found
+    val res = Dedup.semanticDedup(emb, threshold = tau, nClusters = 24)
+      .select("id", "component", "keep").as[(Long, Long, Boolean)]
+      .collect()
+    assert(res.length == all.size)
+    val byComp = res.groupBy(_._2)
+    assert(byComp.values.forall(_.count(_._3) == 1),
+      "exactly one keeper per component")
+    // components are the transitive closure of found pairs: two ids
+    // sharing a found pair share a component
+    val compOf = res.map(r => r._1 -> r._2).toMap
+    assert(found.forall { case (a, b) => compOf(a) == compOf(b) })
+    // noise vectors in no pair stay singleton keepers
+    val paired = found.flatMap(p => Seq(p._1, p._2))
+    res.filter(r => !paired.contains(r._1)).foreach { r =>
+      assert(r._2 == r._1 && r._3, s"singleton ${r._1} not kept")
+    }
+  }
+
   test("embedding near-dup: planted recall >= 95% at two corpus sizes") {
     import spark.implicits._
     val dim = 32
