@@ -146,8 +146,9 @@ object TextBench {
           col("doc_id").as("id")))).count()))
 
       // the embedding corpus is minted+cached only when an ANN stage runs
-      val (tBrute, tIvf) =
-        if (only.forall(o => o.contains("ann_brute") || o.contains("ann_ivf"))) {
+      val (tBrute, tIvf, tSem) =
+        if (only.forall(o => o.contains("ann_brute") || o.contains("ann_ivf")
+            || o.contains("semantic_dedup"))) {
           val emb = spark.range(nEmb).select(
               col("id").as("vec_id"),
               transform(sequence(lit(1), lit(64)),
@@ -161,13 +162,24 @@ object TextBench {
             Similarity.bruteTopK(emb, queries, k = 10).count()))._2
           val ti = gate("ann_ivf")(time(
             Similarity.ivfTopK(emb, queries, k = 10).count()))._2
+          // semantic dedup over the same minted corpus: k-means
+          // (scattered seeds) + cluster-keyed exact cosine + CC + keep
+          // rule — the full SemDeDup resolution, not just pair finding
+          val semTarget = sys.env.getOrElse("SPARK_GRAFT_SEM_TARGET",
+            "1024").toInt
+          val semTwoLevelK = sys.env.getOrElse("SPARK_GRAFT_SEM_TWOLEVELK",
+            "4096").toInt
+          val ts = gate("semantic_dedup")(time(
+            Dedup.semanticDedup(emb, threshold = 0.8,
+              targetCluster = semTarget, twoLevelK = semTwoLevelK)
+              .count()))._2
           emb.unpersist(false)
-          (tb, ti)
-        } else (-1.0, -1.0)
+          (tb, ti, ts)
+        } else (-1.0, -1.0, -1.0)
       docs.unpersist(false)
 
       val r = (t: Double) => if (t > 0) math.round(n / t) else -1L
-      println(s"""{"metric":"text_pipeline","n":$n,"n_emb":$nEmb,"cpus":"$cpus","unit":"sec","exact_dedup_sec":$tExact,"exact_dedup_rows_per_sec":${r(tExact)},"minhash_sec":$tMinhash,"minhash_rows_per_sec":${r(tMinhash)},"minhash_pairs":$mhPairs,"simhash_sec":$tSimhash,"simhash_rows_per_sec":${r(tSimhash)},"simhash_pairs":$shPairs,"langid_sec":$tLang,"langid_rows_per_sec":${r(tLang)},"quality_sec":$tQual,"quality_rows_per_sec":${r(tQual)},"fingerprint_sec":$tFp,"fingerprint_rows_per_sec":${r(tFp)},"extract_sec":$tExtract,"extract_rows_per_sec":${r(tExtract)},"repetition_sec":$tRep,"repetition_rows_per_sec":${r(tRep)},"decontaminate_sec":$tDecon,"decontaminate_rows_per_sec":${r(tDecon)},"url_dedup_sec":$tUrl,"url_dedup_rows_per_sec":${r(tUrl)},"paragraph_dedup_sec":$tPara,"paragraph_dedup_rows_per_sec":${r(tPara)},"pii_redact_sec":$tRedact,"pii_redact_rows_per_sec":${r(tRedact)},"vocab_topk_sec":$tVocab,"vocab_topk_rows_per_sec":${r(tVocab)},"model_score_sec":$tModel,"model_score_rows_per_sec":${r(tModel)},"cc_sec":$tCc,"cc_rows_per_sec":${r(tCc)},"token_budget_sec":$tBudget,"token_budget_rows_per_sec":${r(tBudget)},"unigram_logp_sec":$tLogp,"unigram_logp_rows_per_sec":${r(tLogp)},"ann_brute_sec":$tBrute,"ann_ivf_sec":$tIvf}""")
+      println(s"""{"metric":"text_pipeline","n":$n,"n_emb":$nEmb,"cpus":"$cpus","unit":"sec","exact_dedup_sec":$tExact,"exact_dedup_rows_per_sec":${r(tExact)},"minhash_sec":$tMinhash,"minhash_rows_per_sec":${r(tMinhash)},"minhash_pairs":$mhPairs,"simhash_sec":$tSimhash,"simhash_rows_per_sec":${r(tSimhash)},"simhash_pairs":$shPairs,"langid_sec":$tLang,"langid_rows_per_sec":${r(tLang)},"quality_sec":$tQual,"quality_rows_per_sec":${r(tQual)},"fingerprint_sec":$tFp,"fingerprint_rows_per_sec":${r(tFp)},"extract_sec":$tExtract,"extract_rows_per_sec":${r(tExtract)},"repetition_sec":$tRep,"repetition_rows_per_sec":${r(tRep)},"decontaminate_sec":$tDecon,"decontaminate_rows_per_sec":${r(tDecon)},"url_dedup_sec":$tUrl,"url_dedup_rows_per_sec":${r(tUrl)},"paragraph_dedup_sec":$tPara,"paragraph_dedup_rows_per_sec":${r(tPara)},"pii_redact_sec":$tRedact,"pii_redact_rows_per_sec":${r(tRedact)},"vocab_topk_sec":$tVocab,"vocab_topk_rows_per_sec":${r(tVocab)},"model_score_sec":$tModel,"model_score_rows_per_sec":${r(tModel)},"cc_sec":$tCc,"cc_rows_per_sec":${r(tCc)},"token_budget_sec":$tBudget,"token_budget_rows_per_sec":${r(tBudget)},"unigram_logp_sec":$tLogp,"unigram_logp_rows_per_sec":${r(tLogp)},"ann_brute_sec":$tBrute,"ann_ivf_sec":$tIvf,"semantic_dedup_sec":$tSem}""")
     } finally spark.stop()
   }
 }

@@ -505,39 +505,72 @@ object Dedup {
       .drop("__keep")
   }
 
-  /** CACHED (id, cid, unit) cluster assignment plus the centroid frame
-    * for the semantic-dedup family. Caller releases `assigned`;
-    * `cents` is tiny (k rows) and broadcast downstream.
+  /** CACHED (id, cid, unit) cluster assignment plus the keep-rule
+    * centroid frame (kcid → cunit, with assigned carrying a matching
+    * `kcid` column) for the semantic-dedup family. Caller releases
+    * `assigned`; the centroid frame is tiny and broadcast downstream.
+    *
+    * Two regimes:
+    *   - k ≤ `twoLevelK`: FLAT spherical k-means. Assignment cost
+    *     n·k·d — with k ∝ n (occupancy target) that is QUADRATIC in n,
+    *     fine to ~10^7 vectors and exactly mirrored by the q104 oracle
+    *     path.
+    *   - k > `twoLevelK`: TWO-LEVEL residual quantization (the IVF-PQ
+    *     coarse-quantizer construction): √k spherical coarse centroids,
+    *     then √k GLOBAL residual centroids (r = unit − coarse centroid)
+    *     assigned by EUCLIDEAN distance; the cell key is (c1, c2).
+    *     Assignment cost n·2√k·d — linear in n at fixed occupancy —
+    *     and the broadcast is 2√k centroids, so the flat scheme's 65536-
+    *     centroid memory ceiling becomes a 2^32-CELL ceiling (~10^12
+    *     vectors at the default occupancy). Residuals use Euclidean,
+    *     not cosine, assignment: near-identical vectors close to their
+    *     coarse centroid have tiny residuals whose directions diverge —
+    *     normalizing would split exactly the pairs that matter most.
+    *     The keep rule measures similarity to the COARSE centroid.
     */
   private def semanticAssign(emb: DataFrame, targetCluster: Int,
-      nClusters0: Int, idCol: String, vecCol: String)
+      nClusters0: Int, twoLevelK: Int, idCol: String, vecCol: String)
       : (DataFrame, DataFrame, Long) = {
     val renamed = emb.select(col(idCol).cast("long").as("vec_id"),
       col(vecCol).as("embedding"))
     val n = renamed.count()
     if (n == 0) return (null, null, 0L)
-    // k from a target cluster size: within-cluster pair volume per
-    // cluster is ~(n/k)^2/2, so k tracks n to hold it flat. Capped at
-    // 65536 centroids (the assignment broadcast: 64k × dim doubles —
-    // ~400 MB at dim 768, the executor-memory ceiling of the flat
-    // scheme; beyond n ≈ 64k·targetCluster ≈ 6.7·10^7 at the default,
-    // cluster sizes grow and the next gear is hierarchical two-level
-    // clustering — documented, not silently degraded)
     val k =
       if (nClusters0 > 0) nClusters0
-      else math.max(1L, math.min(65536L,
-        n / math.max(1, targetCluster))).toInt
-    if (nClusters0 <= 0 && n / math.max(1, targetCluster) > 65536L)
-      log.warn(s"semanticNearDup: corpus n=$n wants ${
-        n / targetCluster} clusters for ~$targetCluster-vector " +
-        "clusters but k is capped at 65536 (centroid broadcast bound) " +
-        f"— expected cluster size ~${n / 65536.0}%.0f; pair volume " +
-        "grows quadratically with it. Use hierarchical clustering " +
-        "upstream or raise targetCluster knowingly.")
-    val cents = Similarity.scatteredCentroids(renamed, k)
-    val assigned = Similarity.assignNearest(
-      Similarity.normalized(renamed), cents).cache()
-    (assigned, cents, n)
+      else math.max(1L, n / math.max(1, targetCluster)).toInt
+    if (k <= twoLevelK) {
+      val cents = Similarity.scatteredCentroids(renamed, k)
+      val assigned = Similarity.assignNearest(
+          Similarity.normalized(renamed), cents)
+        .withColumn("kcid", col("cid")).cache()
+      (assigned, cents.select(col("cid").as("kcid"), col("cunit")), n)
+    } else {
+      val k1 = math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt)
+      val cents1 = Similarity.scatteredCentroids(renamed, k1)
+      val a1 = Similarity.assignNearest(
+        Similarity.normalized(renamed), cents1)
+      val resid = a1.join(broadcast(cents1), "cid")
+        .select(col("id"), col("cid").as("c1"), col("unit"),
+          zip_with(col("unit"), col("cunit"), (x, c) => x - c).as("vec"))
+        .cache()
+      val cents2 = Similarity.euclidCentroids(
+        resid.select(col("id"), col("vec")), k1)
+      // top-2 residual cells per vector (multi-probe): a pair split by
+      // a residual Voronoi boundary is recovered when either side's
+      // second-nearest cell matches — candidates only, precision is
+      // the exact verifier's either way
+      val a2 = Similarity.assignNearestEuclid(
+        resid.select(col("id"), col("vec")), cents2, probes = 2)
+        .select(col("id"), col("cid").as("c2"))
+      val assigned = resid.join(a2, "id")
+        .select(col("id"),
+          (col("c1").cast("long") * (k1 + 1) + col("c2")).as("cid"),
+          col("c1").as("kcid"), col("unit"))
+        .cache()
+      assigned.count() // materialize before releasing the resid cache
+      resid.unpersist(blocking = false)
+      (assigned, cents1.select(col("cid").as("kcid"), col("cunit")), n)
+    }
   }
 
   /** Semantic near-duplicate pairs — SemDeDup (Abbas et al. 2023,
@@ -566,12 +599,13 @@ object Dedup {
     */
   def semanticNearDup(emb: DataFrame, threshold: Double = 0.8,
                       targetCluster: Int = 1024, nClusters: Int = 0,
+                      twoLevelK: Int = 4096,
                       idCol: String = "vec_id",
                       vecCol: String = "embedding"): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val (assigned, _, n) =
-      semanticAssign(emb, targetCluster, nClusters, idCol, vecCol)
+      semanticAssign(emb, targetCluster, nClusters, twoLevelK, idCol, vecCol)
     if (n == 0)
       return Seq.empty[(Long, Long, Double)].toDF("id_a", "id_b", "cosine")
     val out = assigned.as("a").join(assigned.as("b"),
@@ -580,6 +614,7 @@ object Dedup {
         graft.catalyst.GraftFunctions.dot_arr($"a.unit", $"b.unit")
           .as("cosine"))
       .filter(col("cosine") >= threshold)
+      .distinct() // multi-probe cells can surface a pair twice
     graft.core.Materialize.releasing(out, Seq(assigned))
   }
 
@@ -592,12 +627,13 @@ object Dedup {
     */
   def semanticDedup(emb: DataFrame, threshold: Double = 0.8,
                     targetCluster: Int = 1024, nClusters: Int = 0,
+                    twoLevelK: Int = 4096,
                     idCol: String = "vec_id",
                     vecCol: String = "embedding"): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val (assigned, cents, n) =
-      semanticAssign(emb, targetCluster, nClusters, idCol, vecCol)
+    val (assigned, kcents, n) =
+      semanticAssign(emb, targetCluster, nClusters, twoLevelK, idCol, vecCol)
     if (n == 0)
       return Seq.empty[(Long, Long, Boolean)]
         .toDF("id", "component", "keep")
@@ -611,7 +647,7 @@ object Dedup {
     // keep rule needs each member's similarity to its OWN centroid —
     // recomputed here (assignNearest's max_by discards it); one
     // broadcast join against the k-row centroid frame
-    val csim = assigned.join(broadcast(cents), "cid")
+    val csim = assigned.join(broadcast(kcents), "kcid")
       .select(col("id"),
         graft.catalyst.GraftFunctions.dot_arr(col("unit"), col("cunit"))
           .as("csim"))

@@ -96,6 +96,58 @@ object Similarity {
   def scatteredCentroids(corpus: DataFrame, nCentroids: Int): DataFrame =
     lloydCentroids(corpus, nCentroids, scattered = true)
 
+  /** Euclidean k-means over RAW (unnormalized) vectors — for residual
+    * quantization, where cosine assignment is wrong: two near-identical
+    * vectors close to their coarse centroid have tiny residuals whose
+    * DIRECTIONS diverge arbitrarily (normalization amplifies the
+    * difference), while their Euclidean nearest residual-centroid stays
+    * shared. argmin |r−c|² = argmax (r·c − ½|c|²); ties by min cid.
+    * Input (id, vec: array<double>); returns (cid, cvec, cn2).
+    */
+  def euclidCentroids(frame: DataFrame, nCentroids: Int): DataFrame = {
+    val f = frame.select(col("id"), col("vec")).cache()
+    val ord = Seq(xxhash64(col("id")), col("id"))
+    val seeds = f.orderBy(ord: _*).limit(nCentroids)
+      .withColumn("cid", row_number().over(Window.orderBy(ord: _*)) - 1)
+      .select(col("cid"), col("vec").as("cvec"))
+      .withColumn("cn2", aggregate(transform(col("cvec"), x => x * x),
+        lit(0.0), (a, x) => a + x))
+    val assigned = assignNearestEuclid(f, seeds)
+    val dim = f.select(size(col("vec"))).head().getInt(0)
+    val out = assigned.groupBy("cid")
+      .agg(array((0 until dim).map(i => avg(col("vec")(i))): _*).as("cvec"))
+      .withColumn("cn2", aggregate(transform(col("cvec"), x => x * x),
+        lit(0.0), (a, x) => a + x))
+    graft.core.Materialize.releasing(out, Seq(f))
+  }
+
+  /** Euclidean nearest-centroid assignment: max_by over
+    * (r·c − ½|c|², −cid) — the same windowless partial-agg shape as
+    * [[assignNearest]]. Input (id, vec); centroids (cid, cvec, cn2).
+    * `probes` > 1 emits the top-`probes` cells per id (multi-probe:
+    * candidate-generation recall at Voronoi boundaries; the partial
+    * top-k aggregate keeps the same tie rule, score desc then min cid).
+    */
+  private[graft] def assignNearestEuclid(f: DataFrame,
+      cents: DataFrame, probes: Int = 1): DataFrame = {
+    val scored = f.crossJoin(broadcast(cents))
+      .select(col("id"), col("vec"), col("cid"),
+        (graft.catalyst.GraftFunctions.dot_arr(col("vec"), col("cvec"))
+          - lit(0.5) * col("cn2")).as("score"))
+    if (probes <= 1)
+      scored.groupBy("id")
+        .agg(max_by(col("cid"), struct(col("score"), negate(col("cid"))))
+          .as("cid"),
+          first(col("vec")).as("vec"))
+    else
+      scored.groupBy("id")
+        .agg(graft.catalyst.TopKAgg.topk(probes)(
+          col("score"), col("cid").cast("long")).as("top"),
+          first(col("vec")).as("vec"))
+        .select(col("id"), explode(col("top")).as("t"), col("vec"))
+        .select(col("id"), col("t._2").cast("int").as("cid"), col("vec"))
+  }
+
   private def lloydCentroids(corpus: DataFrame, nCentroids: Int,
       scattered: Boolean): DataFrame = {
     val c = normalized(corpus).cache()

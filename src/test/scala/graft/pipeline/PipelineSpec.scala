@@ -186,6 +186,59 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("semantic dedup two-level residual path: same guarantees as flat") {
+    import spark.implicits._
+    // same planted-group fixture shape as the flat test, but the
+    // two-level (coarse + Euclidean-residual) cells forced on by a low
+    // twoLevelK — the regime a 10^9-vector corpus runs in, exercised
+    // mechanically at small n
+    val dim = 32
+    val rnd = new scala.util.Random(13)
+    def unitv(): Array[Double] = {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val groups = (0 until 12).map { g =>
+      val c = unitv()
+      (0 until 5).map { m =>
+        val v = c.zip(unitv()).map { case (a, b) => a + 0.22 * b }
+        (g * 100L + m, v.map(_.toFloat).toSeq)
+      }
+    }
+    val noise = (0 until 400).map(i => (10000L + i, unitv().map(_.toFloat).toSeq))
+    val emb = (groups.flatten ++ noise).toDF("vec_id", "embedding")
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i =>
+        dp += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i)
+      }
+      dp / math.sqrt(na * nb)
+    }
+    val all = (groups.flatten ++ noise).toMap
+    val tau = 0.8
+    val truePairs = (for {
+      (ia, va) <- all.toSeq; (ib, vb) <- all.toSeq
+      if ia < ib && cos(va, vb) >= tau
+    } yield (ia, ib)).toSet
+    // nClusters=25 > twoLevelK=9 forces two-level with k1=5 coarse x 5
+    // residual cells
+    val found = Dedup.semanticNearDup(emb, threshold = tau,
+        nClusters = 25, twoLevelK = 9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(found.subsetOf(truePairs), s"false positives: ${found -- truePairs}")
+    assert(found.size.toDouble / truePairs.size >= 0.8,
+      s"two-level recall ${found.size}/${truePairs.size}")
+    val res = Dedup.semanticDedup(emb, threshold = tau,
+        nClusters = 25, twoLevelK = 9)
+      .select("id", "component", "keep").as[(Long, Long, Boolean)]
+      .collect()
+    assert(res.length == all.size)
+    assert(res.groupBy(_._2).values.forall(_.count(_._3) == 1))
+    val compOf = res.map(r => r._1 -> r._2).toMap
+    assert(found.forall { case (a, b) => compOf(a) == compOf(b) })
+  }
+
   test("embedding near-dup: planted recall >= 95% at two corpus sizes") {
     import spark.implicits._
     val dim = 32
