@@ -611,6 +611,27 @@ object SparkEntry {
           round(col("stopword_ratio"), 6).as("stopword_ratio"),
           col("quality"))
         .orderBy("id")),
+    "q105_image_resize" -> ((s, dir) => {
+      // decode + bilinear resize to a fixed 8x8 luma — the
+      // normalize-before-featurize step of a vision preprocessing
+      // pipeline; variable-sized real PNGs in (incl. corrupt rows),
+      // fixed-shape binary out. Golden-checked (no SQL mirror for the
+      // JDK PNG decode + interpolation).
+      import s.implicits._
+      val media = SynthGeo.table(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("id"))
+        .as[Long]
+        .map { id =>
+          val bytes =
+            if (id % 7 == 0) Array[Byte](0x42, 0x41, 0x44, 0x21, 0, 1, 2, 3)
+            else graft.pipeline.Multimodal.synthPng(
+              4 + (id % 13).toInt, 3 + (id % 7).toInt, id * 2654435761L)
+          (id, bytes)
+        }.toDF("id", "bytes")
+      graft.pipeline.Multimodal.resize(media, 8, 8,
+          decoder = graft.pipeline.Multimodal.ImageIoDecoder)
+        .orderBy("id")
+    }),
     "q59_multimodal_image" -> ((s, dir) => {
       // REAL decode path: deterministic PNGs synthesized per doc through
       // the JDK PNG writer (distributed, one image per row), decoded back

@@ -183,6 +183,69 @@ object Multimodal {
         "pixel_mean", "pixel_sd")
   }
 
+  /** Bilinear resize of a decoded luma plane — the standard
+    * normalize-before-featurize step (thumbnailing for perceptual
+    * hashes, fixed input shapes for a vision model's preprocessing).
+    * Deterministic pure-integer-in/float-math/round-half-up-out; sample
+    * positions use the half-pixel (align-corners=false) convention
+    * shared by PIL/OpenCV. Degenerate inputs (undecodable, zero target)
+    * return the Undecodable-style empty image.
+    */
+  def resizeImage(img: DecodedImage, outW: Int, outH: Int): DecodedImage = {
+    val w = img.meta.width; val h = img.meta.height
+    if (w <= 0 || h <= 0 || outW <= 0 || outH <= 0 ||
+        img.pixels.length < w * h)
+      return DecodedImage(ImageMeta(0, 0, 0, "undecodable"),
+        Array.emptyByteArray)
+    val out = new Array[Byte](outW * outH)
+    val sx = w.toDouble / outW; val sy = h.toDouble / outH
+    val px = img.pixels
+    var oy = 0
+    while (oy < outH) {
+      val fy = (oy + 0.5) * sy - 0.5
+      val y0 = math.max(0, math.min(h - 1, math.floor(fy).toInt))
+      val y1 = math.min(h - 1, y0 + 1)
+      val wy = math.max(0.0, math.min(1.0, fy - y0))
+      var ox = 0
+      while (ox < outW) {
+        val fx = (ox + 0.5) * sx - 0.5
+        val x0 = math.max(0, math.min(w - 1, math.floor(fx).toInt))
+        val x1 = math.min(w - 1, x0 + 1)
+        val wx = math.max(0.0, math.min(1.0, fx - x0))
+        val p00 = px(y0 * w + x0) & 0xFF; val p01 = px(y0 * w + x1) & 0xFF
+        val p10 = px(y1 * w + x0) & 0xFF; val p11 = px(y1 * w + x1) & 0xFF
+        val v = (p00 * (1 - wx) + p01 * wx) * (1 - wy) +
+          (p10 * (1 - wx) + p11 * wx) * wy
+        out(oy * outW + ox) = math.round(v).toInt.min(255).max(0).toByte
+        ox += 1
+      }
+      oy += 1
+    }
+    DecodedImage(ImageMeta(outW, outH, img.meta.channels,
+      img.meta.format + "-resized"), out)
+  }
+
+  /** media: (id, bytes) → (id, width, height, luma) resized to a fixed
+    * shape — decode + bilinear resize per partition batch, the same
+    * batch contract as [[imageFeatures]]. The output luma is the
+    * binary column a downstream featurizer consumes.
+    */
+  def resize(media: DataFrame, outW: Int, outH: Int,
+             decoder: Decoder = FakeDecoder, idCol: String = "id",
+             binCol: String = "bytes"): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long").as("id"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val d = decoder
+        it.map { case (id, bytes) =>
+          val r = resizeImage(d.decodeImage(bytes), outW, outH)
+          (id, r.meta.width, r.meta.height, r.pixels)
+        }
+      }.toDF("id", "width", "height", "luma")
+  }
+
   /** 64-bit perceptual average-hash (aHash) of a decoded luma plane:
     * block means over an 8×8 partition of the image, bit i set when
     * cell i exceeds the grid mean. Invariant to uniform brightness

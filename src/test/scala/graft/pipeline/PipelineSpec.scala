@@ -481,6 +481,50 @@ class PipelineSpec extends AnyFunSuite {
     assert(!pairs.exists { case (a, b) => a == 200L || b == 200L })
   }
 
+  test("bilinear resize: identity exact, constant preserved, real PNG batch shape") {
+    import spark.implicits._
+    import Multimodal.{DecodedImage, ImageMeta}
+    // identity resize returns the pixels bit-exactly (half-pixel sample
+    // positions land on integer coordinates with zero weight)
+    val grad = DecodedImage(ImageMeta(8, 4, 1, "gray"),
+      Array.tabulate(32)(i => ((i * 7) % 256).toByte))
+    val id8 = Multimodal.resizeImage(grad, 8, 4)
+    assert(id8.pixels.toSeq == grad.pixels.toSeq && id8.meta.width == 8)
+    // constant image stays constant at any scale (bilinear is an
+    // interpolation — convex weights can't leave the value range)
+    val const = DecodedImage(ImageMeta(5, 7, 1, "gray"),
+      Array.fill(35)(128.toByte))
+    for ((w, h) <- Seq((3, 2), (10, 14), (1, 1)))
+      assert(Multimodal.resizeImage(const, w, h).pixels
+        .forall(b => (b & 0xFF) == 128), s"$w x $h")
+    // horizontal ramp stays monotone under downscale
+    val ramp = DecodedImage(ImageMeta(16, 2, 1, "gray"),
+      Array.tabulate(32)(i => ((i % 16) * 16).toByte))
+    val down = Multimodal.resizeImage(ramp, 8, 2).pixels.take(8)
+      .map(_ & 0xFF)
+    assert(down.sliding(2).forall(p => p(0) <= p(1)), down.toSeq)
+    // degenerate inputs -> empty undecodable, not a throw
+    assert(Multimodal.resizeImage(
+      DecodedImage(ImageMeta(0, 0, 0, "undecodable"),
+        Array.emptyByteArray), 8, 8).meta.format == "undecodable")
+    assert(Multimodal.resizeImage(grad, 0, 8).pixels.isEmpty)
+    // DataFrame op over real PNG decodes: fixed output shape per row,
+    // corrupt blob rows survive with empty luma
+    val media = (0L until 12L).map { i =>
+      (i, if (i == 5) Array[Byte](1, 2, 3)
+          else Multimodal.synthPng(32, 24, 100 + i))
+    }.toDF("id", "bytes")
+    val out = Multimodal.resize(media, 8, 8,
+        decoder = Multimodal.ImageIoDecoder)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getAs[Array[Byte]]("luma").length)).sortBy(_._1)
+    assert(out.length == 12)
+    out.foreach { case (id, w, h, n) =>
+      if (id == 5) assert(w == 0 && n == 0)
+      else assert(w == 8 && h == 8 && n == 64, s"id=$id")
+    }
+  }
+
   test("multimodal frame sampling: animated GIF yields every Nth frame") {
     import spark.implicits._
     // 4-frame animated GIF via the JDK gif writer; frame f is a flat
