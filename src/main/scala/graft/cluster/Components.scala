@@ -37,19 +37,6 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
-  /** Component label per node: `(id, component)` where `component` is
-    * the minimum node id reachable from `id` (the canonical
-    * representative). Edges are undirected; self-loops, duplicates and
-    * either orientation are tolerated. `nodes`, when given, is the node
-    * universe (one id column `nodeCol`) — ids absent from every edge
-    * come back as singleton components of themselves (isolates).
-    *
-    * Each round materializes the shrinking edge set via the engine's
-    * scoped-release checkpoint (local by default,
-    * `spark.graft.checkpoint.reliable=true` for the cluster story), so
-    * lineage stays O(1) across rounds and a killed job resumes from the
-    * last round's blocks rather than round zero.
-    */
   /** Exact finish for a small surviving edge set: union-find on the
     * driver, returned as the SAME star-edge shape the alternation
     * converges to — (component-min u, member v), v > u, deduped — so the
@@ -58,8 +45,13 @@ object Components {
     */
   private def driverFinish(e: DataFrame): DataFrame = {
     val spark = e.sparkSession
-    val pairs = e.select("u", "v").collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
+    import spark.implicits._
+    // typed collect (Tuple2 encoder), not Row collect: at the default
+    // 10^6-edge threshold the boxed-Row form transiently holds ~100 MB
+    // of GenericRow scaffolding on a heap this sandbox caps at 12g;
+    // tuples keep the transient closer to ~50 MB and the retained
+    // working set (parent map + star array) well under that
+    val pairs = e.select(col("u"), col("v")).as[(Long, Long)].collect()
     val parent = new java.util.HashMap[Long, Long]()
     def find(x: Long): Long = {
       var r = x
@@ -83,10 +75,22 @@ object Components {
       .map(x => (find(x), x))
       .filter { case (m, x) => m != x }
       .toArray.distinct
-    import spark.implicits._
     spark.createDataset(star.toSeq).toDF("u", "v")
   }
 
+  /** Component label per node: `(id, component)` where `component` is
+    * the minimum node id reachable from `id` (the canonical
+    * representative). Edges are undirected; self-loops, duplicates and
+    * either orientation are tolerated. `nodes`, when given, is the node
+    * universe (one id column `nodeCol`) — ids absent from every edge
+    * come back as singleton components of themselves (isolates).
+    *
+    * Each round materializes the shrinking edge set via the engine's
+    * scoped-release checkpoint (local by default,
+    * `spark.graft.checkpoint.reliable=true` for the cluster story), so
+    * lineage stays O(1) across rounds and a killed job resumes from the
+    * last round's blocks rather than round zero.
+    */
   def connected(edges: DataFrame, aCol: String = "id_a",
                 bCol: String = "id_b", nodes: Option[DataFrame] = None,
                 nodeCol: String = "id", maxIter: Int = 50): DataFrame = {
@@ -117,7 +121,8 @@ object Components {
     // Once the surviving set fits comfortably on the driver, collect it
     // and finish with union-find: bit-identical labels (component = min
     // member id either way), ~half the rounds at small n and the tail
-    // rounds at any n. 10^6 edges = 16 MB collected — driver-trivial,
+    // rounds at any n. 10^6 edges = 16 MB of longs (~50 MB transient
+    // with tuple boxing during the typed collect) — driver-trivial,
     // while 100-TB inputs still do all real volume distributed.
     val driverFinishEdges = edges.sparkSession.conf
       .getOption("spark.graft.cc.driverFinishEdges").map(_.toLong)

@@ -528,24 +528,54 @@ object Dedup {
     *     normalizing would split exactly the pairs that matter most.
     *     The keep rule measures similarity to the COARSE centroid.
     */
+  /** Returned `multiProbe` tells the caller whether a pair can surface
+    * from more than one cell (two-level top-2 probing) and so needs a
+    * distinct — the flat path's pairs are unique by construction and
+    * must not pay that shuffle.
+    */
+  private case class SemAssign(assigned: DataFrame, kcents: DataFrame,
+                               n: Long, multiProbe: Boolean)
+
   private def semanticAssign(emb: DataFrame, targetCluster: Int,
       nClusters0: Int, twoLevelK: Int, idCol: String, vecCol: String)
-      : (DataFrame, DataFrame, Long) = {
+      : SemAssign = {
     val renamed = emb.select(col(idCol).cast("long").as("vec_id"),
       col(vecCol).as("embedding"))
-    val n = renamed.count()
-    if (n == 0) return (null, null, 0L)
-    val k =
-      if (nClusters0 > 0) nClusters0
-      else math.max(1L, n / math.max(1, targetCluster)).toInt
-    if (k <= twoLevelK) {
+    // with an explicit cluster count only an emptiness probe is needed —
+    // a full count() would replay the (possibly expensive, uncached)
+    // upstream plan once before any clustering work
+    val n: Long =
+      if (nClusters0 > 0) { if (renamed.isEmpty) 0L else -1L }
+      else renamed.count()
+    if (n == 0) return SemAssign(null, null, 0L, multiProbe = false)
+    // k stays a Long until the branch: at n beyond ~2·10^12 the
+    // Int-narrowed quotient wraps negative, which would silently route
+    // a trillion-vector corpus to the flat path with a garbage k
+    val kL: Long =
+      if (nClusters0 > 0) nClusters0.toLong
+      else math.max(1L, n / math.max(1, targetCluster))
+    if (kL <= twoLevelK) {
+      val k = kL.toInt // <= twoLevelK, Int-safe
       val cents = Similarity.scatteredCentroids(renamed, k)
       val assigned = Similarity.assignNearest(
           Similarity.normalized(renamed), cents)
         .withColumn("kcid", col("cid")).cache()
-      (assigned, cents.select(col("cid").as("kcid"), col("cunit")), n)
+      SemAssign(assigned,
+        cents.select(col("cid").as("kcid"), col("cunit")), n,
+        multiProbe = false)
     } else {
-      val k1 = math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt)
+      // √k per level, each capped at 65536 (the centroid broadcast
+      // bound) → ≤ 2^32 cells; beyond n ≈ 2^32·targetCluster (~4·10^15
+      // vectors at the default) occupancy grows past target — warn,
+      // don't wrap
+      val k1 = math.min(65536L,
+        math.max(2L, math.ceil(math.sqrt(kL.toDouble)).toLong)).toInt
+      if (nClusters0 <= 0 && math.ceil(math.sqrt(kL.toDouble)) > 65536)
+        log.warn(s"semanticNearDup: corpus n=$n wants $kL cells for " +
+          s"~$targetCluster-vector cells but both levels cap at 65536 " +
+          f"centroids — expected cell occupancy ~${
+            n.toDouble / (65536.0 * 65536.0)}%.0f; pair volume grows " +
+          "quadratically with it. Raise targetCluster knowingly.")
       val cents1 = Similarity.scatteredCentroids(renamed, k1)
       val a1 = Similarity.assignNearest(
         Similarity.normalized(renamed), cents1)
@@ -569,7 +599,9 @@ object Dedup {
         .cache()
       assigned.count() // materialize before releasing the resid cache
       resid.unpersist(blocking = false)
-      (assigned, cents1.select(col("cid").as("kcid"), col("cunit")), n)
+      SemAssign(assigned,
+        cents1.select(col("cid").as("kcid"), col("cunit")), n,
+        multiProbe = true)
     }
   }
 
@@ -604,17 +636,20 @@ object Dedup {
                       vecCol: String = "embedding"): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val (assigned, _, n) =
+    val sa =
       semanticAssign(emb, targetCluster, nClusters, twoLevelK, idCol, vecCol)
-    if (n == 0)
+    if (sa.n == 0)
       return Seq.empty[(Long, Long, Double)].toDF("id_a", "id_b", "cosine")
-    val out = assigned.as("a").join(assigned.as("b"),
+    val assigned = sa.assigned
+    val paired = assigned.as("a").join(assigned.as("b"),
         $"a.cid" === $"b.cid" && $"a.id" < $"b.id")
       .select($"a.id".as("id_a"), $"b.id".as("id_b"),
         graft.catalyst.GraftFunctions.dot_arr($"a.unit", $"b.unit")
           .as("cosine"))
       .filter(col("cosine") >= threshold)
-      .distinct() // multi-probe cells can surface a pair twice
+    // only the multi-probe two-level path can surface a pair twice;
+    // flat-path pairs are unique by construction — no distinct shuffle
+    val out = if (sa.multiProbe) paired.distinct() else paired
     graft.core.Materialize.releasing(out, Seq(assigned))
   }
 
@@ -632,11 +667,13 @@ object Dedup {
                     vecCol: String = "embedding"): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val (assigned, kcents, n) =
+    val sa =
       semanticAssign(emb, targetCluster, nClusters, twoLevelK, idCol, vecCol)
-    if (n == 0)
+    if (sa.n == 0)
       return Seq.empty[(Long, Long, Boolean)]
         .toDF("id", "component", "keep")
+    val assigned = sa.assigned
+    val kcents = sa.kcents
     val pairs = assigned.as("a").join(assigned.as("b"),
         $"a.cid" === $"b.cid" && $"a.id" < $"b.id")
       .filter(graft.catalyst.GraftFunctions.dot_arr($"a.unit", $"b.unit")

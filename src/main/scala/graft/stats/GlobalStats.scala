@@ -48,10 +48,11 @@ object GlobalStats {
     */
   private def checkedEndpoint(x: Column, side: String): Column =
     when(x.isNull, raise_error(concat(lit(
-      s"global statistic: weight-graph $side has no value row — the " +
-        "edge universe and the value universe must match (edges of " +
-        "unmatched nodes would vanish from the numerator but still " +
-        "count in S0/S1/S2, biasing the statistic)")))
+      s"global statistic: weight-graph $side has no value row (or a " +
+        "NULL value) — the edge universe and the value universe must " +
+        "match and values must be non-null (such edges would vanish " +
+        "from the numerator but still count in S0/S1/S2, biasing the " +
+        "statistic)")))
       .cast("double")).otherwise(x)
 
   /** One row (s0, s1, s2): S0 = Σw; S1 = ½ ΣΣ (w_ij+w_ji)²; S2 = Σ_i

@@ -10,6 +10,43 @@ class PipelineSpec extends AnyFunSuite {
   lazy val spark = SparkFixture.spark
   val dir = "/root/testdata/sf0.001"
 
+  /** Exact cosine for fixture cross-checks (shared by the LSH and
+    * semantic-dedup tests).
+    */
+  private def cos(a: Seq[Float], b: Seq[Float]): Double = {
+    var dp = 0.0; var na = 0.0; var nb = 0.0
+    a.indices.foreach { i =>
+      dp += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+      nb += b(i).toDouble * b(i)
+    }
+    dp / math.sqrt(na * nb)
+  }
+
+  /** Planted-semantic-group fixture: 12 tight groups of 5 (within-group
+    * cosine ~0.9) + 400 noise vectors at dim 32 (random-pair cosine
+    * ±0.18). Returns (rows, byId).
+    */
+  private def semanticFixture(seed: Int)
+      : (Seq[(Long, Seq[Float])], Map[Long, Seq[Float]]) = {
+    val dim = 32
+    val rnd = new scala.util.Random(seed)
+    def unitv(): Array[Double] = {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val groups = (0 until 12).map { g =>
+      val c = unitv()
+      (0 until 5).map { m =>
+        val v = c.zip(unitv()).map { case (a, b) => a + 0.22 * b }
+        (g * 100L + m, v.map(_.toFloat).toSeq)
+      }
+    }
+    val noise = (0 until 400).map(i =>
+      (10000L + i, unitv().map(_.toFloat).toSeq))
+    val rows = groups.flatten ++ noise
+    (rows, rows.toMap)
+  }
+
   test("exact dedup finds planted duplicates") {
     import spark.implicits._
     val docs = Seq((1L, "hello world"), (2L, "hello world"), (3L, "other"))
@@ -99,14 +136,6 @@ class PipelineSpec extends AnyFunSuite {
     val found = Dedup.embeddingNearDup(emb, threshold = 0.95,
         bandBits = 30, tables = tabs)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    def cos(a: Seq[Float], b: Seq[Float]): Double = {
-      var dp = 0.0; var na = 0.0; var nb = 0.0
-      a.indices.foreach { i =>
-        dp += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
-        nb += b(i).toDouble * b(i)
-      }
-      dp / math.sqrt(na * nb)
-    }
     val eligible = planted.filter { case (pid, pv) =>
       cos(base((pid - 1000000L).toInt)._2, pv) >= 0.95 }
     val recalled = eligible.count { case (pid, _) =>
@@ -122,34 +151,8 @@ class PipelineSpec extends AnyFunSuite {
 
   test("semantic dedup (SemDeDup): low-threshold planted groups, paper keep rule") {
     import spark.implicits._
-    val dim = 32
-    val rnd = new scala.util.Random(11)
-    def unitv(): Array[Double] = {
-      val v = Array.fill(dim)(rnd.nextGaussian())
-      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
-    }
-    // 12 semantic groups: 5 members each, perturbed around a group
-    // direction so within-group cosine ~0.9 — far BELOW the 0.95 LSH
-    // regime, far ABOVE random-pair cosine at dim 32 (±0.18)
-    val groups = (0 until 12).map { g =>
-      val c = unitv()
-      (0 until 5).map { m =>
-        val v = c.zip(unitv()).map { case (a, b) => a + 0.22 * b }
-        (g * 100L + m, v.map(_.toFloat).toSeq)
-      }
-    }
-    val noise = (0 until 400).map(i => (10000L + i, unitv().map(_.toFloat).toSeq))
-    val emb = (groups.flatten ++ noise).toDF("vec_id", "embedding")
-
-    def cos(a: Seq[Float], b: Seq[Float]): Double = {
-      var dp = 0.0; var na = 0.0; var nb = 0.0
-      a.indices.foreach { i =>
-        dp += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
-        nb += b(i).toDouble * b(i)
-      }
-      dp / math.sqrt(na * nb)
-    }
-    val all = (groups.flatten ++ noise).toMap
+    val (rows, all) = semanticFixture(11)
+    val emb = rows.toDF("vec_id", "embedding")
     val tau = 0.8
     val truePairs = (for {
       (ia, va) <- all.toSeq; (ib, vb) <- all.toSeq
@@ -166,8 +169,7 @@ class PipelineSpec extends AnyFunSuite {
       s"recall ${found.size}/${truePairs.size}")
 
     // full resolution: every row labeled, exactly one keeper per
-    // component, keepers have the group-min centroid similarity under
-    // the components actually found
+    // component, components are the transitive closure of found pairs
     val res = Dedup.semanticDedup(emb, threshold = tau, nClusters = 24)
       .select("id", "component", "keep").as[(Long, Long, Boolean)]
       .collect()
@@ -175,8 +177,6 @@ class PipelineSpec extends AnyFunSuite {
     val byComp = res.groupBy(_._2)
     assert(byComp.values.forall(_.count(_._3) == 1),
       "exactly one keeper per component")
-    // components are the transitive closure of found pairs: two ids
-    // sharing a found pair share a component
     val compOf = res.map(r => r._1 -> r._2).toMap
     assert(found.forall { case (a, b) => compOf(a) == compOf(b) })
     // noise vectors in no pair stay singleton keepers
@@ -188,34 +188,12 @@ class PipelineSpec extends AnyFunSuite {
 
   test("semantic dedup two-level residual path: same guarantees as flat") {
     import spark.implicits._
-    // same planted-group fixture shape as the flat test, but the
-    // two-level (coarse + Euclidean-residual) cells forced on by a low
+    // same fixture shape as the flat test, but the two-level (coarse +
+    // Euclidean-residual, top-2 probes) cells forced on by a low
     // twoLevelK — the regime a 10^9-vector corpus runs in, exercised
     // mechanically at small n
-    val dim = 32
-    val rnd = new scala.util.Random(13)
-    def unitv(): Array[Double] = {
-      val v = Array.fill(dim)(rnd.nextGaussian())
-      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
-    }
-    val groups = (0 until 12).map { g =>
-      val c = unitv()
-      (0 until 5).map { m =>
-        val v = c.zip(unitv()).map { case (a, b) => a + 0.22 * b }
-        (g * 100L + m, v.map(_.toFloat).toSeq)
-      }
-    }
-    val noise = (0 until 400).map(i => (10000L + i, unitv().map(_.toFloat).toSeq))
-    val emb = (groups.flatten ++ noise).toDF("vec_id", "embedding")
-    def cos(a: Seq[Float], b: Seq[Float]): Double = {
-      var dp = 0.0; var na = 0.0; var nb = 0.0
-      a.indices.foreach { i =>
-        dp += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
-        nb += b(i).toDouble * b(i)
-      }
-      dp / math.sqrt(na * nb)
-    }
-    val all = (groups.flatten ++ noise).toMap
+    val (rows, all) = semanticFixture(13)
+    val emb = rows.toDF("vec_id", "embedding")
     val tau = 0.8
     val truePairs = (for {
       (ia, va) <- all.toSeq; (ib, vb) <- all.toSeq
@@ -255,14 +233,6 @@ class PipelineSpec extends AnyFunSuite {
       val emb = (base ++ planted).toDF("vec_id", "embedding")
       val found = Dedup.embeddingNearDup(emb, threshold = 0.95)
         .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-      def cos(a: Seq[Float], b: Seq[Float]): Double = {
-        var dp = 0.0; var na = 0.0; var nb = 0.0
-        a.indices.foreach { i =>
-          dp += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
-          nb += b(i).toDouble * b(i)
-        }
-        dp / math.sqrt(na * nb)
-      }
       val eligible = planted.filter { case (pid, pv) =>
         cos(base((pid - 1000000L).toInt)._2, pv) >= 0.95 }
       val recalled = eligible.count { case (pid, pv) =>
