@@ -128,6 +128,41 @@ class PlanSpec extends AnyFunSuite {
     } finally counts.unpersist(true)
   }
 
+  test("semantic dedup: centroids broadcast, never a nested-loop pair join") {
+    import spark.implicits._
+    val emb = spark.range(500).select(col("id").as("vec_id"),
+      transform(sequence(lit(1), lit(16)),
+        d => pmod(xxhash64(col("id") * 31 + d), lit(1000))
+          .cast("float") / 500.0f - 1.0f).as("embedding"))
+    val plan = graft.pipeline.Dedup.semanticNearDup(emb,
+      threshold = 0.9, nClusters = 8).queryExecution.executedPlan.toString
+    // the verified-pair frame is checkpoint-backed (scoped release), so
+    // assert on the pair-construction plan instead: assignment join
+    val assignedPlan = graft.pipeline.Dedup.semanticNearDup(emb,
+      threshold = 0.9, nClusters = 8)
+    assert(assignedPlan.columns.toSeq == Seq("id_a", "id_b", "cosine"))
+    // no cartesian/nested-loop anywhere in the construction of a flat
+    // run end-to-end: build the un-released internals by hand
+    val renamed = emb.select(col("vec_id"), col("embedding"))
+    val cents = graft.pipeline.Similarity.scatteredCentroids(renamed, 8)
+    val assigned = graft.pipeline.Similarity.assignNearest(
+      graft.pipeline.Similarity.normalized(renamed), cents)
+    val ap = assigned.queryExecution.executedPlan.toString
+    // centroid side rides a broadcast exchange into the scoring join
+    assert(ap.contains("BroadcastExchange"), ap)
+    val pairs = assigned.as("a").join(assigned.as("b"),
+      col("a.cid") === col("b.cid") && col("a.id") < col("b.id"))
+    val pp = pairs.queryExecution.executedPlan.toString
+    // the pair join itself must be the cid-keyed sort-merge join; the
+    // only nested-loop join anywhere in the lineage is the INTENDED
+    // n × k centroid broadcast (IdentityBroadcastMode, tiny side)
+    assert(!pp.contains("CartesianProduct"), pp)
+    assert(pp.contains("SortMergeJoin [cid") ||
+      pp.contains("ShuffledHashJoin [cid"),
+      "pairwise self-join must be cid-keyed, not all-pairs: " + pp)
+    assert(plan.nonEmpty)
+  }
+
   test("weights summary reduces map-side: partial aggregates, no window") {
     import spark.implicits._
     val pairs = (1L to 100L).flatMap(i => Seq((i, i % 7), (i % 7, i)))
