@@ -1746,6 +1746,80 @@ object OracleSql {
          SELECT qid, id, CAST(rk AS BIGINT) AS rk, (round(cosine, 6) + 0.0) AS cosine
          FROM ranked WHERE rk <= 10 ORDER BY qid, rk""",
 
+    // SemDeDup flat path, replayed end to end: the h0..hx CTE chain is
+    // Spark's xxhash64(bigint) (seed 42, XXH64 one-lane finalization)
+    // in HUGEINT mod-2^64 arithmetic — 64-bit multiplies go through
+    // 32-bit limbs because a HUGEINT product of two 64-bit values can
+    // overflow 2^127; rotations are (x*2^r mod 2^64) + (x div 2^(64-r));
+    // logical right shifts are floor division (values are non-negative).
+    // Verified bit-exact against Spark's xxhash64 before wiring in.
+    // Then: hash-scattered seed draw (ORDER BY xx, id LIMIT k — exactly
+    // Similarity.scatteredCentroids), one Lloyd sweep (q57b's pattern),
+    // cid-keyed exact-cosine pairs at threshold 0.85, recursive-CTE
+    // min-label connected components (q87's pattern, labels only
+    // propagate downhill), and the keep rule: per component, lowest
+    // similarity-to-own-centroid wins, ties by min id.
+    "q104_semantic_dedup" ->
+      """WITH RECURSIVE
+         corp AS (
+           SELECT CAST(vec_id AS BIGINT) AS id, embedding FROM embeddings
+           UNION ALL
+           SELECT CAST(vec_id AS BIGINT) + 1000000, embedding FROM embeddings),
+         nrm AS (SELECT id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM corp),
+         u AS (SELECT id, CASE WHEN nr = 0 THEN v ELSE list_transform(v, x -> x / nr) END AS unit
+               FROM (SELECT id, v, sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nr FROM nrm) t),
+         h0 AS (SELECT id, CAST(id AS HUGEINT) AS x FROM corp),
+         h1 AS (SELECT id, (((x)%4294967296)*668265295 + ((((x)//4294967296)*668265295 + ((x)%4294967296)*3266489917) % 4294967296) * 4294967296) % 18446744073709551616 AS x FROM h0),
+         h2 AS (SELECT id, (((x) * 2147483648::HUGEINT) % 18446744073709551616 + (x) // 8589934592::HUGEINT) AS x FROM h1),
+         h3 AS (SELECT id, (((x)%4294967296)*2246822535 + ((((x)//4294967296)*2246822535 + ((x)%4294967296)*2654435761) % 4294967296) * 4294967296) % 18446744073709551616 AS x FROM h2),
+         h4 AS (SELECT id, xor(2870177450012600311::HUGEINT, x) AS x FROM h3),
+         h5 AS (SELECT id, (((x) * 134217728::HUGEINT) % 18446744073709551616 + (x) // 137438953472::HUGEINT) AS x FROM h4),
+         h6 AS (SELECT id, ((((x)%4294967296)*2246822535 + ((((x)//4294967296)*2246822535 + ((x)%4294967296)*2654435761) % 4294967296) * 4294967296) % 18446744073709551616 + 9650029242287828579) % 18446744073709551616 AS x FROM h5),
+         h7 AS (SELECT id, xor(x, x // 8589934592::HUGEINT) AS x FROM h6),
+         h8 AS (SELECT id, (((x)%4294967296)*668265295 + ((((x)//4294967296)*668265295 + ((x)%4294967296)*3266489917) % 4294967296) * 4294967296) % 18446744073709551616 AS x FROM h7),
+         h9 AS (SELECT id, xor(x, x // 536870912::HUGEINT) AS x FROM h8),
+         ha AS (SELECT id, (((x)%4294967296)*2654435833 + ((((x)//4294967296)*2654435833 + ((x)%4294967296)*374761393) % 4294967296) * 4294967296) % 18446744073709551616 AS x FROM h9),
+         hx AS (SELECT id, CAST(CASE WHEN y >= 9223372036854775808::HUGEINT
+                       THEN y - 18446744073709551616::HUGEINT ELSE y END AS BIGINT) AS xx
+                FROM (SELECT id, xor(x, x // 4294967296::HUGEINT) AS y FROM ha) t),
+         seeds AS (
+           SELECT CAST(row_number() OVER (ORDER BY hx.xx, u.id) AS INT) - 1 AS cid, u.unit AS cunit
+           FROM u JOIN hx ON u.id = hx.id ORDER BY hx.xx, u.id LIMIT 16),
+         sim1 AS (
+           SELECT c.id, c.unit, s.cid, list_aggregate(list_transform(range(1, len(c.unit) + 1), i -> c.unit[i] * s.cunit[i]), 'sum') AS sim
+           FROM u c CROSS JOIN seeds s),
+         asg AS (SELECT id, unit, cid FROM (
+             SELECT id, unit, cid, row_number() OVER (PARTITION BY id ORDER BY sim DESC, cid) AS rk
+             FROM sim1) t WHERE rk = 1),
+         cpos AS (SELECT cid, pos, avg(unit[CAST(pos AS INT)]) AS m
+                  FROM (SELECT cid, unnest(range(1, len(unit) + 1)) AS pos, unit FROM asg) t
+                  GROUP BY cid, pos),
+         cent AS (SELECT cid, list(m ORDER BY pos) AS cunit FROM cpos GROUP BY cid),
+         sim2 AS (
+           SELECT c.id, c.unit, ct.cid, list_aggregate(list_transform(range(1, len(c.unit) + 1), i -> c.unit[i] * ct.cunit[i]), 'sum') AS sim
+           FROM u c CROSS JOIN cent ct),
+         assigned AS (SELECT id, unit, cid FROM (
+             SELECT id, unit, cid, row_number() OVER (PARTITION BY id ORDER BY sim DESC, cid) AS rk
+             FROM sim2) t WHERE rk = 1),
+         prs AS (
+           SELECT a.id AS u, b.id AS v
+           FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.id < b.id
+           WHERE list_aggregate(list_transform(range(1, len(a.unit) + 1), i -> a.unit[i] * b.unit[i]), 'sum') >= 0.85),
+         eb AS (SELECT u, v FROM prs UNION SELECT v, u FROM prs),
+         reach(id, lbl) AS (
+           SELECT id, id FROM corp
+           UNION
+           SELECT eb.v, r.lbl FROM reach r JOIN eb ON eb.u = r.id WHERE r.lbl < eb.v),
+         cc AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id),
+         csim AS (
+           SELECT a.id, list_aggregate(list_transform(range(1, len(a.unit) + 1), i -> a.unit[i] * ct.cunit[i]), 'sum') AS cs
+           FROM assigned a JOIN cent ct ON a.cid = ct.cid),
+         ranked AS (
+           SELECT cc.id, cc.component,
+             row_number() OVER (PARTITION BY cc.component ORDER BY csim.cs, cc.id) AS rk
+           FROM cc JOIN csim ON cc.id = csim.id)
+         SELECT id, component, (rk = 1) AS keep FROM ranked ORDER BY id""",
+
     "q58b_quality" ->
       """WITH f AS (
            SELECT doc_id AS id,

@@ -55,7 +55,16 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     val goldenGot = scala.collection.mutable.LinkedHashMap.empty[String, (Long, String)]
+    // SPARK_GRAFT_ONLY=q104_semantic_dedup,q87_dup_clusters — builder-side
+    // focused runs (same contract as Bench's filter); the golden compare
+    // below only iterates over queries that actually ran, and golden
+    // REFRESH under a filter merges into the existing file (never truncates)
+    val only: Set[String] = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
     SparkEntry.queries.foreach { case (name, fn) =>
+      if (only.nonEmpty && !only.contains(name)) ()
+      else
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
@@ -81,10 +90,20 @@ object Verify {
     } + "\""
     if (sys.env.get("SPARK_GRAFT_WRITE_GOLDENS").contains("1")) {
       Files.createDirectories(goldenPath.getParent)
-      val body = goldenGot.map { case (n, (rows, h)) => s"$n\t$rows\t$h" }
+      // merge-over-existing so a SPARK_GRAFT_ONLY-filtered refresh never
+      // truncates the other queries' committed entries
+      val merged = scala.collection.mutable.LinkedHashMap.empty[String, (Long, String)]
+      if (Files.exists(goldenPath))
+        Files.readAllLines(goldenPath).toArray(Array.empty[String])
+          .filter(_.nonEmpty).foreach { l =>
+            val Array(n, r, h) = l.split("\t"); merged(n) = (r.toLong, h)
+          }
+      goldenGot.foreach { case (n, v) => merged(n) = v }
+      val body = merged.map { case (n, (rows, h)) => s"$n\t$rows\t$h" }
         .mkString("", "\n", "\n")
       Files.writeString(goldenPath, body)
-      println(s"[verify] wrote ${goldenGot.size} goldens to $goldenPath")
+      println(s"[verify] wrote ${goldenGot.size} goldens to $goldenPath" +
+        s" (${merged.size} total entries)")
     } else if (Files.exists(goldenPath)) {
       val want = Files.readAllLines(goldenPath).toArray(Array.empty[String])
         .filter(_.nonEmpty).map { l =>
