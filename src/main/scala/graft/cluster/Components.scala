@@ -43,7 +43,10 @@ object Components {
     * downstream label fold is shared and the labels are bit-identical to
     * a pure distributed run (both define component = min member id).
     */
-  private def driverFinish(e: DataFrame): DataFrame = {
+  /** @return (star frame, collected edge count, star edge count) — the
+    *         counts are free on the driver and feed the convergence log
+    */
+  private def driverFinish(e: DataFrame): (DataFrame, Int, Int) = {
     val spark = e.sparkSession
     import spark.implicits._
     // typed collect (Tuple2 encoder), not Row collect: at the default
@@ -75,7 +78,8 @@ object Components {
       .map(x => (find(x), x))
       .filter { case (m, x) => m != x }
       .toArray.distinct
-    spark.createDataset(star.toSeq).toDF("u", "v")
+    (spark.createDataset(star.toSeq).toDF("u", "v"),
+      pairs.length, star.length)
   }
 
   /** Component label per node: `(id, component)` where `component` is
@@ -131,9 +135,14 @@ object Components {
     var prev = checksum(e)
     var it = 0
     var converged = prev._1 == 0L
+    // (collected edges, star edges) when the driver union-find finished —
+    // the convergence log otherwise reports stale round-state (prev._1 is
+    // the PRE-finish edge count and `it` can say 0 rounds)
+    var driverFinished: Option[(Int, Int)] = None
 
     if (!converged && prev._1 <= driverFinishEdges) {
-      val star = driverFinish(e)
+      val (star, nIn, nStar) = driverFinish(e)
+      driverFinished = Some((nIn, nStar))
       graft.core.Materialize.release(e)
       e = star
       converged = true
@@ -170,7 +179,8 @@ object Components {
       e = next
       it += 1
       if (!converged && cur._1 <= driverFinishEdges) {
-        val star = driverFinish(e)
+        val (star, nIn, nStar) = driverFinish(e)
+        driverFinished = Some((nIn, nStar))
         graft.core.Materialize.release(e)
         e = star
         converged = true
@@ -179,9 +189,15 @@ object Components {
     require(converged || it < maxIter,
       s"Components.connected did not converge in $maxIter rounds " +
         "(expected O(log^2 n) — raise maxIter for adversarial inputs)")
-    org.slf4j.LoggerFactory.getLogger(getClass).info(
-      s"Components.connected converged in $it rounds " +
-        s"(${prev._1} star edges)")
+    val ccLog = org.slf4j.LoggerFactory.getLogger(getClass)
+    driverFinished match {
+      case Some((nIn, nStar)) => ccLog.info(
+        s"Components.connected: $it distributed round(s), then driver " +
+          s"union-find finished $nIn edges -> $nStar star edges")
+      case None => ccLog.info(
+        s"Components.connected converged in $it rounds " +
+          s"(${prev._1} star edges)")
+    }
 
     // converged edges are stars (component-min -> member); fold both
     // ends through a min-agg so the label read needs no star assumption

@@ -683,8 +683,19 @@ object Dedup {
       nodes = Some(assigned.select(col("id"))), nodeCol = "id")
     // keep rule needs each member's similarity to its OWN centroid —
     // recomputed here (assignNearest's max_by discards it); one
-    // broadcast join against the k-row centroid frame
-    val csim = assigned.join(broadcast(kcents), "kcid")
+    // broadcast join against the k-row centroid frame. The two-level
+    // multi-probe path carries TWO rows per id in `assigned` (one per
+    // probed residual cell) that are value-identical on (id, kcid,
+    // unit) — dedupe to one row per id first, or the duplicate rides
+    // the comp join and doubles the keep-rule aggregation volume at
+    // exactly the scale the two-level path targets (min_by is
+    // duplicate-insensitive, so this is volume, not correctness)
+    val perId =
+      if (sa.multiProbe)
+        assigned.select(col("id"), col("kcid"), col("unit"))
+          .dropDuplicates("id")
+      else assigned
+    val csim = perId.join(broadcast(kcents), "kcid")
       .select(col("id"),
         graft.catalyst.GraftFunctions.dot_arr(col("unit"), col("cunit"))
           .as("csim"))

@@ -126,26 +126,34 @@ object Similarity {
     * [[assignNearest]]. Input (id, vec); centroids (cid, cvec, cn2).
     * `probes` > 1 emits the top-`probes` cells per id (multi-probe:
     * candidate-generation recall at Voronoi boundaries; the partial
-    * top-k aggregate keeps the same tie rule, score desc then min cid).
+    * top-k aggregate keeps the same tie rule, score desc then min cid)
+    * and returns ONLY (id, cid) — its caller keys the probe cells back
+    * to the full rows by id, so threading the vector through the top-k
+    * aggregate and the explode would shuffle and duplicate d doubles
+    * per probe for nothing. probes = 1 keeps (id, cid, vec): the Lloyd
+    * mean recompute consumes the vector in the very next aggregate.
     */
   private[graft] def assignNearestEuclid(f: DataFrame,
       cents: DataFrame, probes: Int = 1): DataFrame = {
-    val scored = f.crossJoin(broadcast(cents))
-      .select(col("id"), col("vec"), col("cid"),
-        (graft.catalyst.GraftFunctions.dot_arr(col("vec"), col("cvec"))
-          - lit(0.5) * col("cn2")).as("score"))
     if (probes <= 1)
-      scored.groupBy("id")
+      f.crossJoin(broadcast(cents))
+        .select(col("id"), col("vec"), col("cid"),
+          (graft.catalyst.GraftFunctions.dot_arr(col("vec"), col("cvec"))
+            - lit(0.5) * col("cn2")).as("score"))
+        .groupBy("id")
         .agg(max_by(col("cid"), struct(col("score"), negate(col("cid"))))
           .as("cid"),
           first(col("vec")).as("vec"))
     else
-      scored.groupBy("id")
+      f.crossJoin(broadcast(cents))
+        .select(col("id"), col("cid"),
+          (graft.catalyst.GraftFunctions.dot_arr(col("vec"), col("cvec"))
+            - lit(0.5) * col("cn2")).as("score"))
+        .groupBy("id")
         .agg(graft.catalyst.TopKAgg.topk(probes)(
-          col("score"), col("cid").cast("long")).as("top"),
-          first(col("vec")).as("vec"))
-        .select(col("id"), explode(col("top")).as("t"), col("vec"))
-        .select(col("id"), col("t._2").cast("int").as("cid"), col("vec"))
+          col("score"), col("cid").cast("long")).as("top"))
+        .select(col("id"), explode(col("top")).as("t"))
+        .select(col("id"), col("t._2").cast("int").as("cid"))
   }
 
   private def lloydCentroids(corpus: DataFrame, nCentroids: Int,

@@ -70,21 +70,36 @@ object Significance {
   /** Relabel under a corrected cutoff: adds `c_adj` (original cluster
     * where p passes, else 0). `method`: "fdr" (Benjamini-Hochberg),
     * "bonferroni" (α/n), or "raw" (α itself).
+    *
+    * `n` > 0 supplies the comparison count for bonferroni directly
+    * (callers that already know the row count skip the pass entirely).
+    * Without it, bonferroni's n is folded into the OUTPUT plan as a
+    * broadcast 1-row aggregate crossJoin — no standalone count() action;
+    * the n pass runs inside whatever job consumes the result. fdr still
+    * pays its one O(1)-row driver fetch (the BH cutoff is a max over a
+    * data-dependent filter — not expressible as a single broadcastable
+    * scalar without it); raw is action-free.
     */
   def adjust(df: DataFrame, alpha: Double = 0.05, method: String = "fdr",
              pCol: String = "p", cCol: String = "c",
-             idCol: String = "gid"): DataFrame = {
-    val cutoff: Double = method match {
-      case "fdr" => fdrCutoff(df, alpha, pCol, idCol).getOrElse(-1.0)
+             idCol: String = "gid", n: Long = -1L): DataFrame = {
+    val p = col(pCol).cast("double")
+    def label(d: DataFrame, cutoff: org.apache.spark.sql.Column) =
+      d.withColumn("c_adj",
+        when(p >= 0.0 && p <= cutoff, col(cCol))
+          .otherwise(lit(0.0).cast(df.schema(cCol).dataType)))
+    method match {
+      case "fdr" =>
+        label(df, lit(fdrCutoff(df, alpha, pCol, idCol).getOrElse(-1.0)))
+      case "bonferroni" if n > 0 => label(df, lit(alpha / n))
       case "bonferroni" =>
-        alpha / df.filter(col(pCol).cast("double") >= 0.0).count()
-      case "raw" => alpha
+        val nf = broadcast(df.filter(p >= 0.0)
+          .agg(count(lit(1)).cast("double").as("__sig_n")))
+        label(df.crossJoin(nf), lit(alpha) / col("__sig_n"))
+          .drop("__sig_n")
+      case "raw" => label(df, lit(alpha))
       case other => throw new IllegalArgumentException(
         s"significance method must be fdr|bonferroni|raw, got $other")
     }
-    df.withColumn("c_adj",
-      when(col(pCol).cast("double") >= 0.0 &&
-        col(pCol).cast("double") <= cutoff, col(cCol))
-        .otherwise(lit(0.0).cast(df.schema(cCol).dataType)))
   }
 }

@@ -55,6 +55,17 @@ class SignificanceSpec extends AnyFunSuite {
       .orderBy("gid").select("gid", "c_adj").collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(raw === Map(1L -> 1.0, 2L -> 2.0, 3L -> 0.0, 4L -> 0.0, 5L -> 1.0))
+    // caller-supplied n skips the count pass entirely and must match the
+    // plan-folded default (n = 4 valid rows here)
+    val bonN = Significance.adjust(df, alpha = 0.05,
+        method = "bonferroni", n = 4L)
+      .orderBy("gid").select("gid", "c_adj").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(bonN === bon)
+    // the plan-folded bonferroni keeps the original columns (the helper
+    // __sig_n column never leaks) and exactly the one added c_adj
+    assert(Significance.adjust(df, 0.05, "bonferroni").columns.toSeq ===
+      df.columns.toSeq :+ "c_adj")
   }
 
   test("no significant rows: cutoff None, all labels zeroed") {
