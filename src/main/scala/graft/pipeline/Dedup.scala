@@ -533,10 +533,128 @@ object Dedup {
     * distinct — the flat path's pairs are unique by construction and
     * must not pay that shuffle.
     */
-  private case class SemAssign(assigned: DataFrame, kcents: DataFrame,
-                               n: Long, multiProbe: Boolean)
+  /** Cell-occupancy telemetry for the semantic-dedup assignment. At
+    * 100-TB scale the operator's one inherent hazard is a hot cell
+    * paying its quadratic within-cell pair volume SILENTLY — these
+    * numbers (one cheap aggregate over the already-cached assignment
+    * frame) make it visible in the logs of every run, the way the LSH
+    * path's occupancy is spec-monitored.
+    */
+  private[graft] case class Occupancy(cells: Long, maxOcc: Long,
+                                      meanOcc: Double, p99Occ: Long)
 
-  private def semanticAssign(emb: DataFrame, targetCluster: Int,
+  private[graft] def occupancyOf(assigned: DataFrame): Occupancy = {
+    val r = assigned.groupBy("cid").agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)), max(col("n")), avg(col("n")),
+        expr("approx_percentile(n, 0.99)")).head()
+    Occupancy(r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))
+  }
+
+  /** Logs occupancy; warns when the hottest cell exceeds
+    * `spark.graft.semdedup.occWarnFactor` (default 8) × targetCluster —
+    * the point where its pair volume is ≥64× the design target.
+    */
+  private def logOccupancy(assigned: DataFrame, targetCluster: Int)
+      : Occupancy = {
+    val occ = occupancyOf(assigned)
+    log.info(f"semanticAssign: ${occ.cells} cells, occupancy max=${
+      occ.maxOcc} mean=${occ.meanOcc}%.1f p99=${occ.p99Occ}")
+    val warnFactor = assigned.sparkSession.conf
+      .getOption("spark.graft.semdedup.occWarnFactor").map(_.toInt)
+      .getOrElse(8)
+    if (occ.maxOcc > warnFactor.toLong * targetCluster)
+      log.warn(f"semanticAssign: hottest cell holds ${occ.maxOcc} " +
+        f"vectors (> $warnFactor x targetCluster=$targetCluster) — " +
+        f"within-cell pair volume is quadratic (~${
+          occ.maxOcc.toDouble * (occ.maxOcc - 1) / 2}%.3g candidate " +
+        "pairs in that cell alone). Pass splitOversized > 0 to " +
+        "sub-cluster oversized cells (documented recall trade), or " +
+        "raise nClusters / lower targetCluster.")
+    occ
+  }
+
+  private[graft] case class SemAssign(assigned: DataFrame,
+                                      kcents: DataFrame,
+                                      n: Long, multiProbe: Boolean,
+                                      occ: Occupancy)
+
+  /** Opt-in skew mitigation: re-cluster every cell whose occupancy
+    * exceeds `factor` × targetCluster into ~targetCluster-sized
+    * sub-cells, leaving all other cells untouched.
+    *
+    * Mechanics: within each oversized cell, the ceil(n/targetCluster)
+    * members with the smallest (xxhash64(id), id) become sub-seeds
+    * (the [[Similarity.scatteredCentroids]] seeding convention, so the
+    * draw is deterministic and id-clump-free), every member assigns to
+    * its nearest sub-seed by exact cosine (ties to min sub), and the
+    * new cell key is xxhash64(cid, sub) — a hash collision can only
+    * MERGE two cells (extra candidates for the exact verifier), never
+    * split one, so it cannot cost recall or precision.
+    *
+    * Cost shape: the per-cell seed draw is one window sort over
+    * oversized-cell members only (the mega-cell pays one spilling sort
+    * task — bounded and one-off), and assignment is occ·(occ/target)
+    * dot products per cell versus occ²/2 pairs without the split: a
+    * 10^8-member cell drops from ~5·10^15 pairs to ~10^13 seed dots +
+    * in-target pair volume after.
+    *
+    * THE RECALL TRADE (why this is opt-in, off by default): a true
+    * pair straddling a sub-cell boundary inside a former mega-cell is
+    * lost — the same Voronoi-boundary limitation SemDeDup itself has
+    * at cluster boundaries (arXiv:2303.09540's documented recall
+    * caveat), now applied within the cell. Near-identical pairs share
+    * their nearest sub-seed with high probability; borderline-τ pairs
+    * are the ones at risk.
+    */
+  private[graft] def splitCells(assigned: DataFrame, targetCluster: Int,
+                         factor: Int): DataFrame = {
+    val bound = factor.toLong * targetCluster
+    val sizes = assigned.groupBy("cid").agg(count(lit(1)).as("__n"))
+    val over = sizes.filter(col("__n") > bound)
+    val members = assigned.join(broadcast(over), "cid")
+    val w = Window.partitionBy("cid")
+      .orderBy(xxhash64(col("id")), col("id"))
+    val seeds = members
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <=
+        ceil(col("__n") / lit(targetCluster.toDouble)))
+      .select(col("cid"), (col("__rn") - 1).as("__sub"),
+        col("unit").as("__sunit"))
+    // grouped by (id, cid), not id: the two-level multi-probe path has
+    // the same id in two cells, each re-assigned independently
+    val re = members.join(seeds, "cid")
+      .select(col("id"), col("cid"), col("__sub"),
+        graft.catalyst.GraftFunctions.dot_arr(col("unit"), col("__sunit"))
+          .as("__s"))
+      .groupBy("id", "cid")
+      .agg(max_by(col("__sub"), struct(col("__s"), negate(col("__sub"))))
+        .as("__sub"))
+    val reassigned = members.join(re, Seq("id", "cid"))
+      .select(col("id"), xxhash64(col("cid"), col("__sub")).as("cid"),
+        col("kcid"), col("unit"))
+    val untouched = assigned.join(broadcast(over), Seq("cid"), "left_anti")
+      .select(col("id"), col("cid"), col("kcid"), col("unit"))
+    untouched.union(reassigned)
+  }
+
+  /** Applies [[splitCells]] when opted in; returns the frame the pair
+    * join should run against plus every cached frame to release after.
+    */
+  private def maybeSplit(sa: SemAssign, targetCluster: Int,
+                         splitOversized: Int)
+      : (DataFrame, Seq[DataFrame]) =
+    if (splitOversized > 0 && sa.occ.maxOcc >
+        splitOversized.toLong * targetCluster) {
+      val s = splitCells(sa.assigned, targetCluster, splitOversized)
+        .cache()
+      val occAfter = occupancyOf(s) // also materializes the cache
+      log.info(s"semanticAssign: splitOversized=$splitOversized " +
+        s"re-clustered hot cells — max occupancy ${sa.occ.maxOcc} -> " +
+        s"${occAfter.maxOcc} across ${occAfter.cells} cells")
+      (s, Seq(sa.assigned, s))
+    } else (sa.assigned, Seq(sa.assigned))
+
+  private[graft] def semanticAssign(emb: DataFrame, targetCluster: Int,
       nClusters0: Int, twoLevelK: Int, idCol: String, vecCol: String)
       : SemAssign = {
     val renamed = emb.select(col(idCol).cast("long").as("vec_id"),
@@ -547,7 +665,9 @@ object Dedup {
     val n: Long =
       if (nClusters0 > 0) { if (renamed.isEmpty) 0L else -1L }
       else renamed.count()
-    if (n == 0) return SemAssign(null, null, 0L, multiProbe = false)
+    if (n == 0)
+      return SemAssign(null, null, 0L, multiProbe = false,
+        Occupancy(0L, 0L, 0.0, 0L))
     // k stays a Long until the branch: at n beyond ~2·10^12 the
     // Int-narrowed quotient wraps negative, which would silently route
     // a trillion-vector corpus to the flat path with a garbage k
@@ -562,7 +682,7 @@ object Dedup {
         .withColumn("kcid", col("cid")).cache()
       SemAssign(assigned,
         cents.select(col("cid").as("kcid"), col("cunit")), n,
-        multiProbe = false)
+        multiProbe = false, logOccupancy(assigned, targetCluster))
     } else {
       // √k per level, each capped at 65536 (the centroid broadcast
       // bound) → ≤ 2^32 cells; beyond n ≈ 2^32·targetCluster (~4·10^15
@@ -597,11 +717,12 @@ object Dedup {
           (col("c1").cast("long") * (k1 + 1) + col("c2")).as("cid"),
           col("c1").as("kcid"), col("unit"))
         .cache()
-      assigned.count() // materialize before releasing the resid cache
+      // the occupancy aggregate doubles as the cache materialization
+      val occ = logOccupancy(assigned, targetCluster)
       resid.unpersist(blocking = false)
       SemAssign(assigned,
         cents1.select(col("cid").as("kcid"), col("cunit")), n,
-        multiProbe = true)
+        multiProbe = true, occ)
     }
   }
 
@@ -633,14 +754,15 @@ object Dedup {
                       targetCluster: Int = 1024, nClusters: Int = 0,
                       twoLevelK: Int = 4096,
                       idCol: String = "vec_id",
-                      vecCol: String = "embedding"): DataFrame = {
+                      vecCol: String = "embedding",
+                      splitOversized: Int = 0): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val sa =
       semanticAssign(emb, targetCluster, nClusters, twoLevelK, idCol, vecCol)
     if (sa.n == 0)
       return Seq.empty[(Long, Long, Double)].toDF("id_a", "id_b", "cosine")
-    val assigned = sa.assigned
+    val (assigned, toRelease) = maybeSplit(sa, targetCluster, splitOversized)
     val paired = assigned.as("a").join(assigned.as("b"),
         $"a.cid" === $"b.cid" && $"a.id" < $"b.id")
       .select($"a.id".as("id_a"), $"b.id".as("id_b"),
@@ -650,7 +772,7 @@ object Dedup {
     // only the multi-probe two-level path can surface a pair twice;
     // flat-path pairs are unique by construction — no distinct shuffle
     val out = if (sa.multiProbe) paired.distinct() else paired
-    graft.core.Materialize.releasing(out, Seq(assigned))
+    graft.core.Materialize.releasing(out, toRelease)
   }
 
   /** Full SemDeDup resolution: semantic pairs → transitive duplicate
@@ -664,7 +786,8 @@ object Dedup {
                     targetCluster: Int = 1024, nClusters: Int = 0,
                     twoLevelK: Int = 4096,
                     idCol: String = "vec_id",
-                    vecCol: String = "embedding"): DataFrame = {
+                    vecCol: String = "embedding",
+                    splitOversized: Int = 0): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val sa =
@@ -672,7 +795,7 @@ object Dedup {
     if (sa.n == 0)
       return Seq.empty[(Long, Long, Boolean)]
         .toDF("id", "component", "keep")
-    val assigned = sa.assigned
+    val (assigned, toRelease) = maybeSplit(sa, targetCluster, splitOversized)
     val kcents = sa.kcents
     val pairs = assigned.as("a").join(assigned.as("b"),
         $"a.cid" === $"b.cid" && $"a.id" < $"b.id")
@@ -706,6 +829,6 @@ object Dedup {
     val out = comp.join(keepers, "component")
       .select(col("id"), col("component"),
         (col("id") === col("__keep")).as("keep"))
-    graft.core.Materialize.releasing(out, Seq(assigned))
+    graft.core.Materialize.releasing(out, toRelease)
   }
 }

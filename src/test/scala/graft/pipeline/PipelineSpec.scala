@@ -217,6 +217,79 @@ class PipelineSpec extends AnyFunSuite {
     assert(found.forall { case (a, b) => compOf(a) == compOf(b) })
   }
 
+  test("semantic dedup occupancy telemetry + opt-in oversized-cell split") {
+    import spark.implicits._
+    // planted MEGA-CELL: 800 diffuse random unit vectors forced into
+    // nClusters=4 cells (~200 each, far past the 8x warn bound at
+    // targetCluster=16), with 10 tight dup pairs (cos ~0.999) hidden in
+    // the diffuse mass. This is the silent-skew regime the telemetry
+    // exists for: without the split every hot cell pays ~occ^2/2 pairs.
+    val dim = 32
+    val rnd = new scala.util.Random(29)
+    def unitv(): Array[Double] = {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val diffuse = (0 until 800).map(i =>
+      (i.toLong, unitv().map(_.toFloat).toSeq))
+    val planted = (0 until 10).flatMap { p =>
+      val b = unitv()
+      val d = b.zip(unitv()).map { case (a, e) => a + 0.02 * e }
+      Seq((2000L + 2 * p, b.map(_.toFloat).toSeq),
+        (2000L + 2 * p + 1, d.map(_.toFloat).toSeq))
+    }
+    val rows = diffuse ++ planted
+    val all = rows.toMap
+    val emb = rows.toDF("vec_id", "embedding")
+    val tau = 0.9
+    val truePairs = (for {
+      (ia, va) <- all.toSeq; (ib, vb) <- all.toSeq
+      if ia < ib && cos(va, vb) >= tau
+    } yield (ia, ib)).toSet
+    assert(truePairs.size >= 10, "fixture sanity: planted pairs are true")
+
+    val target = 16
+    // 1) telemetry: the assignment reports the hot cells — maxOcc past
+    //    the warn bound (occWarnFactor default 8 x targetCluster = 128),
+    //    which is exactly the condition that fires the log warning
+    val sa = Dedup.semanticAssign(emb, target, 4, 4096,
+      "vec_id", "embedding")
+    assert(sa.occ.cells == 4)
+    assert(sa.occ.maxOcc > 8L * target,
+      s"fixture must trip the warn bound, maxOcc=${sa.occ.maxOcc}")
+
+    // 2) opt-in split: oversized cells re-cluster to ~targetCluster
+    //    occupancy (loose bound — sub-cells are uneven)
+    val split = Dedup.splitCells(sa.assigned, target, 8)
+    val occAfter = Dedup.occupancyOf(split)
+    assert(occAfter.maxOcc < sa.occ.maxOcc / 2,
+      s"split must break the mega-cells: ${sa.occ.maxOcc} -> ${occAfter.maxOcc}")
+    assert(split.count() == rows.size, "split reassigns, never drops")
+
+    // 3) end-to-end with the opt-in: near-identical planted pairs share
+    //    their nearest sub-seed (the documented trade risks only
+    //    borderline-tau pairs), precision stays exact by construction
+    val found = Dedup.semanticNearDup(emb, threshold = tau,
+        targetCluster = target, nClusters = 4, splitOversized = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(found.subsetOf(truePairs), s"false positives: ${found -- truePairs}")
+    val plantedPairs = (0 until 10)
+      .map(p => (2000L + 2 * p, 2000L + 2 * p + 1)).toSet
+    assert(plantedPairs.subsetOf(found),
+      s"planted dups lost by split: ${plantedPairs -- found}")
+
+    // 4) full resolution under the split keeps the output contract:
+    //    every row labeled once, one keeper per component
+    val res = Dedup.semanticDedup(emb, threshold = tau,
+        targetCluster = target, nClusters = 4, splitOversized = 8)
+      .select("id", "component", "keep").as[(Long, Long, Boolean)]
+      .collect()
+    assert(res.length == rows.size)
+    assert(res.groupBy(_._2).values.forall(_.count(_._3) == 1))
+    val compOf = res.map(r => r._1 -> r._2).toMap
+    assert(found.forall { case (a, b) => compOf(a) == compOf(b) })
+  }
+
   test("embedding near-dup: planted recall >= 95% at two corpus sizes") {
     import spark.implicits._
     val dim = 32
