@@ -632,6 +632,27 @@ object SparkEntry {
           decoder = graft.pipeline.Multimodal.ImageIoDecoder)
         .orderBy("id")
     }),
+    "q106_image_resize_rgb" -> ((s, dir) => {
+      // channel-aware twin of q105: decode to interleaved RGB + the
+      // same bilinear half-pixel kernel per channel, fixed 8x8x3 out —
+      // the actual input shape of a CLIP-style featurizer (q105's luma
+      // is the hashing/dedup shape). Same corrupt rows survive as
+      // empty-rgb rows. Golden-checked (no SQL mirror for the decode).
+      import s.implicits._
+      val media = SynthGeo.table(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("id"))
+        .as[Long]
+        .map { id =>
+          val bytes =
+            if (id % 7 == 0) Array[Byte](0x42, 0x41, 0x44, 0x21, 0, 1, 2, 3)
+            else graft.pipeline.Multimodal.synthPng(
+              4 + (id % 13).toInt, 3 + (id % 7).toInt, id * 2654435761L)
+          (id, bytes)
+        }.toDF("id", "bytes")
+      graft.pipeline.Multimodal.resizeRGB(media, 8, 8,
+          decoder = graft.pipeline.Multimodal.ImageIoDecoder)
+        .orderBy("id")
+    }),
     "q59_multimodal_image" -> ((s, dir) => {
       // REAL decode path: deterministic PNGs synthesized per doc through
       // the JDK PNG writer (distributed, one image per row), decoded back

@@ -23,6 +23,42 @@ object Multimodal {
   trait Decoder extends Serializable {
     def decodeImage(bytes: Array[Byte]): DecodedImage
     def sampleFrames(bytes: Array[Byte], everyN: Int): Seq[DecodedImage]
+    /** Channel-aware decode: pixels are INTERLEAVED RGB (length
+      * 3·w·h, row-major, R then G then B per pixel) — what a
+      * CLIP-style downstream featurizer consumes, where the luma
+      * plane of [[decodeImage]] is the right input for hashing/dedup.
+      * Default derives a synthetic gray-as-RGB from [[decodeImage]]
+      * so third-party decoders stay source-compatible.
+      */
+    def decodeImageRGB(bytes: Array[Byte]): DecodedImage = {
+      val g = decodeImage(bytes)
+      if (g.meta.width <= 0) g
+      else DecodedImage(g.meta,
+        g.pixels.flatMap(p => Array(p, p, p)))
+    }
+  }
+
+  /** BT.601 integer luma of an interleaved-RGB [[DecodedImage]] — the
+    * SAME (299r+587g+114b)/1000 arithmetic as the direct gray decode,
+    * so `decodeImage(b).pixels` and `lumaOf(decodeImageRGB(b)).pixels`
+    * are byte-identical and every luma-based golden is unaffected by
+    * the RGB path's existence.
+    */
+  def lumaOf(rgb: DecodedImage): DecodedImage = {
+    val w = rgb.meta.width; val h = rgb.meta.height
+    if (w <= 0 || h <= 0 || rgb.pixels.length < 3 * w * h)
+      return DecodedImage(ImageMeta(0, 0, 0, "undecodable"),
+        Array.emptyByteArray)
+    val out = new Array[Byte](w * h)
+    var i = 0
+    while (i < w * h) {
+      val r = rgb.pixels(3 * i) & 0xFF
+      val g = rgb.pixels(3 * i + 1) & 0xFF
+      val b = rgb.pixels(3 * i + 2) & 0xFF
+      out(i) = ((299 * r + 587 * g + 114 * b) / 1000).toByte
+      i += 1
+    }
+    DecodedImage(rgb.meta, out)
   }
 
   /** Deterministic fake: "decodes" to an 8x8 grayscale whose pixels are a
@@ -78,7 +114,26 @@ object Multimodal {
       out
     }
 
-    def decodeImage(bytes: Array[Byte]): DecodedImage = {
+    private def rgbInterleaved(img: BufferedImage): Array[Byte] = {
+      val w = img.getWidth; val h = img.getHeight
+      val out = new Array[Byte](3 * w * h)
+      var y = 0; var i = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          out(i) = ((rgb >> 16) & 0xFF).toByte
+          out(i + 1) = ((rgb >> 8) & 0xFF).toByte
+          out(i + 2) = (rgb & 0xFF).toByte
+          i += 3; x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
+    private def decodeWith(bytes: Array[Byte],
+        planes: BufferedImage => Array[Byte]): DecodedImage = {
       if (bytes == null || bytes.length < 8) return Undecodable
       try {
         val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
@@ -94,12 +149,23 @@ object Multimodal {
                 ImageMeta(img.getWidth, img.getHeight,
                   img.getColorModel.getNumComponents,
                   r.getFormatName.toLowerCase(java.util.Locale.ROOT)),
-                luma(img))
+                planes(img))
             } finally r.dispose()
           }
         } finally iis.close()
       } catch { case scala.util.control.NonFatal(_) => Undecodable }
     }
+
+    def decodeImage(bytes: Array[Byte]): DecodedImage =
+      decodeWith(bytes, luma)
+
+    /** Real interleaved-RGB decode — same reader plumbing and corrupt-
+      * blob convention as [[decodeImage]]; `getRGB` normalizes every
+      * source color model (palette, gray, CMYK) to sRGB, so the three
+      * planes are well-defined for any decodable input.
+      */
+    override def decodeImageRGB(bytes: Array[Byte]): DecodedImage =
+      decodeWith(bytes, rgbInterleaved)
 
     /** Every `everyN`-th frame of a multi-image container (animated GIF
       * through the JDK reader); single-frame formats yield one frame.
@@ -197,7 +263,14 @@ object Multimodal {
         img.pixels.length < w * h)
       return DecodedImage(ImageMeta(0, 0, 0, "undecodable"),
         Array.emptyByteArray)
-    val out = new Array[Byte](outW * outH)
+    // plane count from the pixel-buffer shape, NOT meta.channels (meta
+    // reports the SOURCE color components even for a luma plane): the
+    // gray decode carries w·h bytes, the RGB decode 3·w·h interleaved.
+    // Per-channel resize runs the identical half-pixel kernel with a
+    // channel-strided index, so the planes=1 arithmetic — and every
+    // existing luma golden — is byte-for-byte what it was.
+    val planes = if (img.pixels.length.toLong >= 3L * w * h) 3 else 1
+    val out = new Array[Byte](outW * outH * planes)
     val sx = w.toDouble / outW; val sy = h.toDouble / outH
     val px = img.pixels
     var oy = 0
@@ -212,11 +285,18 @@ object Multimodal {
         val x0 = math.max(0, math.min(w - 1, math.floor(fx).toInt))
         val x1 = math.min(w - 1, x0 + 1)
         val wx = math.max(0.0, math.min(1.0, fx - x0))
-        val p00 = px(y0 * w + x0) & 0xFF; val p01 = px(y0 * w + x1) & 0xFF
-        val p10 = px(y1 * w + x0) & 0xFF; val p11 = px(y1 * w + x1) & 0xFF
-        val v = (p00 * (1 - wx) + p01 * wx) * (1 - wy) +
-          (p10 * (1 - wx) + p11 * wx) * wy
-        out(oy * outW + ox) = math.round(v).toInt.min(255).max(0).toByte
+        var c = 0
+        while (c < planes) {
+          val p00 = px((y0 * w + x0) * planes + c) & 0xFF
+          val p01 = px((y0 * w + x1) * planes + c) & 0xFF
+          val p10 = px((y1 * w + x0) * planes + c) & 0xFF
+          val p11 = px((y1 * w + x1) * planes + c) & 0xFF
+          val v = (p00 * (1 - wx) + p01 * wx) * (1 - wy) +
+            (p10 * (1 - wx) + p11 * wx) * wy
+          out((oy * outW + ox) * planes + c) =
+            math.round(v).toInt.min(255).max(0).toByte
+          c += 1
+        }
         ox += 1
       }
       oy += 1
@@ -244,6 +324,28 @@ object Multimodal {
           (id, r.meta.width, r.meta.height, r.pixels)
         }
       }.toDF("id", "width", "height", "luma")
+  }
+
+  /** Channel-aware twin of [[resize]]: (id, bytes) → (id, width,
+    * height, rgb) with `rgb` the interleaved 3·outW·outH plane a
+    * CLIP-style featurizer consumes. Same per-partition batch
+    * contract, same half-pixel kernel per channel, same
+    * corrupt-rows-stay-rows convention (empty rgb, zero dims).
+    */
+  def resizeRGB(media: DataFrame, outW: Int, outH: Int,
+                decoder: Decoder = FakeDecoder, idCol: String = "id",
+                binCol: String = "bytes"): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long").as("id"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val d = decoder
+        it.map { case (id, bytes) =>
+          val r = resizeImage(d.decodeImageRGB(bytes), outW, outH)
+          (id, r.meta.width, r.meta.height, r.pixels)
+        }
+      }.toDF("id", "width", "height", "rgb")
   }
 
   /** 64-bit perceptual average-hash (aHash) of a decoded luma plane:

@@ -568,6 +568,64 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("RGB decode + channel-aware resize: shared luma, per-channel kernel parity") {
+    import spark.implicits._
+    import Multimodal.{DecodedImage, ImageMeta}
+    val png = Multimodal.synthPng(9, 6, 77L)
+    // 1) the luma decode and lumaOf(rgb decode) share the BT.601
+    //    integer derivation byte-for-byte — the invariant that keeps
+    //    q59/q103/q105 goldens independent of the RGB path
+    val gray = Multimodal.ImageIoDecoder.decodeImage(png)
+    val rgb = Multimodal.ImageIoDecoder.decodeImageRGB(png)
+    assert(rgb.pixels.length == 3 * rgb.meta.width * rgb.meta.height)
+    assert(Multimodal.lumaOf(rgb).pixels.toSeq == gray.pixels.toSeq)
+    // 2) per-channel resize == resizing each extracted plane with the
+    //    gray kernel (the channel-strided loop is the same arithmetic)
+    val resized = Multimodal.resizeImage(rgb, 4, 3)
+    assert(resized.pixels.length == 3 * 4 * 3)
+    for (c <- 0 until 3) {
+      val plane = DecodedImage(ImageMeta(rgb.meta.width, rgb.meta.height,
+        1, "gray"),
+        Array.tabulate(rgb.meta.width * rgb.meta.height)(i =>
+          rgb.pixels(3 * i + c)))
+      val pr = Multimodal.resizeImage(plane, 4, 3).pixels
+      assert((0 until 12).forall(i => pr(i) == resized.pixels(3 * i + c)),
+        s"channel $c diverges from plane-wise resize")
+    }
+    // 3) identity RGB resize is bit-exact; constant color stays put
+    val idr = Multimodal.resizeImage(rgb, 9, 6)
+    assert(idr.pixels.toSeq == rgb.pixels.toSeq)
+    val const = DecodedImage(ImageMeta(5, 4, 3, "gray"),
+      Array.tabulate(60)(i => (i % 3 match {
+        case 0 => 10; case 1 => 200; case _ => 55 }).toByte))
+    val cr = Multimodal.resizeImage(const, 7, 9).pixels
+    assert((0 until cr.length / 3).forall(i =>
+      (cr(3 * i) & 0xFF) == 10 && (cr(3 * i + 1) & 0xFF) == 200 &&
+        (cr(3 * i + 2) & 0xFF) == 55))
+    // 4) DataFrame op: fixed 8x8x3 shape, corrupt rows survive empty
+    val media = (0L until 10L).map { i =>
+      (i, if (i == 3) Array[Byte](9, 9, 9)
+          else Multimodal.synthPng(16, 12, 500 + i))
+    }.toDF("id", "bytes")
+    val out = Multimodal.resizeRGB(media, 8, 8,
+        decoder = Multimodal.ImageIoDecoder)
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getAs[Array[Byte]]("rgb").length)).sortBy(_._1)
+    assert(out.length == 10)
+    out.foreach { case (id, w, n) =>
+      if (id == 3) assert(w == 0 && n == 0)
+      else assert(w == 8 && n == 192, s"id=$id")
+    }
+    // 5) the default trait RGB derivation (FakeDecoder) is gray-as-RGB
+    val fg = Multimodal.FakeDecoder.decodeImage(png)
+    val fr = Multimodal.FakeDecoder.decodeImageRGB(png)
+    assert(fr.pixels.length == 3 * fg.pixels.length &&
+      (0 until fg.pixels.length).forall(i =>
+        fr.pixels(3 * i) == fg.pixels(i) &&
+        fr.pixels(3 * i + 1) == fg.pixels(i) &&
+        fr.pixels(3 * i + 2) == fg.pixels(i)))
+  }
+
   test("multimodal frame sampling: animated GIF yields every Nth frame") {
     import spark.implicits._
     // 4-frame animated GIF via the JDK gif writer; frame f is a flat
