@@ -600,6 +600,25 @@ object SparkEntry {
           threshold = 0.85, nClusters = 16)
         .orderBy("id")
     }),
+    "q104b_semantic_dedup_twolevel" -> ((s, dir) => {
+      // the SAME corpus and keep rule as q104, but the TWO-LEVEL
+      // residual-quantization assignment forced at sf scale
+      // (nClusters=16 > twoLevelK=9 → k1=4 coarse × 4 Euclidean
+      // residual cells, top-2 multi-probe) — the regime a 10^9-vector
+      // corpus runs in, exercised end-to-end through Verify. Golden-
+      // only: the multi-probe top-2 tie surface has no SQL mirror
+      // worth maintaining (q104's flat path carries the hard oracle).
+      // The committed golden COINCIDES with q104's — planted groups
+      // are exact duplicates, so both members share csim (identical
+      // unit vectors) and the keep rule falls to tie-by-min-id under
+      // either centroid set; recovering that equality end-to-end is
+      // exactly the two-level path's recall+keep-rule invariant.
+      val emb = SynthGeo.table(s, dir, "embeddings")
+      val planted = emb.withColumn("vec_id", col("vec_id") + 1000000L)
+      graft.pipeline.Dedup.semanticDedup(emb.unionByName(planted),
+          threshold = 0.85, nClusters = 16, twoLevelK = 9)
+        .orderBy("id")
+    }),
     "q58_fingerprint" -> ((s, dir) =>
       graft.pipeline.TextAnalysis.fingerprint(
         SynthGeo.table(s, dir, "documents")).orderBy("id")),

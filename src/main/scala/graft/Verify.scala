@@ -18,7 +18,8 @@ object Verify {
     "q27_natural_breaks", "q30f_local_moran_full", "q40_skater",
     "q41_redcap_ward", "q54_minhash_dedup", "q55_simhash_dup",
     "q58_fingerprint", "q59_multimodal_image", "q68_embedding_neardup",
-    "q103_image_neardup", "q104_semantic_dedup", "q105_image_resize",
+    "q103_image_neardup", "q104_semantic_dedup",
+    "q104b_semantic_dedup_twolevel", "q105_image_resize",
     "q106_image_resize_rgb")
 
   /** (rowCount, md5) over sorted canonical row renderings — column-order
