@@ -288,6 +288,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(res.groupBy(_._2).values.forall(_.count(_._3) == 1))
     val compOf = res.map(r => r._1 -> r._2).toMap
     assert(found.forall { case (a, b) => compOf(a) == compOf(b) })
+
+    // 5) EXACT duplicates can never be separated by the split: identical
+    //    vectors score identically against every sub-seed, so the
+    //    deterministic tie rule (max score, then min sub) sends the whole
+    //    group to ONE sub-cell — the duplicate-mass hot cell (the primary
+    //    dedup workload) keeps its full pair connectivity under the
+    //    mitigation. 60 exact copies planted into the diffuse mass, split
+    //    forced: one component, one keeper, 59 dropped.
+    val copies = (0 until 60).map(i => (5000L + i, rows.head._2))
+    val emb2 = (rows ++ copies).toDF("vec_id", "embedding")
+    val res2 = Dedup.semanticDedup(emb2, threshold = tau,
+        targetCluster = target, nClusters = 4, splitOversized = 8)
+      .select("id", "component", "keep").as[(Long, Long, Boolean)]
+      .collect()
+    val copyIds = copies.map(_._1).toSet + rows.head._1
+    val copyRows = res2.filter(r => copyIds.contains(r._1))
+    assert(copyRows.map(_._2).distinct.length == 1,
+      "exact-dup group split across components")
+    assert(copyRows.count(_._3) == 1, "exactly one exact-dup survivor")
   }
 
   test("embedding near-dup: planted recall >= 95% at two corpus sizes") {
