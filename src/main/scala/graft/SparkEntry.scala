@@ -672,6 +672,34 @@ object SparkEntry {
           decoder = graft.pipeline.Multimodal.ImageIoDecoder)
         .orderBy("id")
     }),
+    "q59b_multimodal_rgb" -> ((s, dir) => {
+      // per-channel mean/sd over the real interleaved-RGB decode — the
+      // color-aware featurizer companion to q59's luma stats; same
+      // corpus, same corrupt rows (zeroed meta, 0-stats). Golden-
+      // checked (no SQL mirror for the JDK decode).
+      import s.implicits._
+      val media = SynthGeo.table(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("id"))
+        .as[Long]
+        .map { id =>
+          val bytes =
+            if (id % 7 == 0) Array[Byte](0x42, 0x41, 0x44, 0x21, 0, 1, 2, 3)
+            else graft.pipeline.Multimodal.synthPng(
+              4 + (id % 13).toInt, 3 + (id % 7).toInt, id * 2654435761L)
+          (id, bytes)
+        }.toDF("id", "bytes")
+      graft.pipeline.Multimodal.imageFeaturesRGB(media,
+          graft.pipeline.Multimodal.ImageIoDecoder)
+        .select(col("id"), col("width"), col("height"), col("channels"),
+          col("format"),
+          round(col("r_mean"), 6).as("r_mean"),
+          round(col("g_mean"), 6).as("g_mean"),
+          round(col("b_mean"), 6).as("b_mean"),
+          round(col("r_sd"), 6).as("r_sd"),
+          round(col("g_sd"), 6).as("g_sd"),
+          round(col("b_sd"), 6).as("b_sd"))
+        .orderBy("id")
+    }),
     "q59_multimodal_image" -> ((s, dir) => {
       // REAL decode path: deterministic PNGs synthesized per doc through
       // the JDK PNG writer (distributed, one image per row), decoded back

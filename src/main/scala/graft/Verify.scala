@@ -17,7 +17,8 @@ object Verify {
   val goldenQueries: Seq[String] = Seq(
     "q27_natural_breaks", "q30f_local_moran_full", "q40_skater",
     "q41_redcap_ward", "q54_minhash_dedup", "q55_simhash_dup",
-    "q58_fingerprint", "q59_multimodal_image", "q68_embedding_neardup",
+    "q58_fingerprint", "q59_multimodal_image", "q59b_multimodal_rgb",
+    "q68_embedding_neardup",
     "q103_image_neardup", "q104_semantic_dedup",
     "q104b_semantic_dedup_twolevel", "q105_image_resize",
     "q106_image_resize_rgb")

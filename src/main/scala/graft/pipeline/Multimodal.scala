@@ -249,6 +249,51 @@ object Multimodal {
         "pixel_mean", "pixel_sd")
   }
 
+  /** Channel-aware twin of [[imageFeatures]]: per-channel mean/sd over
+    * the interleaved RGB decode — the summary statistics a color-aware
+    * downstream featurizer (normalization constants, channel-collapse
+    * detection) consumes, where [[imageFeatures]]' luma stats serve the
+    * hashing/dedup path. Same per-partition batch contract; corrupt
+    * blobs keep their zeroed-meta rows.
+    */
+  def imageFeaturesRGB(media: DataFrame, decoder: Decoder = FakeDecoder,
+                       idCol: String = "id", binCol: String = "bytes")
+      : DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long").as("id"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val d = decoder
+        it.map { case (id, bytes) =>
+          val img = d.decodeImageRGB(bytes)
+          val npx = img.meta.width * img.meta.height
+          val mean = new Array[Double](3)
+          val sd = new Array[Double](3)
+          if (npx > 0 && img.pixels.length >= 3 * npx) {
+            var c = 0
+            while (c < 3) {
+              var s = 0.0; var i = 0
+              while (i < npx) { s += img.pixels(3 * i + c) & 0xFF; i += 1 }
+              val m = s / npx
+              var v = 0.0; i = 0
+              while (i < npx) {
+                val dv = (img.pixels(3 * i + c) & 0xFF) - m
+                v += dv * dv; i += 1
+              }
+              mean(c) = m
+              sd(c) = if (npx < 2) 0.0 else math.sqrt(v / (npx - 1))
+              c += 1
+            }
+          }
+          (id, img.meta.width, img.meta.height, img.meta.channels,
+            img.meta.format, mean(0), mean(1), mean(2),
+            sd(0), sd(1), sd(2))
+        }
+      }.toDF("id", "width", "height", "channels", "format",
+        "r_mean", "g_mean", "b_mean", "r_sd", "g_sd", "b_sd")
+  }
+
   /** Bilinear resize of a decoded luma plane — the standard
     * normalize-before-featurize step (thumbnailing for perceptual
     * hashes, fixed input shapes for a vision model's preprocessing).

@@ -645,6 +645,43 @@ class PipelineSpec extends AnyFunSuite {
         fr.pixels(3 * i + 2) == fg.pixels(i)))
   }
 
+  test("RGB image features: per-channel stats, luma cross-check, corrupt rows") {
+    import spark.implicits._
+    import java.awt.image.BufferedImage
+    // constant-color PNG: channel means are the planted color, sds 0
+    val img = new BufferedImage(6, 5, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 5; x <- 0 until 6)
+      img.setRGB(x, y, (40 << 16) | (170 << 8) | 220)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val media = Seq(
+      (1L, bos.toByteArray),
+      (2L, Multimodal.synthPng(9, 7, 321L)),
+      (3L, Array[Byte](1, 2, 3))).toDF("id", "bytes")
+    val rows = Multimodal.imageFeaturesRGB(media,
+        Multimodal.ImageIoDecoder)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val c = rows(1L)
+    assert(c.getDouble(5) == 40.0 && c.getDouble(6) == 170.0 &&
+      c.getDouble(7) == 220.0)
+    assert(c.getDouble(8) == 0.0 && c.getDouble(9) == 0.0 &&
+      c.getDouble(10) == 0.0)
+    // gradient PNG: BT.601 of the channel means matches the luma-path
+    // pixel_mean to within the per-pixel integer truncation (<1 gray
+    // level) — the two feature families describe the same image
+    val g = rows(2L)
+    val bt601 = (299 * g.getDouble(5) + 587 * g.getDouble(6) +
+      114 * g.getDouble(7)) / 1000
+    val lumaMean = Multimodal.imageFeatures(
+        media.filter(col("id") === 2), Multimodal.ImageIoDecoder)
+      .head().getDouble(5)
+    assert(math.abs(bt601 - lumaMean) < 1.0, s"$bt601 vs $lumaMean")
+    // corrupt blob: zeroed meta, zero stats, row survives
+    val bad = rows(3L)
+    assert(bad.getInt(1) == 0 && bad.getString(4) == "undecodable" &&
+      bad.getDouble(5) == 0.0 && bad.getDouble(8) == 0.0)
+  }
+
   test("multimodal frame sampling: animated GIF yields every Nth frame") {
     import spark.implicits._
     // 4-frame animated GIF via the JDK gif writer; frame f is a flat
