@@ -169,9 +169,18 @@ object TextBench {
             "1024").toInt
           val semTwoLevelK = sys.env.getOrElse("SPARK_GRAFT_SEM_TWOLEVELK",
             "4096").toInt
+          // SPARK_GRAFT_SEM_NCLUSTERS forces an explicit (undersized)
+          // k — the hot-cell regime the occupancy telemetry warns
+          // about; SPARK_GRAFT_SEM_SPLIT opts into the oversized-cell
+          // sub-clustering so the mitigation is A/B-able
+          val semK = sys.env.getOrElse("SPARK_GRAFT_SEM_NCLUSTERS",
+            "0").toInt
+          val semSplit = sys.env.getOrElse("SPARK_GRAFT_SEM_SPLIT",
+            "0").toInt
           val ts = gate("semantic_dedup")(time(
             Dedup.semanticDedup(emb, threshold = 0.8,
-              targetCluster = semTarget, twoLevelK = semTwoLevelK)
+              targetCluster = semTarget, nClusters = semK,
+              twoLevelK = semTwoLevelK, splitOversized = semSplit)
               .count()))._2
           emb.unpersist(false)
           (tb, ti, ts)
