@@ -748,7 +748,14 @@ object Dedup {
     * assignment's broadcast dot products. Skew note: a pathological
     * hot cluster pays its own quadratic pair volume — inherent to the
     * algorithm, controlled by k, and impossible to salt (every
-    * within-cluster pair is a genuine candidate).
+    * within-cluster pair is a genuine candidate). Every run logs
+    * cell-occupancy telemetry and warns past
+    * `spark.graft.semdedup.occWarnFactor` (default 8) × targetCluster;
+    * `splitOversized` = c opts into re-clustering cells above
+    * c × targetCluster into ~targetCluster sub-cells ([[splitCells]] —
+    * measured 3.6× at 15k-occupancy cells; exact duplicates are never
+    * separated, borderline-τ pairs straddling a sub-cell boundary are
+    * the documented recall trade).
     */
   def semanticNearDup(emb: DataFrame, threshold: Double = 0.8,
                       targetCluster: Int = 1024, nClusters: Int = 0,
