@@ -651,7 +651,13 @@ object Dedup {
       log.info(s"semanticAssign: splitOversized=$splitOversized " +
         s"re-clustered hot cells — max occupancy ${sa.occ.maxOcc} -> " +
         s"${occAfter.maxOcc} across ${occAfter.cells} cells")
-      (s, Seq(sa.assigned, s))
+      // the pre-split assignment cache is dead once the split frame is
+      // materialized (downstream joins consume only `s`; kcents derives
+      // from the centroid frame) — drop it NOW rather than holding two
+      // corpus-sized caches through the pair join at exactly the
+      // hot-cell scale the split exists for
+      sa.assigned.unpersist(blocking = false)
+      (s, Seq(s))
     } else (sa.assigned, Seq(sa.assigned))
 
   private[graft] def semanticAssign(emb: DataFrame, targetCluster: Int,
