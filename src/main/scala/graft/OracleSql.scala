@@ -966,6 +966,17 @@ object OracleSql {
          SELECT token, count(*) AS n FROM t
          GROUP BY token ORDER BY n DESC, token LIMIT 100""",
 
+    // the Misra-Gries sketch at capacity >= distinct-token cardinality
+    // never sheds, so its counts are exactly the groupBy counts and the
+    // q84 oracle is the oracle (tie order count desc, token asc on both
+    // sides)
+    "q107_vocab_sketch" ->
+      """WITH t AS (SELECT unnest(string_split(coalesce(text, ''), ' '))
+                      AS token
+                    FROM documents)
+         SELECT token, count(*) AS n FROM t
+         GROUP BY token ORDER BY n DESC, token LIMIT 100""",
+
     // composed curation chain: q80's trigram-repetition fractions gate
     // the corpus, then the q78 deterministic per-stratum draw
     "q81_curation_pipeline" ->

@@ -906,6 +906,16 @@ object SparkEntry {
       graft.pipeline.Curation.vocabTopK(
         SynthGeo.table(s, dir, "documents"), k = 100)
         .orderBy(col("n").desc, col("token"))),
+    "q107_vocab_sketch" -> ((s, dir) =>
+      // q84 via the Misra-Gries heavy-hitters TypedImperativeAggregate:
+      // bounded-memory single-sketch-per-partition exchange instead of
+      // the token-keyed groupBy shuffle. At capacity >= distinct tokens
+      // the sketch is exact, so the q84 oracle replays it verbatim —
+      // the compressed (shedding) regime is spec-pinned in
+      // HeavyHittersSpec where exactness provably cannot hold.
+      graft.pipeline.Curation.vocabTopKSketch(
+        SynthGeo.table(s, dir, "documents"), k = 100, capacity = 4096)
+        .orderBy(col("n").desc, col("token"))),
     "q85_paragraph_dedup" -> ((s, dir) => {
       // C4-style corpus-wide paragraph dedup over paragraph-structured
       // pages minted from the documents table: a header shared by every

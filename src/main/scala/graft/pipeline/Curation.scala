@@ -208,6 +208,37 @@ object Curation {
       .orderBy(col("n").desc, col("token"))
       .limit(k)
 
+  /** [[vocabTopK]]'s bounded-memory twin: the same top-`k` tokens via a
+    * Misra-Gries heavy-hitters sketch
+    * ([[graft.catalyst.HeavyHittersAgg]]) instead of a full token
+    * groupBy. vocabTopK's exchange carries ~one row per DISTINCT token
+    * per partition — fine when the vocabulary is bounded, but a web
+    * corpus's token cardinality grows with the data (typos, URLs,
+    * unicode soup), so at 100 TB that shuffle and the reduce-side hash
+    * tables scale with the vocabulary. Here each partition ships ONE
+    * serialized `capacity`-entry sketch across a single-partition
+    * exchange: exchange volume and aggregation memory are set by
+    * `capacity`, not the data.
+    *
+    * Guarantee (MG, merge-safe per Agarwal et al. PODS 2012): reported
+    * counts are lower bounds with per-token error ≤ N/(capacity+1),
+    * every token with true count above that is present, and when the
+    * distinct cardinality never exceeds `capacity` no shed fires and
+    * every count is EXACT — the regime q107's DuckDB oracle replays.
+    * Tie order (count desc, token asc) matches [[vocabTopK]].
+    */
+  def vocabTopKSketch(docs: DataFrame, k: Int = 100,
+                      capacity: Int = 1 << 16,
+                      textCol: String = "text"): DataFrame =
+    docs.select(explode(split(coalesce(col(textCol), lit("")), " "))
+        .as("token"))
+      .agg(graft.catalyst.HeavyHittersAgg.heavyHitters(capacity)(
+        col("token")).as("hh"))
+      .select(explode(col("hh.entries")).as("e"))
+      .select(col("e.token").as("token"), col("e.count").as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+
   /** Model-based quality scoring: a hashed bag-of-words linear
     * classifier — the fastText-style quality filter of modern
     * pretraining pipelines (classifier scores gate which documents

@@ -198,6 +198,24 @@ class PlanSpec extends AnyFunSuite {
     out.count()
   }
 
+  test("vocab sketch: object-hash aggregate, exchange carries sketches " +
+      "not tokens") {
+    import spark.implicits._
+    val docs = (0 until 200).map(i => (i.toLong, s"a b c w$i"))
+      .toDF("doc_id", "text")
+    val plan = graft.pipeline.Curation
+      .vocabTopKSketch(docs.repartition(4), k = 10, capacity = 32)
+      .queryExecution.executedPlan.toString
+    // the TypedImperativeAggregate runs under ObjectHashAggregate with a
+    // map-side partial: the only exchange before the final aggregate is
+    // the single-partition gather of one serialized sketch per partition
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(plan.contains("Exchange SinglePartition"), plan)
+    // no token-keyed repartitioning anywhere (vocabTopK's exchange
+    // hashes on token; the sketch path must not)
+    assert(!plan.contains("hashpartitioning(token"), plan)
+  }
+
   test("weights summary reduces map-side: partial aggregates, no window") {
     import spark.implicits._
     val pairs = (1L to 100L).flatMap(i => Seq((i, i % 7), (i % 7, i)))
