@@ -113,6 +113,25 @@ object TextBench {
         .head().getLong(0)))
       val (_, tVocab) = gate("vocab_topk")(time(
         graft.pipeline.Curation.vocabTopK(docs, k = 1000).count()))
+      // heavy-hitters sketch A/B on an UNBOUNDED-vocabulary corpus: the
+      // standard bench corpus caps at 5000 distinct tokens, where both
+      // paths are cheap; a web corpus's vocabulary grows with the data,
+      // so this corpus draws half of every doc's tokens from a
+      // near-unique tail (~n*20 distinct) — the regime the groupBy
+      // shuffle scales with the vocabulary and the sketch does not
+      val hcDocs = spark.range(n).select(
+          col("id").as("doc_id"),
+          concat_ws(" ", transform(sequence(lit(1), lit(40)),
+            i => when(pmod(i, lit(2)) === 0,
+              concat(lit("w"),
+                pmod(xxhash64(col("id") * lit(41) + i), lit(5000))))
+              .otherwise(concat(lit("u"), col("id") * lit(40) + i))))
+            .as("text"))
+      val (_, tVocabHcExact) = gate("vocab_sketch")(time(
+        graft.pipeline.Curation.vocabTopK(hcDocs, k = 1000).count()))
+      val (_, tVocabHcSketch) = gate("vocab_sketch")(time(
+        graft.pipeline.Curation.vocabTopKSketch(hcDocs, k = 1000,
+          capacity = 65536).count()))
       // model-based quality gate: 64k-bucket hashed linear scorer
       val wModel = spark.range(65536).select(col("id").as("bucket"),
         (col("id") * 2654435761L % 2000 / lit(1000.0) - 1.0).as("weight"))
@@ -188,7 +207,7 @@ object TextBench {
       docs.unpersist(false)
 
       val r = (t: Double) => if (t > 0) math.round(n / t) else -1L
-      println(s"""{"metric":"text_pipeline","n":$n,"n_emb":$nEmb,"cpus":"$cpus","unit":"sec","exact_dedup_sec":$tExact,"exact_dedup_rows_per_sec":${r(tExact)},"minhash_sec":$tMinhash,"minhash_rows_per_sec":${r(tMinhash)},"minhash_pairs":$mhPairs,"simhash_sec":$tSimhash,"simhash_rows_per_sec":${r(tSimhash)},"simhash_pairs":$shPairs,"langid_sec":$tLang,"langid_rows_per_sec":${r(tLang)},"quality_sec":$tQual,"quality_rows_per_sec":${r(tQual)},"fingerprint_sec":$tFp,"fingerprint_rows_per_sec":${r(tFp)},"extract_sec":$tExtract,"extract_rows_per_sec":${r(tExtract)},"repetition_sec":$tRep,"repetition_rows_per_sec":${r(tRep)},"decontaminate_sec":$tDecon,"decontaminate_rows_per_sec":${r(tDecon)},"url_dedup_sec":$tUrl,"url_dedup_rows_per_sec":${r(tUrl)},"paragraph_dedup_sec":$tPara,"paragraph_dedup_rows_per_sec":${r(tPara)},"pii_redact_sec":$tRedact,"pii_redact_rows_per_sec":${r(tRedact)},"vocab_topk_sec":$tVocab,"vocab_topk_rows_per_sec":${r(tVocab)},"model_score_sec":$tModel,"model_score_rows_per_sec":${r(tModel)},"cc_sec":$tCc,"cc_rows_per_sec":${r(tCc)},"token_budget_sec":$tBudget,"token_budget_rows_per_sec":${r(tBudget)},"unigram_logp_sec":$tLogp,"unigram_logp_rows_per_sec":${r(tLogp)},"ann_brute_sec":$tBrute,"ann_ivf_sec":$tIvf,"semantic_dedup_sec":$tSem}""")
+      println(s"""{"metric":"text_pipeline","n":$n,"n_emb":$nEmb,"cpus":"$cpus","unit":"sec","exact_dedup_sec":$tExact,"exact_dedup_rows_per_sec":${r(tExact)},"minhash_sec":$tMinhash,"minhash_rows_per_sec":${r(tMinhash)},"minhash_pairs":$mhPairs,"simhash_sec":$tSimhash,"simhash_rows_per_sec":${r(tSimhash)},"simhash_pairs":$shPairs,"langid_sec":$tLang,"langid_rows_per_sec":${r(tLang)},"quality_sec":$tQual,"quality_rows_per_sec":${r(tQual)},"fingerprint_sec":$tFp,"fingerprint_rows_per_sec":${r(tFp)},"extract_sec":$tExtract,"extract_rows_per_sec":${r(tExtract)},"repetition_sec":$tRep,"repetition_rows_per_sec":${r(tRep)},"decontaminate_sec":$tDecon,"decontaminate_rows_per_sec":${r(tDecon)},"url_dedup_sec":$tUrl,"url_dedup_rows_per_sec":${r(tUrl)},"paragraph_dedup_sec":$tPara,"paragraph_dedup_rows_per_sec":${r(tPara)},"pii_redact_sec":$tRedact,"pii_redact_rows_per_sec":${r(tRedact)},"vocab_topk_sec":$tVocab,"vocab_topk_rows_per_sec":${r(tVocab)},"vocab_hc_exact_sec":$tVocabHcExact,"vocab_hc_sketch_sec":$tVocabHcSketch,"model_score_sec":$tModel,"model_score_rows_per_sec":${r(tModel)},"cc_sec":$tCc,"cc_rows_per_sec":${r(tCc)},"token_budget_sec":$tBudget,"token_budget_rows_per_sec":${r(tBudget)},"unigram_logp_sec":$tLogp,"unigram_logp_rows_per_sec":${r(tLogp)},"ann_brute_sec":$tBrute,"ann_ivf_sec":$tIvf,"semantic_dedup_sec":$tSem}""")
     } finally spark.stop()
   }
 }
