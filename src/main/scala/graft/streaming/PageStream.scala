@@ -63,6 +63,34 @@ object PageStream {
       .select(col("window.start").as("win_start"), col("host"),
         col("n_pages"), col("total_chars"))
 
+  /** Streaming vocabulary heavy hitters: the Misra-Gries sketch
+    * ([[graft.catalyst.HeavyHittersAgg]]) over a watermarked event-time
+    * window — per-window trending tokens with FIXED aggregation state.
+    * A token-keyed streaming `groupBy(window, token)` would hold one
+    * state-store row per distinct token per in-flight window (unbounded
+    * on a web stream); here the state is ONE serialized capacity-entry
+    * sketch per window, and the aggregate's binary buffer is exactly
+    * what the state store persists between micro-batches — the MG merge
+    * rule doubles as the cross-batch accumulation, so the
+    * N/(capacity+1) bound holds over the whole window no matter how
+    * the batches slice it. Batch frames run the same code path
+    * (`withWatermark` is a no-op on batch).
+    */
+  def vocabHeavyHitters(pages: DataFrame, capacity: Int = 4096,
+                        windowDur: String = "1 hour",
+                        watermark: String = "2 hours"): DataFrame =
+    pages
+      .withWatermark("warc_ts", watermark)
+      .select(col("warc_ts"),
+        explode(split(coalesce(col("text"), lit("")), " ")).as("token"))
+      .groupBy(window(col("warc_ts"), windowDur))
+      .agg(graft.catalyst.HeavyHittersAgg.heavyHitters(capacity)(
+        col("token")).as("hh"))
+      .select(col("window.start").as("win_start"),
+        explode(col("hh.entries")).as("e"))
+      .select(col("win_start"), col("e.token").as("token"),
+        col("e.count").as("n"))
+
   /** Streaming quality gate: the fastText-style hashed linear scorer
     * ([[graft.pipeline.Curation.hashedLinearScore]]) over a page
     * stream — token explode, broadcast model join, per-page re-agg

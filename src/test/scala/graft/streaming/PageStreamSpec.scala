@@ -52,6 +52,48 @@ class PageStreamSpec extends AnyFunSuite {
     assert(streamed.length == 15, s"${streamed.length}")
   }
 
+  test("streaming vocab heavy hitters equals batch token counts " +
+      "per window, state bounded by capacity") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val t0 = 1700000000000L
+    // 2 hourly windows; vocabulary per window <= 40 << capacity 64, so
+    // the sketch is exact and the batch groupBy is the oracle; fed in
+    // TWO micro-batches so the state-store serialize/merge path (the MG
+    // combine rule as cross-batch accumulation) actually runs
+    def pageRows(lo: Int, hi: Int) = (lo until hi).map { i =>
+      (s"https://s.example/p/$i",
+        new java.sql.Timestamp(t0 + i * 60000L),
+        (0 until 12).map(j => s"tok${(i * 5 + j) % 40}").mkString(" "))
+    }
+    val mem = MemoryStream[(String, java.sql.Timestamp, String)]
+    val q = PageStream.vocabHeavyHitters(
+        mem.toDF().toDF("url", "warc_ts", "text"), capacity = 64)
+      .writeStream.format("memory").queryName("vocabhh")
+      .outputMode("complete").start()
+    mem.addData(pageRows(0, 60))
+    q.processAllAvailable()
+    mem.addData(pageRows(60, 120))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("vocabhh")
+      .orderBy("win_start", "token").collect()
+    val batch = PageStream.vocabHeavyHitters(
+        pageRows(0, 120).toDF("url", "warc_ts", "text"), capacity = 64)
+      .orderBy("win_start", "token").collect()
+    assert(streamed.sameElements(batch))
+    // 120 minutes starting mid-hour → 3 hourly windows × 40 tokens
+    assert(streamed.length == 120, s"${streamed.length}")
+    // and the counts are the exact per-window token counts
+    val exact = pageRows(0, 120).flatMap { case (_, ts, text) =>
+      text.split(" ").map(tok => ((ts.getTime / 3600000L) * 3600000L, tok))
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    streamed.foreach { r =>
+      val key = (r.getTimestamp(0).getTime, r.getString(1))
+      assert(exact(key) == r.getLong(2), s"$key")
+    }
+  }
+
   test("streaming model-score gate equals the batch scorer per page") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
