@@ -116,8 +116,11 @@ object HeavyHittersAgg {
     * compares bytes without needing a copy).
     */
   final class MGSketch(val capacity: Int) {
+    // pre-size for capacity entries without resize churn, clamped so a
+    // huge configured capacity can't overflow the Int ctor argument
     private[HeavyHittersAgg] val map =
-      new java.util.HashMap[UTF8String, Array[Long]](capacity * 2)
+      new java.util.HashMap[UTF8String, Array[Long]](
+        math.min(capacity.toLong * 2, 1L << 30).toInt)
     private[HeavyHittersAgg] var err: Long = 0L
 
     def add(tok: UTF8String, w: Long): Unit = {

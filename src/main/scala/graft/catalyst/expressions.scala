@@ -6,7 +6,8 @@ import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression,
 import org.apache.spark.sql.graftshim.ColumnShim
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
-import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType,
+  LongType}
 
 /** Native Catalyst expressions with whole-stage codegen for the two pure
   * functions on the engine's hot paths (SURVEY §4.2): grid cell-id
@@ -172,7 +173,31 @@ object GraftFunctions {
           "actualNum" -> exprs.length.toString,
           "docroot" -> "https://spark.apache.org/docs/latest"))
 
-  /** Register `cell_id` / `tw_hash` / `dot_arr` for SQL use. */
+  /** `heavy_hitters(token, capacity)` SQL builder: capacity must be a
+    * foldable integer literal (it sizes the aggregation buffer at plan
+    * time). The analyzer wraps the returned AggregateFunction in an
+    * AggregateExpression like any built-in aggregate.
+    */
+  private[catalyst] def buildHeavyHitters(exprs: Seq[Expression])
+      : Expression = {
+    arityCheck("heavy_hitters", "token, capacity", 2, exprs)
+    val cap = exprs(1) match {
+      case e if e.foldable && e.dataType == IntegerType =>
+        e.eval().asInstanceOf[Int]
+      case _ => throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> "`heavy_hitters`",
+          "expectedNum" -> "2 (token, capacity: int literal)",
+          "actualNum" -> "a non-literal capacity",
+          "docroot" -> "https://spark.apache.org/docs/latest"))
+    }
+    HeavyHittersAgg(exprs(0), cap)
+  }
+
+  /** Register `cell_id` / `tw_hash` / `dot_arr` / `heavy_hitters` for
+    * SQL use.
+    */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cell_id", exprs => { arityCheck("cell_id", "x, y, res", 3, exprs)
@@ -184,6 +209,9 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_arr", exprs => { arityCheck("dot_arr", "a, b", 2, exprs)
         DotExpr(exprs(0), exprs(1)) }, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "heavy_hitters", exprs => GraftFunctions.buildHeavyHitters(exprs),
+      "built-in")
   }
 }
 
@@ -210,5 +238,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           classOf[DotExpr].getName, "dot_arr"),
         (exprs: Seq[Expression]) => { GraftFunctions.arityCheck("dot_arr",
           "a, b", 2, exprs); DotExpr(exprs(0), exprs(1)) }))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("heavy_hitters"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[HeavyHittersAgg].getName, "heavy_hitters"),
+        (exprs: Seq[Expression]) => GraftFunctions.buildHeavyHitters(exprs)))
   }
 }

@@ -137,6 +137,32 @@ class HeavyHittersSpec extends AnyFunSuite {
     }
   }
 
+  test("heavy_hitters via SQL: registered aggregate matches the " +
+      "Column API, non-literal capacity rejected at analysis") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val docs = (0 until 300).map(i => s"t${(i * 3) % 29}").toDF("token")
+    docs.createOrReplaceTempView("hh_toks")
+    val viaSql = spark.sql(
+      """SELECT e.token, e.count AS n
+         FROM (SELECT explode(hh.entries) AS e FROM
+           (SELECT heavy_hitters(token, 64) AS hh FROM hh_toks))
+         ORDER BY n DESC, token""").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val viaCol = docs.agg(
+        HeavyHittersAgg.heavyHitters(64)(col("token")).as("hh"))
+      .select(explode(col("hh.entries")).as("e"))
+      .select(col("e.token"), col("e.count").as("n"))
+      .orderBy(col("n").desc, col("token")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(viaSql.sameElements(viaCol) && viaSql.length == 29)
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(
+        "SELECT heavy_hitters(token, length(token)) FROM hh_toks").collect()
+    }
+    assert(err.getMessage.contains("heavy_hitters"))
+  }
+
   test("heavy_hitters aggregate: grouped per-key sketches") {
     import spark.implicits._
     val rows = (0 until 600).map { i =>
