@@ -966,6 +966,155 @@ object OracleSql {
          SELECT token, count(*) AS n FROM t
          GROUP BY token ORDER BY n DESC, token LIMIT 100""",
 
+    // product quantization replayed end to end: normalize (q57's nrm/u
+    // CTEs), slice each unit vector into 4 subspaces of 16 dims, seed
+    // every subspace from the FIRST 8 vectors in id order (the q57b
+    // seeding convention — no per-subspace window needed), one
+    // Euclidean Lloyd sweep per subspace (argmin |s-c|^2 = argmax
+    // s.c - 0.5|c|^2, ties to min cid), then re-assign against the
+    // swept centroids = the codes
+    "q108_pq_encode" ->
+      """WITH nrm AS (
+           SELECT vec_id AS id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         u AS (
+           SELECT id, CASE WHEN nr = 0 THEN v
+                      ELSE list_transform(v, x -> x / nr) END AS unit
+           FROM (SELECT id, v,
+                   sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum'))
+                     AS nr
+                 FROM nrm) t),
+         js AS (SELECT CAST(unnest(range(0, 4)) AS INT) AS sub),
+         subsu AS (
+           SELECT id, sub, unit[(sub*16+1):((sub+1)*16)] AS svec
+           FROM u CROSS JOIN js),
+         seeds0 AS (
+           SELECT CAST(row_number() OVER (ORDER BY id) AS INT) - 1 AS cid,
+                  unit
+           FROM (SELECT id, unit FROM u ORDER BY id LIMIT 8) s),
+         seeds AS (
+           SELECT sub, cid, unit[(sub*16+1):((sub+1)*16)] AS cvec
+           FROM seeds0 CROSS JOIN js),
+         seedsn AS (
+           SELECT sub, cid, cvec,
+             list_aggregate(list_transform(cvec, x -> x * x), 'sum') AS cn2
+           FROM seeds),
+         sc1 AS (
+           SELECT s.id, s.sub, s.svec, c.cid,
+             list_aggregate(list_transform(range(1, len(s.svec) + 1),
+               i -> s.svec[i] * c.cvec[i]), 'sum') - 0.5 * c.cn2 AS score
+           FROM subsu s JOIN seedsn c ON s.sub = c.sub),
+         asg AS (SELECT id, sub, svec, cid FROM (
+             SELECT id, sub, svec, cid, row_number() OVER (
+               PARTITION BY id, sub ORDER BY score DESC, cid) AS rk
+             FROM sc1) t WHERE rk = 1),
+         cpos AS (
+           SELECT sub, cid, pos, avg(svec[CAST(pos AS INT)]) AS mval
+           FROM (SELECT sub, cid, svec,
+                   unnest(range(1, len(svec) + 1)) AS pos
+                 FROM asg) x
+           GROUP BY sub, cid, pos),
+         cent AS (SELECT sub, cid, list(mval ORDER BY pos) AS cvec
+                  FROM cpos GROUP BY sub, cid),
+         centn AS (
+           SELECT sub, cid, cvec,
+             list_aggregate(list_transform(cvec, x -> x * x), 'sum') AS cn2
+           FROM cent),
+         sc2 AS (
+           SELECT s.id, s.sub, c.cid,
+             list_aggregate(list_transform(range(1, len(s.svec) + 1),
+               i -> s.svec[i] * c.cvec[i]), 'sum') - 0.5 * c.cn2 AS score
+           FROM subsu s JOIN centn c ON s.sub = c.sub)
+         SELECT id, sub, cid AS code FROM (
+             SELECT id, sub, cid, row_number() OVER (
+               PARTITION BY id, sub ORDER BY score DESC, cid) AS rk
+             FROM sc2) t
+         WHERE rk = 1 ORDER BY id, sub""",
+
+    // ADC top-10: q108's train+encode CTE chain, then each (query,
+    // vector) pair scores as the sub-ordered sum of
+    // dot(query subvector, assigned sub-centroid) — the per-sub
+    // partials are summed via list(p ORDER BY sub) so the fold order
+    // matches Spark's zip_with/aggregate left-to-right accumulation
+    "q108b_pq_adc" ->
+      """WITH nrm AS (
+           SELECT vec_id AS id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         u AS (
+           SELECT id, CASE WHEN nr = 0 THEN v
+                      ELSE list_transform(v, x -> x / nr) END AS unit
+           FROM (SELECT id, v,
+                   sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum'))
+                     AS nr
+                 FROM nrm) t),
+         js AS (SELECT CAST(unnest(range(0, 4)) AS INT) AS sub),
+         subsu AS (
+           SELECT id, sub, unit[(sub*16+1):((sub+1)*16)] AS svec
+           FROM u CROSS JOIN js),
+         seeds0 AS (
+           SELECT CAST(row_number() OVER (ORDER BY id) AS INT) - 1 AS cid,
+                  unit
+           FROM (SELECT id, unit FROM u ORDER BY id LIMIT 8) s),
+         seeds AS (
+           SELECT sub, cid, unit[(sub*16+1):((sub+1)*16)] AS cvec
+           FROM seeds0 CROSS JOIN js),
+         seedsn AS (
+           SELECT sub, cid, cvec,
+             list_aggregate(list_transform(cvec, x -> x * x), 'sum') AS cn2
+           FROM seeds),
+         sc1 AS (
+           SELECT s.id, s.sub, s.svec, c.cid,
+             list_aggregate(list_transform(range(1, len(s.svec) + 1),
+               i -> s.svec[i] * c.cvec[i]), 'sum') - 0.5 * c.cn2 AS score
+           FROM subsu s JOIN seedsn c ON s.sub = c.sub),
+         asg AS (SELECT id, sub, svec, cid FROM (
+             SELECT id, sub, svec, cid, row_number() OVER (
+               PARTITION BY id, sub ORDER BY score DESC, cid) AS rk
+             FROM sc1) t WHERE rk = 1),
+         cpos AS (
+           SELECT sub, cid, pos, avg(svec[CAST(pos AS INT)]) AS mval
+           FROM (SELECT sub, cid, svec,
+                   unnest(range(1, len(svec) + 1)) AS pos
+                 FROM asg) x
+           GROUP BY sub, cid, pos),
+         cent AS (SELECT sub, cid, list(mval ORDER BY pos) AS cvec
+                  FROM cpos GROUP BY sub, cid),
+         centn AS (
+           SELECT sub, cid, cvec,
+             list_aggregate(list_transform(cvec, x -> x * x), 'sum') AS cn2
+           FROM cent),
+         sc2 AS (
+           SELECT s.id, s.sub, c.cid,
+             list_aggregate(list_transform(range(1, len(s.svec) + 1),
+               i -> s.svec[i] * c.cvec[i]), 'sum') - 0.5 * c.cn2 AS score
+           FROM subsu s JOIN centn c ON s.sub = c.sub),
+         codes AS (SELECT id, sub, cid AS code FROM (
+             SELECT id, sub, cid, row_number() OVER (
+               PARTITION BY id, sub ORDER BY score DESC, cid) AS rk
+             FROM sc2) t WHERE rk = 1),
+         qsub AS (SELECT id AS qid, sub, svec FROM subsu WHERE id < 5),
+         parts AS (
+           SELECT q.qid, c.id, c.sub,
+             list_aggregate(list_transform(range(1, len(q.svec) + 1),
+               i -> q.svec[i] * ct.cvec[i]), 'sum') AS p
+           FROM codes c
+           JOIN qsub q ON q.sub = c.sub
+           JOIN centn ct ON ct.sub = c.sub AND ct.cid = c.code
+           WHERE c.id <> q.qid),
+         scored AS (
+           SELECT qid, id,
+             list_aggregate(list(p ORDER BY sub), 'sum') AS cosine
+           FROM parts GROUP BY qid, id),
+         ranked AS (SELECT qid, id, cosine,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY cosine DESC, id) AS rk
+           FROM scored)
+         SELECT qid, id, CAST(rk AS BIGINT) AS rk,
+                (round(cosine, 6) + 0.0) AS cosine
+         FROM ranked WHERE rk <= 10 ORDER BY qid, rk""",
+
     // the Misra-Gries sketch at capacity >= distinct-token cardinality
     // never sheds, so its counts are exactly the groupBy counts and the
     // q84 oracle is the oracle (tie order count desc, token asc on both

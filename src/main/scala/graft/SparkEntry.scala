@@ -906,6 +906,31 @@ object SparkEntry {
       graft.pipeline.Curation.vocabTopK(
         SynthGeo.table(s, dir, "documents"), k = 100)
         .orderBy(col("n").desc, col("token"))),
+    "q108_pq_encode" -> ((s, dir) => {
+      // product quantization over the embeddings table: 4 subspaces ×
+      // 8 centroids, id-order seeds + one Lloyd sweep per subspace
+      // (the q57b seeding/sweep conventions, so DuckDB replays the
+      // whole train+encode). Output exploded to scalar rows.
+      val emb = SynthGeo.table(s, dir, "embeddings")
+      val cb = graft.pipeline.Similarity.pqTrain(emb, m = 4, ksub = 8)
+      graft.pipeline.Similarity.pqEncode(emb, cb)
+        .select(col("id"), posexplode(col("codes")))
+        .select(col("id"), col("pos").cast("int").as("sub"),
+          col("col").as("code"))
+        .orderBy("id", "sub")
+    }),
+    "q108b_pq_adc" -> ((s, dir) => {
+      // asymmetric-distance top-10 in the compressed domain: per-query
+      // LUT over the literal codebooks, score = sum of m lookups
+      val emb = SynthGeo.table(s, dir, "embeddings")
+      val cb = graft.pipeline.Similarity.pqTrain(emb, m = 4, ksub = 8)
+      val codes = graft.pipeline.Similarity.pqEncode(emb, cb)
+      graft.pipeline.Similarity.pqTopK(codes,
+          emb.filter(col("vec_id") < 5), cb, k = 10)
+        .select(col("qid"), col("id"), col("rk").cast("long").as("rk"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("qid", "rk")
+    }),
     "q107_vocab_sketch" -> ((s, dir) =>
       // q84 via the Misra-Gries heavy-hitters TypedImperativeAggregate:
       // bounded-memory single-sketch-per-partition exchange instead of

@@ -176,6 +176,128 @@ object Similarity {
     graft.core.Materialize.releasing(out, Seq(c))
   }
 
+  /** Product-quantization codebooks (Jégou, Douze & Schmid, TPAMI
+    * 2011): split each unit vector into `m` subspaces of d/m dims and
+    * k-means each subspace independently to `ksub` centroids. Encoded
+    * storage drops from d doubles to m small ints per vector — the
+    * compression that makes billion-vector ANN indexes fit a cluster's
+    * memory (IVFADC = the [[ivfTopK]] coarse stage + this).
+    *
+    * Training is ONE pass over the corpus: subvector rows (id, sub,
+    * svec) via posexplode (n·m rows but total volume = the corpus),
+    * Euclidean assignment against broadcast seeds keyed per subspace,
+    * and a (sub, cid)-keyed mean recompute — both shuffles carry
+    * ~one row per (vector, subspace) partial-aggregated. Seeding is
+    * the IVF convention: the FIRST `ksub` vectors (id order) seed
+    * every subspace, so the q108 DuckDB oracle replays the draw
+    * without a per-subspace window. One Lloyd sweep, like
+    * [[ivfCentroids]]. Returns (sub, cid, cvec).
+    */
+  def pqTrain(corpus: DataFrame, m: Int, ksub: Int): DataFrame = {
+    val c = normalized(corpus).cache()
+    val dim = c.select(size(col("unit"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    def subSlices(v: org.apache.spark.sql.Column) =
+      posexplode(array((0 until m).map(j =>
+        slice(v, j * dsub + 1, dsub)): _*))
+    val subs = c.select(col("id"), subSlices(col("unit")))
+      .select(col("id"), col("pos").as("sub"), col("col").as("svec"))
+    val seeds = c.orderBy(col("id")).limit(ksub)
+      .withColumn("cid", row_number().over(Window.orderBy(col("id"))) - 1)
+      .select(col("cid"), subSlices(col("unit")))
+      .select(col("pos").as("sub"), col("cid"), col("col").as("cvec"))
+      .withColumn("cn2", aggregate(transform(col("cvec"), x => x * x),
+        lit(0.0), (a, x) => a + x))
+    val assigned = subs.join(broadcast(seeds), "sub")
+      .select(col("id"), col("sub"), col("svec"), col("cid"),
+        (dot("svec", "cvec") - lit(0.5) * col("cn2")).as("score"))
+      .groupBy("id", "sub")
+      .agg(max_by(col("cid"), struct(col("score"), negate(col("cid"))))
+        .as("cid"),
+        first(col("svec")).as("svec"))
+    val out = assigned.groupBy("sub", "cid")
+      .agg(array((0 until dsub).map(i => avg(col("svec")(i))): _*).as("cvec"))
+    graft.core.Materialize.releasing(out, Seq(c))
+  }
+
+  /** The collected codebook: per subspace, the (cid, cvec, cn2) list
+    * sorted by cid. m·ksub·(d/m) = d·ksub doubles total — broadcast-
+    * scale BY CONSTRUCTION (ksub ≤ 256 in any standard PQ), which is
+    * what lets the encoder be a pure scan.
+    */
+  private def collectCodebooks(codebooks: DataFrame)
+      : Map[Int, Array[(Int, Seq[Double], Double)]] =
+    codebooks.select(col("sub").cast("int"), col("cid").cast("int"),
+        col("cvec")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+      .groupBy(_._1)
+      .map { case (s, rows) =>
+        s -> rows.sortBy(_._2).map { case (_, cid, v) =>
+          (cid, v, v.foldLeft(0.0)((a, x) => a + x * x))
+        }
+      }
+
+  /** PQ encode as a PURE SCAN: the codebooks ride into the plan as
+    * literals, so each row pays m·ksub fused dot products inside
+    * whole-stage codegen and the operator has NO exchange, join, or
+    * aggregation — encoding 10^12 vectors is exactly as parallel as
+    * reading them. Returns (id, codes array<int>), codes[j] = cid of
+    * the Euclidean-nearest sub-centroid; ties to the smallest cid
+    * (`array_position` finds the FIRST maximum, and the score array is
+    * cid-ordered).
+    */
+  def pqEncode(corpus: DataFrame, codebooks: DataFrame): DataFrame = {
+    val cb = collectCodebooks(codebooks)
+    val m = cb.keys.max + 1
+    val dsub = cb(0).head._2.size
+    val codeCols = (0 until m).map { j =>
+      val sv = slice(col("unit"), j * dsub + 1, dsub)
+      val scores = array(cb(j).map { case (_, v, cn2) =>
+        graft.catalyst.GraftFunctions.dot_arr(sv, typedLit(v)) -
+          lit(0.5 * cn2) }: _*)
+      // position of the first max → the cid at that position (cids can
+      // be sparse if a seed lost every member in the Lloyd sweep)
+      element_at(typedLit(cb(j).map(_._1).toSeq),
+        array_position(scores, array_max(scores)).cast("int"))
+    }
+    normalized(corpus).select(col("id"), array(codeCols: _*).as("codes"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: per query, a LUT
+    * of q_sub·c_sub per (subspace, cid) — computed once per query as
+    * column expressions over the literal codebooks — then each corpus
+    * row scores as Σ_j lut[j][codes[j]]: m array lookups instead of a
+    * d-dim dot product, the compressed-domain scoring that never
+    * touches the original vectors. The LUT rides the query broadcast;
+    * ranking reuses the partial top-k aggregate. Score approximates
+    * cosine(query, vector) by cosine(query, reconstruction). Returns
+    * (qid, id, cosine, rk).
+    */
+  def pqTopK(codes: DataFrame, queries: DataFrame, codebooks: DataFrame,
+             k: Int): DataFrame = {
+    val cb = collectCodebooks(codebooks)
+    val m = cb.keys.max + 1
+    val dsub = cb(0).head._2.size
+    val lut = array((0 until m).map { j =>
+      val sv = slice(col("unit"), j * dsub + 1, dsub)
+      val byCid = cb(j).map(e => e._1 -> e._2).toMap
+      val maxCid = cb(j).map(_._1).max
+      array((0 to maxCid).map(cid => byCid.get(cid)
+        .map(v => graft.catalyst.GraftFunctions.dot_arr(sv, typedLit(v)))
+        .getOrElse(lit(0.0))): _*) // dead cids never appear in codes
+    }: _*)
+    val q = normalized(queries)
+      .select(col("id").as("qid"), lut.as("lut"))
+    val scored = codes.crossJoin(broadcast(q))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"),
+        aggregate(zip_with(col("codes"), col("lut"),
+          (code, row) => element_at(row, code + 1)),
+          lit(0.0), (a, x) => a + x).as("cosine"))
+    rankTopK(scored, k)
+  }
+
   /** IVF ANN: bucket corpus by nearest centroid; queries probe the
     * `nprobe` nearest centroids; exact scoring within probed buckets.
     * Returns (qid, id, cosine, rk) — approximate top-k.

@@ -216,6 +216,32 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("hashpartitioning(token"), plan)
   }
 
+  test("PQ encode is a pure scan (no exchange); ADC rides the query " +
+      "broadcast with a partial top-k aggregate") {
+    import spark.implicits._
+    val emb = (0 until 300).map { i =>
+      (i.toLong, (0 until 32).map(d =>
+        (((i * 31 + d * 7) % 17) - 8).toFloat / 8f))
+    }.toDF("vec_id", "embedding")
+    val cb = graft.pipeline.Similarity.pqTrain(emb, m = 4, ksub = 8)
+    val enc = graft.pipeline.Similarity.pqEncode(emb, cb)
+      .queryExecution.executedPlan.toString
+    // the literal-codebook encoder must be embarrassingly parallel:
+    // one codegen'd projection over the scan, nothing else
+    assert(!enc.contains("Exchange"), enc)
+    assert(!enc.contains("Join"), enc)
+    val codes = graft.pipeline.Similarity.pqEncode(emb, cb)
+    val topk = graft.pipeline.Similarity.pqTopK(codes,
+        emb.filter(col("vec_id") < 3), cb, k = 5)
+      .queryExecution.executedPlan.toString
+    // corpus side never shuffles before scoring: the only join is the
+    // broadcast of (query, LUT) rows, ranking is the k-slot partial agg
+    assert(topk.contains("BroadcastNestedLoopJoin"), topk)
+    assert(!topk.contains("SortMergeJoin") && !topk.contains("Window"), topk)
+    assert(topk.contains("ObjectHashAggregate") ||
+      topk.contains("SortAggregate"), topk)
+  }
+
   test("weights summary reduces map-side: partial aggregates, no window") {
     import spark.implicits._
     val pairs = (1L to 100L).flatMap(i => Seq((i, i % 7), (i % 7, i)))
