@@ -931,6 +931,19 @@ object SparkEntry {
           round(col("cosine"), 6).as("cosine"))
         .orderBy("qid", "rk")
     }),
+    "q109_ivfadc" -> ((s, dir) => {
+      // the composed billion-scale index: coarse IVF cells + PQ on
+      // residuals + in-cell ADC scoring — coarse sweep, residual
+      // codebooks, probes, LUTs, and the qc + sum-of-lookups score all
+      // replayed in the oracle
+      val emb = SynthGeo.table(s, dir, "embeddings")
+      graft.pipeline.Similarity.ivfAdcTopK(emb,
+          emb.filter(col("vec_id") < 5),
+          k = 10, nCells = 8, nprobe = 2, m = 4, ksub = 8)
+        .select(col("qid"), col("id"), col("rk").cast("long").as("rk"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("qid", "rk")
+    }),
     "q107_vocab_sketch" -> ((s, dir) =>
       // q84 via the Misra-Gries heavy-hitters TypedImperativeAggregate:
       // bounded-memory single-sketch-per-partition exchange instead of

@@ -193,8 +193,18 @@ object Similarity {
     * without a per-subspace window. One Lloyd sweep, like
     * [[ivfCentroids]]. Returns (sub, cid, cvec).
     */
-  def pqTrain(corpus: DataFrame, m: Int, ksub: Int): DataFrame = {
-    val c = normalized(corpus).cache()
+  def pqTrain(corpus: DataFrame, m: Int, ksub: Int): DataFrame =
+    pqTrainUnit(normalized(corpus), m, ksub)
+
+  /** [[pqTrain]] over an already-prepared (id, unit) frame — the unit
+    * column is NOT re-normalized, which is what residual quantization
+    * ([[ivfAdcTopK]]) needs: residuals are small by construction and
+    * normalizing them would erase exactly the magnitude information
+    * the codebook must capture.
+    */
+  private[graft] def pqTrainUnit(units: DataFrame, m: Int,
+                                 ksub: Int): DataFrame = {
+    val c = units.select(col("id"), col("unit")).cache()
     val dim = c.select(size(col("unit"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
     val dsub = dim / m
@@ -247,7 +257,15 @@ object Similarity {
     * (`array_position` finds the FIRST maximum, and the score array is
     * cid-ordered).
     */
-  def pqEncode(corpus: DataFrame, codebooks: DataFrame): DataFrame = {
+  def pqEncode(corpus: DataFrame, codebooks: DataFrame): DataFrame =
+    pqEncodeUnit(normalized(corpus), codebooks)
+
+  /** [[pqEncode]] over a prepared frame with a `unit` column; every
+    * other column rides through untouched (so [[ivfAdcTopK]] keeps its
+    * coarse-cell id alongside the codes with no re-join).
+    */
+  private[graft] def pqEncodeUnit(units: DataFrame,
+                                  codebooks: DataFrame): DataFrame = {
     val cb = collectCodebooks(codebooks)
     val m = cb.keys.max + 1
     val dsub = cb(0).head._2.size
@@ -261,8 +279,32 @@ object Similarity {
       element_at(typedLit(cb(j).map(_._1).toSeq),
         array_position(scores, array_max(scores)).cast("int"))
     }
-    normalized(corpus).select(col("id"), array(codeCols: _*).as("codes"))
+    units.withColumn("codes", array(codeCols: _*)).drop("unit")
   }
+
+  /** Per-row ADC lookup table over the `unit` column: lut[j][cid+1] =
+    * unit_sub_j · cvec(j, cid), cid-indexed with dead cids scored 0
+    * (they never appear in codes).
+    */
+  private def lutColumn(cb: Map[Int, Array[(Int, Seq[Double], Double)]])
+      : org.apache.spark.sql.Column = {
+    val m = cb.keys.max + 1
+    val dsub = cb(0).head._2.size
+    array((0 until m).map { j =>
+      val sv = slice(col("unit"), j * dsub + 1, dsub)
+      val byCid = cb(j).map(e => e._1 -> e._2).toMap
+      val maxCid = cb(j).map(_._1).max
+      array((0 to maxCid).map(cid => byCid.get(cid)
+        .map(v => graft.catalyst.GraftFunctions.dot_arr(sv, typedLit(v)))
+        .getOrElse(lit(0.0))): _*)
+    }: _*)
+  }
+
+  /** Σ_j lut[j][codes[j]] — the compressed-domain score. */
+  private def adcScore(codes: org.apache.spark.sql.Column,
+                       lut: org.apache.spark.sql.Column) =
+    aggregate(zip_with(codes, lut,
+      (code, row) => element_at(row, code + 1)), lit(0.0), (a, x) => a + x)
 
   /** Asymmetric-distance (ADC) top-k over PQ codes: per query, a LUT
     * of q_sub·c_sub per (subspace, cid) — computed once per query as
@@ -277,25 +319,59 @@ object Similarity {
   def pqTopK(codes: DataFrame, queries: DataFrame, codebooks: DataFrame,
              k: Int): DataFrame = {
     val cb = collectCodebooks(codebooks)
-    val m = cb.keys.max + 1
-    val dsub = cb(0).head._2.size
-    val lut = array((0 until m).map { j =>
-      val sv = slice(col("unit"), j * dsub + 1, dsub)
-      val byCid = cb(j).map(e => e._1 -> e._2).toMap
-      val maxCid = cb(j).map(_._1).max
-      array((0 to maxCid).map(cid => byCid.get(cid)
-        .map(v => graft.catalyst.GraftFunctions.dot_arr(sv, typedLit(v)))
-        .getOrElse(lit(0.0))): _*) // dead cids never appear in codes
-    }: _*)
     val q = normalized(queries)
-      .select(col("id").as("qid"), lut.as("lut"))
+      .select(col("id").as("qid"), lutColumn(cb).as("lut"))
     val scored = codes.crossJoin(broadcast(q))
       .filter(col("id") =!= col("qid"))
       .select(col("qid"), col("id"),
-        aggregate(zip_with(col("codes"), col("lut"),
-          (code, row) => element_at(row, code + 1)),
-          lit(0.0), (a, x) => a + x).as("cosine"))
+        adcScore(col("codes"), col("lut")).as("cosine"))
     rankTopK(scored, k)
+  }
+
+  /** IVFADC — the composed billion-scale index (Jégou et al. §IV):
+    * coarse IVF cells for candidate generation + PQ codebooks trained
+    * on RESIDUALS (unit − coarse centroid) for in-cell scoring, all in
+    * the compressed domain. score(q, x) ≈ q·c_cell + Σ_j lut_cell[j][
+    * codes_j(x)] where the LUT is built from the query's own residual
+    * against its probed cell — one LUT per (query, probed cell),
+    * riding the query broadcast.
+    *
+    * Scale shape: the index frame is (id, ccid, codes) — m ints per
+    * vector, the original embeddings never touched at query time; the
+    * only join is probed-cell-keyed against the broadcast (query,
+    * cell, LUT) rows, so corpus-side work is candidate-cells scan ×
+    * m lookups. Training adds one coarse sweep + one residual PQ sweep
+    * over the corpus. Returns (qid, id, cosine, rk).
+    */
+  def ivfAdcTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                 nCells: Int = 16, nprobe: Int = 4,
+                 m: Int = 8, ksub: Int = 16): DataFrame = {
+    val cents = ivfCentroids(corpus, nCells).cache()
+    val c = normalized(corpus)
+    val resid = assignNearest(c, cents)
+      .join(broadcast(cents.select(col("cid"), col("cunit"))), "cid")
+      .select(col("id"), col("cid").as("ccid"),
+        zip_with(col("unit"), col("cunit"), (a, b) => a - b).as("unit"))
+    val cb = pqTrainUnit(resid.select(col("id"), col("unit")), m, ksub)
+    val index = pqEncodeUnit(resid, cb) // (id, ccid, codes)
+    val cbc = collectCodebooks(cb)
+    val q = normalized(queries).select(col("id").as("qid"),
+      col("unit").as("qunit"))
+    val qProbes = q.crossJoin(broadcast(cents))
+      .select(col("qid"), col("qunit"), col("cid"),
+        dot("qunit", "cunit").as("sim"), col("cunit"))
+      .withColumn("rk", row_number().over(Window.partitionBy("qid")
+        .orderBy(col("sim").desc, col("cid"))))
+      .filter(col("rk") <= nprobe)
+      .select(col("qid"), col("cid").as("ccid"), col("sim").as("qc"),
+        zip_with(col("qunit"), col("cunit"), (a, b) => a - b).as("unit"))
+    val lutProbes = qProbes
+      .withColumn("lut", lutColumn(cbc)).drop("unit")
+    val scored = index.join(broadcast(lutProbes), "ccid")
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"),
+        (col("qc") + adcScore(col("codes"), col("lut"))).as("cosine"))
+    graft.core.Materialize.releasing(rankTopK(scored, k), Seq(cents))
   }
 
   /** IVF ANN: bucket corpus by nearest centroid; queries probe the

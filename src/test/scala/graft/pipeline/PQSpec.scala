@@ -93,6 +93,47 @@ class PQSpec extends AnyFunSuite {
     assert(fine < 0.5, s"unit-vector mse $fine unreasonably large")
   }
 
+  test("IVFADC: planted near-duplicates found through probed cells; " +
+      "full probe covers the corpus exactly once") {
+    import spark.implicits._
+    val rng = new java.util.Random(97)
+    val dim = 64
+    def unit(v: Array[Double]) = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val bases = (0 until 30).map(_ =>
+      unit(Array.fill(dim)(rng.nextGaussian())))
+    val partners = bases.map(b =>
+      unit(b.map(x => x + 0.05 * rng.nextGaussian())))
+    val noise = (0 until 300).map(_ =>
+      unit(Array.fill(dim)(rng.nextGaussian())))
+    val corpus = (bases.zipWithIndex.map { case (v, i) => (i.toLong, v) } ++
+      partners.zipWithIndex.map { case (v, i) => (1000L + i, v) } ++
+      noise.zipWithIndex.map { case (v, i) => (2000L + i, v) })
+      .map { case (id, v) => (id, v.map(_.toFloat).toSeq) }
+      .toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 30)
+    // near-identical partners share the coarse cell with their base
+    // (max-cosine assignment), so even nprobe=4/16 must surface them
+    val top = Similarity.ivfAdcTopK(corpus, queries, k = 3,
+        nCells = 16, nprobe = 4, m = 8, ksub = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    val hits = (0 until 30).count { i =>
+      top.get(i.toLong).exists(_.exists(_._2 == 1000L + i))
+    }
+    assert(hits >= 27, s"only $hits/30 planted partners in IVFADC top-3")
+    // full probe: every corpus id except the query scored exactly once
+    // (cells partition the corpus), so top-(n) returns all 359 others
+    val full = Similarity.ivfAdcTopK(corpus, queries.limit(2), k = 400,
+        nCells = 8, nprobe = 8, m = 8, ksub = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val perQ = full.groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2) }
+    perQ.foreach { case (q, ids) =>
+      assert(ids.length == 359 && ids.distinct.length == 359, s"query $q")
+      assert(!ids.contains(q))
+    }
+  }
+
   test("ADC top-k finds planted near-duplicates through the codes") {
     import spark.implicits._
     val rng = new java.util.Random(31)
