@@ -148,6 +148,83 @@ case class DotExpr(left: Expression, right: Expression)
       l: Expression, r: Expression): Expression = copy(l, r)
 }
 
+/** adc_score(codes, lut) → double: Σ_j lut[j][codes[j]] — the PQ
+  * asymmetric-distance accumulation ([[graft.pipeline.Similarity]]).
+  * The HOF formulation (`aggregate(zip_with(codes, lut, (c, row) ->
+  * element_at(row, c + 1)), 0.0, _+_)`) materializes an intermediate
+  * array and evaluates interpreted lambdas per element — measured 2.6×
+  * slower than IVF's exact in-cell scoring at 1M×256, inverting the
+  * compressed-domain advantage; this generates one straight-line fused
+  * loop. Accumulation is left-to-right, bit-identical to the HOF chain
+  * (and to the oracle's `list(p ORDER BY sub)` fold). Null if either
+  * side is null, if a code or LUT row is null, or if a code is out of
+  * its row's bounds (the non-ANSI `element_at` answer).
+  */
+case class AdcScoreExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ExpectsInputTypes {
+  import org.apache.spark.sql.types.{ArrayType, IntegerType}
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(IntegerType), ArrayType(ArrayType(DoubleType)))
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val codes = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val lut = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val m = codes.numElements()
+    if (m != lut.numElements()) null
+    else {
+      var acc = 0.0
+      var j = 0
+      while (j < m) {
+        if (codes.isNullAt(j) || lut.isNullAt(j)) return null
+        val row = lut.getArray(j)
+        val c = codes.getInt(j)
+        if (c < 0 || c >= row.numElements() || row.isNullAt(c)) return null
+        acc += row.getDouble(c)
+        j += 1
+      }
+      acc
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val m = ctx.freshName("m")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val row = ctx.freshName("row")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $m = $a.numElements();
+         |if ($m != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $j = 0; $j < $m; $j++) {
+         |    if ($a.isNullAt($j) || $b.isNullAt($j)) {
+         |      ${ev.isNull} = true;
+         |      break;
+         |    }
+         |    org.apache.spark.sql.catalyst.util.ArrayData $row =
+         |      $b.getArray($j);
+         |    int $c = $a.getInt($j);
+         |    if ($c < 0 || $c >= $row.numElements() || $row.isNullAt($c)) {
+         |      ${ev.isNull} = true;
+         |      break;
+         |    }
+         |    $acc += $row.getDouble($c);
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(l, r)
+}
+
 object GraftFunctions {
   def cell_id(x: Column, y: Column, cellSize: Double): Column =
     ColumnShim.column(CellIdExpr(ColumnShim.expression(x),
@@ -158,6 +235,9 @@ object GraftFunctions {
   def dot_arr(a: Column, b: Column): Column =
     ColumnShim.column(DotExpr(ColumnShim.expression(a),
       ColumnShim.expression(b)))
+  def adc_score(codes: Column, lut: Column): Column =
+    ColumnShim.column(AdcScoreExpr(ColumnShim.expression(codes),
+      ColumnShim.expression(lut)))
 
   /** Arity guard for SQL-registered builders: a wrong argument count
     * must surface as an AnalysisException naming the signature, not an

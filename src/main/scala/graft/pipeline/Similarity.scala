@@ -300,11 +300,16 @@ object Similarity {
     }: _*)
   }
 
-  /** Σ_j lut[j][codes[j]] — the compressed-domain score. */
+  /** Σ_j lut[j][codes[j]] — the compressed-domain score, as the fused
+    * codegen expression (bit-identical to the HOF chain
+    * `aggregate(zip_with(codes, lut, (c, row) -> element_at(row, c+1)),
+    * 0.0, _+_)` it replaced — CatalystSpec pins the equivalence — at a
+    * fraction of the per-row cost; the HOF form's interpreted lambdas
+    * made ADC scoring slower than the exact dots it exists to avoid).
+    */
   private def adcScore(codes: org.apache.spark.sql.Column,
                        lut: org.apache.spark.sql.Column) =
-    aggregate(zip_with(codes, lut,
-      (code, row) => element_at(row, code + 1)), lit(0.0), (a, x) => a + x)
+    graft.catalyst.GraftFunctions.adc_score(codes, lut)
 
   /** Asymmetric-distance (ADC) top-k over PQ codes: per query, a LUT
     * of q_sub·c_sub per (subspace, cid) — computed once per query as
@@ -343,9 +348,24 @@ object Similarity {
     * m lookups. Training adds one coarse sweep + one residual PQ sweep
     * over the corpus. Returns (qid, id, cosine, rk).
     */
-  def ivfAdcTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-                 nCells: Int = 16, nprobe: Int = 4,
-                 m: Int = 8, ksub: Int = 16): DataFrame = {
+  /** The built IVFADC index: coarse centroids, residual PQ codebooks,
+    * and the code frame (id, ccid, codes). Build once with
+    * [[ivfAdcIndex]], query many times with [[ivfAdcSearch]] — the
+    * training sweeps amortize across query batches (a real deployment
+    * persists `index` as a table of m ints + a cell id per vector and
+    * the two centroid frames as tiny side tables). `release()` drops
+    * the cached centroid frame.
+    */
+  final case class IvfAdcIndex(cents: DataFrame, codebooks: DataFrame,
+                               index: DataFrame) {
+    def release(): Unit = graft.core.Materialize.release(cents)
+  }
+
+  /** Build the IVFADC index: coarse sweep, residual computation,
+    * residual-PQ sweep, exchange-free encode.
+    */
+  def ivfAdcIndex(corpus: DataFrame, nCells: Int = 16,
+                  m: Int = 8, ksub: Int = 16): IvfAdcIndex = {
     val cents = ivfCentroids(corpus, nCells).cache()
     val c = normalized(corpus)
     val resid = assignNearest(c, cents)
@@ -353,11 +373,19 @@ object Similarity {
       .select(col("id"), col("cid").as("ccid"),
         zip_with(col("unit"), col("cunit"), (a, b) => a - b).as("unit"))
     val cb = pqTrainUnit(resid.select(col("id"), col("unit")), m, ksub)
-    val index = pqEncodeUnit(resid, cb) // (id, ccid, codes)
-    val cbc = collectCodebooks(cb)
+    IvfAdcIndex(cents, cb, pqEncodeUnit(resid, cb))
+  }
+
+  /** Query an IVFADC index: probe `nprobe` cells, score candidates in
+    * the compressed domain (one residual LUT per (query, probed cell),
+    * riding the query broadcast). Returns (qid, id, cosine, rk).
+    */
+  def ivfAdcSearch(idx: IvfAdcIndex, queries: DataFrame, k: Int,
+                   nprobe: Int = 4): DataFrame = {
+    val cbc = collectCodebooks(idx.codebooks)
     val q = normalized(queries).select(col("id").as("qid"),
       col("unit").as("qunit"))
-    val qProbes = q.crossJoin(broadcast(cents))
+    val qProbes = q.crossJoin(broadcast(idx.cents))
       .select(col("qid"), col("qunit"), col("cid"),
         dot("qunit", "cunit").as("sim"), col("cunit"))
       .withColumn("rk", row_number().over(Window.partitionBy("qid")
@@ -367,11 +395,19 @@ object Similarity {
         zip_with(col("qunit"), col("cunit"), (a, b) => a - b).as("unit"))
     val lutProbes = qProbes
       .withColumn("lut", lutColumn(cbc)).drop("unit")
-    val scored = index.join(broadcast(lutProbes), "ccid")
+    val scored = idx.index.join(broadcast(lutProbes), "ccid")
       .filter(col("id") =!= col("qid"))
       .select(col("qid"), col("id"),
         (col("qc") + adcScore(col("codes"), col("lut"))).as("cosine"))
-    graft.core.Materialize.releasing(rankTopK(scored, k), Seq(cents))
+    rankTopK(scored, k)
+  }
+
+  def ivfAdcTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                 nCells: Int = 16, nprobe: Int = 4,
+                 m: Int = 8, ksub: Int = 16): DataFrame = {
+    val idx = ivfAdcIndex(corpus, nCells, m, ksub)
+    graft.core.Materialize.releasing(
+      ivfAdcSearch(idx, queries, k, nprobe), Seq(idx.cents))
   }
 
   /** IVF ANN: bucket corpus by nearest centroid; queries probe the

@@ -8,6 +8,34 @@ import org.scalatest.funsuite.AnyFunSuite
 class CatalystSpec extends AnyFunSuite {
   lazy val spark = SparkFixture.spark
 
+  test("adc_score equals the HOF chain bit-for-bit, incl. null answers") {
+    import spark.implicits._
+    val rng = new java.util.Random(5)
+    val rows = (0 until 200).map { i =>
+      val lut = (0 until 8).map(_ =>
+        (0 until 16).map(_ => rng.nextGaussian()))
+      val codes = (0 until 8).map(_ => rng.nextInt(16))
+      (i, codes, lut)
+    }
+    val df = rows.toDF("id", "codes", "lut")
+    val hof = df.select(col("id"),
+      aggregate(zip_with(col("codes"), col("lut"),
+        (c, row) => element_at(row, c + 1)), lit(0.0), (a, x) => a + x)
+        .as("s")).collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val fused = df.select(col("id"),
+      GraftFunctions.adc_score(col("codes"), col("lut")).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    rows.foreach { case (i, _, _) =>
+      assert(java.lang.Double.doubleToLongBits(hof(i)) ==
+        java.lang.Double.doubleToLongBits(fused(i)), s"row $i")
+    }
+    // out-of-bounds code → null (the non-ANSI element_at answer)
+    val oob = Seq((Seq(99), Seq(Seq(1.0, 2.0)))).toDF("codes", "lut")
+      .select(GraftFunctions.adc_score(col("codes"), col("lut")))
+      .collect()
+    assert(oob.head.isNullAt(0))
+  }
+
   test("cell_id expression equals Tiling.cellId, in codegen") {
     import spark.implicits._
     val df = Seq((0.0, 0.0), (13.0, -9.0), (-0.1, 0.1), (179.99, 55.5))
