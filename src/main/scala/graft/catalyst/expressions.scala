@@ -292,6 +292,9 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "heavy_hitters", exprs => GraftFunctions.buildHeavyHitters(exprs),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "adc_score", exprs => { arityCheck("adc_score", "codes, lut", 2, exprs)
+        AdcScoreExpr(exprs(0), exprs(1)) }, "built-in")
   }
 }
 
@@ -323,5 +326,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[HeavyHittersAgg].getName, "heavy_hitters"),
         (exprs: Seq[Expression]) => GraftFunctions.buildHeavyHitters(exprs)))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("adc_score"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[AdcScoreExpr].getName, "adc_score"),
+        (exprs: Seq[Expression]) => { GraftFunctions.arityCheck("adc_score",
+          "codes, lut", 2, exprs); AdcScoreExpr(exprs(0), exprs(1)) }))
   }
 }
