@@ -165,9 +165,10 @@ object TextBench {
           col("doc_id").as("id")))).count()))
 
       // the embedding corpus is minted+cached only when an ANN stage runs
-      val (tBrute, tIvf, tPq, (tAdcIdx, tAdcSearch, tIvfAdc), tSem) =
+      val (tBrute, tIvf, (tPq, tPqEnc), (tAdcIdx, tAdcSearch, tIvfAdc), tSem) =
         if (only.forall(o => o.contains("ann_brute") || o.contains("ann_ivf")
             || o.contains("ann_ivfadc") || o.contains("pq_encode")
+            || o.contains("pq_encode_only")
             || o.contains("semantic_dedup"))) {
           val emb = spark.range(nEmb).select(
               col("id").as("vec_id"),
@@ -186,10 +187,29 @@ object TextBench {
           // IVFADC with build and search timed separately — the index
           // builds once and amortizes over query batches, the search
           // is the per-batch cost that competes with IVF's exact dots
+          // consume via bit_xor(xxhash64(codes)): a bare count() lets Catalyst
+          // prune the codes projection and measures nothing (the
+          // model_score lesson, same class)
           val tpq = gate("pq_encode")(time {
-            val cb = Similarity.pqTrain(emb, m = 8, ksub = 16)
-            Similarity.pqEncode(emb, cb).count()
+            Similarity.pqEncode(emb,
+                Similarity.pqTrain(emb, m = 8, ksub = 16))
+              .select(bit_xor(xxhash64(col("codes")))).head(); nEmb
           })._2
+          // encode alone (codebook pre-trained and cached so the
+          // encoder's internal collect doesn't recompute the sweep):
+          // the pure-scan claim — the stage whose scaling should track
+          // the core count
+          val tpqe =
+            if (only.forall(_.contains("pq_encode_only"))) {
+              val cb = Similarity.pqTrain(emb, m = 8, ksub = 16).cache()
+              cb.count()
+              val t0 = System.nanoTime()
+              Similarity.pqEncode(emb, cb)
+                .select(bit_xor(xxhash64(col("codes")))).head()
+              val t = (System.nanoTime() - t0) / 1e9
+              cb.unpersist(false)
+              t
+            } else -1.0
           val (tIdx, tSearch) =
             if (only.forall(_.contains("ann_ivfadc"))) {
               val t0 = System.nanoTime()
@@ -227,12 +247,12 @@ object TextBench {
               twoLevelK = semTwoLevelK, splitOversized = semSplit)
               .count()))._2
           emb.unpersist(false)
-          (tb, ti, tpq, (tIdx, tSearch, tia), ts)
-        } else (-1.0, -1.0, -1.0, (-1.0, -1.0, -1.0), -1.0)
+          (tb, ti, (tpq, tpqe), (tIdx, tSearch, tia), ts)
+        } else (-1.0, -1.0, (-1.0, -1.0), (-1.0, -1.0, -1.0), -1.0)
       docs.unpersist(false)
 
       val r = (t: Double) => if (t > 0) math.round(n / t) else -1L
-      println(s"""{"metric":"text_pipeline","n":$n,"n_emb":$nEmb,"cpus":"$cpus","unit":"sec","exact_dedup_sec":$tExact,"exact_dedup_rows_per_sec":${r(tExact)},"minhash_sec":$tMinhash,"minhash_rows_per_sec":${r(tMinhash)},"minhash_pairs":$mhPairs,"simhash_sec":$tSimhash,"simhash_rows_per_sec":${r(tSimhash)},"simhash_pairs":$shPairs,"langid_sec":$tLang,"langid_rows_per_sec":${r(tLang)},"quality_sec":$tQual,"quality_rows_per_sec":${r(tQual)},"fingerprint_sec":$tFp,"fingerprint_rows_per_sec":${r(tFp)},"extract_sec":$tExtract,"extract_rows_per_sec":${r(tExtract)},"repetition_sec":$tRep,"repetition_rows_per_sec":${r(tRep)},"decontaminate_sec":$tDecon,"decontaminate_rows_per_sec":${r(tDecon)},"url_dedup_sec":$tUrl,"url_dedup_rows_per_sec":${r(tUrl)},"paragraph_dedup_sec":$tPara,"paragraph_dedup_rows_per_sec":${r(tPara)},"pii_redact_sec":$tRedact,"pii_redact_rows_per_sec":${r(tRedact)},"vocab_topk_sec":$tVocab,"vocab_topk_rows_per_sec":${r(tVocab)},"vocab_hc_exact_sec":$tVocabHcExact,"vocab_hc_sketch_sec":$tVocabHcSketch,"model_score_sec":$tModel,"model_score_rows_per_sec":${r(tModel)},"cc_sec":$tCc,"cc_rows_per_sec":${r(tCc)},"token_budget_sec":$tBudget,"token_budget_rows_per_sec":${r(tBudget)},"unigram_logp_sec":$tLogp,"unigram_logp_rows_per_sec":${r(tLogp)},"ann_brute_sec":$tBrute,"ann_ivf_sec":$tIvf,"pq_encode_sec":$tPq,"ann_ivfadc_sec":$tIvfAdc,"ivfadc_index_sec":$tAdcIdx,"ivfadc_search_sec":$tAdcSearch,"semantic_dedup_sec":$tSem}""")
+      println(s"""{"metric":"text_pipeline","n":$n,"n_emb":$nEmb,"cpus":"$cpus","unit":"sec","exact_dedup_sec":$tExact,"exact_dedup_rows_per_sec":${r(tExact)},"minhash_sec":$tMinhash,"minhash_rows_per_sec":${r(tMinhash)},"minhash_pairs":$mhPairs,"simhash_sec":$tSimhash,"simhash_rows_per_sec":${r(tSimhash)},"simhash_pairs":$shPairs,"langid_sec":$tLang,"langid_rows_per_sec":${r(tLang)},"quality_sec":$tQual,"quality_rows_per_sec":${r(tQual)},"fingerprint_sec":$tFp,"fingerprint_rows_per_sec":${r(tFp)},"extract_sec":$tExtract,"extract_rows_per_sec":${r(tExtract)},"repetition_sec":$tRep,"repetition_rows_per_sec":${r(tRep)},"decontaminate_sec":$tDecon,"decontaminate_rows_per_sec":${r(tDecon)},"url_dedup_sec":$tUrl,"url_dedup_rows_per_sec":${r(tUrl)},"paragraph_dedup_sec":$tPara,"paragraph_dedup_rows_per_sec":${r(tPara)},"pii_redact_sec":$tRedact,"pii_redact_rows_per_sec":${r(tRedact)},"vocab_topk_sec":$tVocab,"vocab_topk_rows_per_sec":${r(tVocab)},"vocab_hc_exact_sec":$tVocabHcExact,"vocab_hc_sketch_sec":$tVocabHcSketch,"model_score_sec":$tModel,"model_score_rows_per_sec":${r(tModel)},"cc_sec":$tCc,"cc_rows_per_sec":${r(tCc)},"token_budget_sec":$tBudget,"token_budget_rows_per_sec":${r(tBudget)},"unigram_logp_sec":$tLogp,"unigram_logp_rows_per_sec":${r(tLogp)},"ann_brute_sec":$tBrute,"ann_ivf_sec":$tIvf,"pq_encode_sec":$tPq,"pq_encode_only_sec":$tPqEnc,"ann_ivfadc_sec":$tIvfAdc,"ivfadc_index_sec":$tAdcIdx,"ivfadc_search_sec":$tAdcSearch,"semantic_dedup_sec":$tSem}""")
     } finally spark.stop()
   }
 }

@@ -94,6 +94,45 @@ class PageStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming vocab heavy hitters in append mode: windows finalize " +
+      "past the watermark with the batch counts") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val t0 = 1700000000000L // 22:06:40 UTC — mid-hour
+    def rows(lo: Int, hi: Int) = (lo until hi).map { i =>
+      (s"https://s.example/p/$i",
+        new java.sql.Timestamp(t0 + i * 60000L),
+        (0 until 6).map(j => s"w${(i * 3 + j) % 20}").mkString(" "))
+    }
+    val mem = MemoryStream[(String, java.sql.Timestamp, String)]
+    val q = PageStream.vocabHeavyHitters(
+        mem.toDF().toDF("url", "warc_ts", "text"),
+        capacity = 64, watermark = "30 minutes")
+      .writeStream.format("memory").queryName("vocabhh_app")
+      .outputMode("append").start()
+    // batch 1 fills the first (partial) 22:xx window; batch 2 jumps 4
+    // hours ahead, dragging the watermark far past 23:00 so the first
+    // TWO windows finalize and emit
+    mem.addData(rows(0, 100))
+    q.processAllAvailable()
+    mem.addData(Seq(("https://s.example/late",
+      new java.sql.Timestamp(t0 + 4 * 3600000L), "w0 w1")))
+    q.processAllAvailable()
+    q.stop()
+    val emitted = spark.table("vocabhh_app")
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getString(1),
+        r.getLong(2)))
+    val wins = emitted.map(_._1).distinct.sorted
+    assert(wins.length == 2, s"${wins.length} finalized windows")
+    // finalized counts equal the batch computation over the same rows
+    val batch = PageStream.vocabHeavyHitters(
+        rows(0, 100).toDF("url", "warc_ts", "text"), capacity = 64)
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getString(1),
+        r.getLong(2)))
+      .filter(e => wins.contains(e._1))
+    assert(emitted.sorted.toSeq == batch.sorted.toSeq)
+  }
+
   test("streaming model-score gate equals the batch scorer per page") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
