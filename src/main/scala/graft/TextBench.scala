@@ -61,7 +61,13 @@ object TextBench {
       val (mhPairs, tMinhash) = gate("minhash")(time(Dedup.minhashLsh(docs).count()))
       val (shPairs, tSimhash) = gate("simhash")(time(Dedup.simhashDup(docs).count()))
       val (_, tLang) = gate("langid")(time(TextAnalysis.languageId(docs).count()))
-      val (_, tQual) = gate("quality")(time(TextAnalysis.qualityScore(docs).count()))
+      // quality + repetition are pure column projections: a bare
+      // count() prunes the whole computation (the model_score /
+      // pq_encode lesson) — consume an aggregate over computed columns
+      val (_, tQual) = gate("quality")(time {
+        TextAnalysis.qualityScore(docs)
+          .agg(sum(col("quality") + col("stopword_ratio"))).head(); n
+      })
       val (_, tFp) = gate("fingerprint")(time(TextAnalysis.fingerprint(docs).count()))
       // html wrap + extract (the WARC ingest path's per-page cost);
       // the wrapped corpus is built+cached only when the stage runs
@@ -83,7 +89,10 @@ object TextBench {
       // every 997th doc, ~0.1% — realistic benchmark:corpus ratio),
       // url-level dedup over minted messy spellings, corpus-wide
       // paragraph dedup with planted boilerplate, PII scrub, vocab
-      val (_, tRep) = gate("repetition")(time(TextAnalysis.repetitionStats(docs).count()))
+      val (_, tRep) = gate("repetition")(time {
+        TextAnalysis.repetitionStats(docs)
+          .agg(sum(col("dup_trigram_frac") + col("n_words"))).head(); n
+      })
       val benchSet = docs.filter(pmod(col("doc_id"), lit(997)) === 0)
       val (_, tDecon) = gate("decontaminate")(time(
         graft.pipeline.Curation.decontaminate(docs, benchSet).count()))
