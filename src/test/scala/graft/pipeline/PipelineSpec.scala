@@ -366,6 +366,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(r(5L) == ((5L, 1L, 0.0, 0.0, 0.0)))
   }
 
+  test("repetition stats: typed fast path ≡ SQL-shape formulation " +
+      "bit-for-bit on random corpora") {
+    import spark.implicits._
+    val rng = new java.util.Random(13)
+    // adversarial token pool: repeats, empties (double spaces),
+    // single-char and multi-char tokens, short and long docs
+    val docs = (0 until 400).map { i =>
+      val len = rng.nextInt(12) // 0..11 tokens → includes "" docs
+      (i.toLong, (0 until len).map(_ => rng.nextInt(6) match {
+        case 0 => ""
+        case 1 => "a"
+        case k => s"w${rng.nextInt(4)}$k"
+      }).mkString(" "))
+    }.toDF("doc_id", "text")
+    val fast = TextAnalysis.repetitionStats(docs)
+      .as[(Long, Long, Double, Double, Double)].collect().sortBy(_._1)
+    val sql = TextAnalysis.repetitionStatsSql(docs)
+      .as[(Long, Long, Double, Double, Double)].collect().sortBy(_._1)
+    assert(fast.length == sql.length)
+    fast.zip(sql).foreach { case (f, s) =>
+      assert(f._1 == s._1 && f._2 == s._2)
+      Seq((f._3, s._3), (f._4, s._4), (f._5, s._5)).foreach { case (a, b) =>
+        assert(java.lang.Double.doubleToLongBits(a) ==
+          java.lang.Double.doubleToLongBits(b), s"doc ${f._1}: $a vs $b")
+      }
+    }
+  }
+
   test("stratified sample: partial top-k agg ≡ window formulation, deterministic") {
     import spark.implicits._
     val docs = SynthGeo.table(spark, dir, "documents")
