@@ -110,8 +110,20 @@ object Bench {
         val t0 = System.nanoTime()
         // NonFatal only: an OOM/interrupt means the JVM is corrupted —
         // recording it as a query failure and sweeping on would pollute
-        // every later sample; let fatal errors abort the bench run
-        try { fn(spark, sfDir).count(); samples(name) += (System.nanoTime() - t0) / 1e9 }
+        // every later sample; let fatal errors abort the bench run.
+        // Consume via the query's OWN physical plan (internal-row RDD
+        // count): a DataFrame.count() lets Catalyst prune projections
+        // and drop sorts, so projection-final queries (token counts,
+        // quality signals, PII scrub, the rate family's arithmetic)
+        // were partially timed as scan-only counts — the same voided
+        // class the r7 TextBench audit found. toRdd executes the plan
+        // as the query declared it, every column computed, with no
+        // extra row serialization.
+        try {
+          org.apache.spark.sql.graftshim.ColumnShim
+            .toInternalRdd(fn(spark, sfDir)).count()
+          samples(name) += (System.nanoTime() - t0) / 1e9
+        }
         catch { case scala.util.control.NonFatal(_) => failsByQuery(name) += 1 }
         spentByQuery(name) += (System.nanoTime() - t0) / 1e9
       }
