@@ -358,11 +358,18 @@ object Similarity {
     */
   final case class IvfAdcIndex(cents: DataFrame, codebooks: DataFrame,
                                index: DataFrame) {
-    def release(): Unit = graft.core.Materialize.release(cents)
+    def release(): Unit = {
+      graft.core.Materialize.release(cents)
+      graft.core.Materialize.release(codebooks)
+    }
   }
 
   /** Build the IVFADC index: coarse sweep, residual computation,
-    * residual-PQ sweep, exchange-free encode.
+    * residual-PQ sweep, exchange-free encode. The m·ksub-row codebook
+    * frame is cached — [[ivfAdcSearch]] collects it per query batch,
+    * and without the cache each batch would re-trigger the whole
+    * training lineage (locally masked by shuffle-file reuse, a real
+    * recompute on a cluster whose shuffle files have aged out).
     */
   def ivfAdcIndex(corpus: DataFrame, nCells: Int = 16,
                   m: Int = 8, ksub: Int = 16): IvfAdcIndex = {
@@ -373,6 +380,7 @@ object Similarity {
       .select(col("id"), col("cid").as("ccid"),
         zip_with(col("unit"), col("cunit"), (a, b) => a - b).as("unit"))
     val cb = pqTrainUnit(resid.select(col("id"), col("unit")), m, ksub)
+      .cache()
     IvfAdcIndex(cents, cb, pqEncodeUnit(resid, cb))
   }
 
@@ -407,7 +415,8 @@ object Similarity {
                  m: Int = 8, ksub: Int = 16): DataFrame = {
     val idx = ivfAdcIndex(corpus, nCells, m, ksub)
     graft.core.Materialize.releasing(
-      ivfAdcSearch(idx, queries, k, nprobe), Seq(idx.cents))
+      ivfAdcSearch(idx, queries, k, nprobe),
+      Seq(idx.cents, idx.codebooks))
   }
 
   /** IVF ANN: bucket corpus by nearest centroid; queries probe the
