@@ -1115,6 +1115,19 @@ object OracleSql {
                 (round(cosine, 6) + 0.0) AS cosine
          FROM ranked WHERE rk <= 10 ORDER BY qid, rk""",
 
+    // weighted MG sketch at capacity >= distinct hosts: exact, so the
+    // groupBy-sum is the oracle (q79's synthetic page shape)
+    "q110_host_bytes_sketch" ->
+      """WITH pages AS (
+           SELECT 'https://site-' || CAST(doc_id % 97 AS VARCHAR) ||
+                  '.example/page/' || CAST(doc_id AS VARCHAR) AS url,
+                  text
+           FROM documents)
+         SELECT split_part(url, '/', 3) AS host,
+                CAST(sum(length(text)) AS BIGINT) AS total
+         FROM pages GROUP BY 1
+         ORDER BY total DESC, host LIMIT 50""",
+
     // IVFADC replayed end to end: coarse IVF training (q57b's chain at
     // 8 cells, cosine assignment, ties min cid), bucketing against the
     // swept coarse centroids, RESIDUALS unit - cunit, the q108 residual

@@ -931,6 +931,16 @@ object SparkEntry {
           round(col("cosine"), 6).as("cosine"))
         .orderBy("qid", "rk")
     }),
+    "q110_host_bytes_sketch" -> ((s, dir) =>
+      // top hosts by total text bytes through the WEIGHTED MG sketch;
+      // 97 distinct hosts << capacity 256, so the sketch is exact and
+      // the q79-style groupBy-sum oracle replays it verbatim
+      graft.pipeline.Curation.heavyKeysSketch(
+        graft.pipeline.Webtext.synthWebpages(s, dir)
+          .select(graft.pipeline.Webtext.hostOf(col("url")).as("host"),
+            length(col("text")).as("len")),
+        keyCol = "host", weightCol = "len", k = 50, capacity = 256)
+        .orderBy(col("total").desc, col("host"))),
     "q109_ivfadc" -> ((s, dir) => {
       // the composed billion-scale index: coarse IVF cells + PQ on
       // residuals + in-cell ADC scoring — coarse sweep, residual

@@ -92,6 +92,57 @@ case class HeavyHittersAgg(child: Expression, capacity: Int,
     copy(child = c)
 }
 
+/** Weighted Misra-Gries: `heavy_hitters_w(key, weight)` — the same
+  * [[HeavyHittersAgg.MGSketch]] with per-row weight `w` instead of 1
+  * (total-bytes-per-domain style telemetry: at 100 TB "which hosts
+  * dominate the corpus BY VOLUME" matters more than by page count).
+  * All MG guarantees carry with N replaced by the total weight W:
+  * counts are lower bounds, per-key error ≤ `max_err` ≤ W/(capacity+1)
+  * (the shed-mass argument is identical — each shed removes ≥
+  * (capacity+1)·m of weight), exact whenever distinct keys ≤ capacity.
+  * Null keys, null weights, and weights ≤ 0 are ignored.
+  */
+case class HeavyHittersWeightedAgg(left: Expression, right: Expression,
+    capacity: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[HeavyHittersAgg.MGSketch]
+  with ExpectsInputTypes
+  with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
+
+  require(capacity > 0, "heavy_hitters_w needs capacity > 0")
+
+  import HeavyHittersAgg.MGSketch
+
+  override def inputTypes: Seq[DataType] = Seq(StringType, LongType)
+  override def nullable: Boolean = false
+  override def dataType: DataType = HeavyHittersAgg.outType
+  override def prettyName: String = "heavy_hitters_w"
+
+  override def createAggregationBuffer(): MGSketch = new MGSketch(capacity)
+
+  override def update(b: MGSketch, input: InternalRow): MGSketch = {
+    val k = left.eval(input)
+    val w = right.eval(input)
+    if (k != null && w != null && w.asInstanceOf[Long] > 0L)
+      b.add(k.asInstanceOf[UTF8String], w.asInstanceOf[Long])
+    b
+  }
+
+  override def merge(b: MGSketch, o: MGSketch): MGSketch = b.mergeIn(o)
+  override def eval(b: MGSketch): Any = b.result()
+  override def serialize(b: MGSketch): Array[Byte] = b.toBytes
+  override def deserialize(bytes: Array[Byte]): MGSketch =
+    MGSketch.fromBytes(capacity, bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): HeavyHittersWeightedAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): HeavyHittersWeightedAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}
+
 object HeavyHittersAgg {
 
   private[catalyst] val outType: DataType = StructType(Seq(
@@ -108,6 +159,16 @@ object HeavyHittersAgg {
   def heavyHitters(capacity: Int)(tok: Column): Column =
     ColumnShim.column(
       HeavyHittersAgg(ColumnShim.expression(tok), capacity)
+        .toAggregateExpression())
+
+  /** `heavyHittersWeighted(capacity)(key, weight)` — weighted variant
+    * ([[HeavyHittersWeightedAgg]]); weight must be a long column.
+    */
+  def heavyHittersWeighted(capacity: Int)(key: Column,
+                                          weight: Column): Column =
+    ColumnShim.column(
+      HeavyHittersWeightedAgg(ColumnShim.expression(key),
+        ColumnShim.expression(weight), capacity)
         .toAggregateExpression())
 
   /** The live buffer. Counts are 1-element arrays so a hit mutates in

@@ -239,6 +239,25 @@ object Curation {
       .orderBy(col("n").desc, col("token"))
       .limit(k)
 
+  /** Top-`k` keys by TOTAL WEIGHT via the weighted Misra-Gries sketch
+    * ([[graft.catalyst.HeavyHittersWeightedAgg]]) — "which hosts
+    * dominate the corpus by bytes" telemetry with the same
+    * fixed-by-configuration exchange as [[vocabTopKSketch]] (one
+    * capacity-entry sketch per partition, memory independent of the
+    * key cardinality). Weights ≤ 0 and nulls are ignored; totals are
+    * lower bounds within W/(capacity+1), exact when distinct keys ≤
+    * capacity (q110's oracle-checked regime). Tie order (total desc,
+    * key asc).
+    */
+  def heavyKeysSketch(df: DataFrame, keyCol: String, weightCol: String,
+                      k: Int = 100, capacity: Int = 1 << 16): DataFrame =
+    df.agg(graft.catalyst.HeavyHittersAgg.heavyHittersWeighted(capacity)(
+        col(keyCol), col(weightCol).cast("long")).as("hh"))
+      .select(explode(col("hh.entries")).as("e"))
+      .select(col("e.token").as(keyCol), col("e.count").as("total"))
+      .orderBy(col("total").desc, col(keyCol))
+      .limit(k)
+
   /** Model-based quality scoring: a hashed bag-of-words linear
     * classifier — the fastText-style quality filter of modern
     * pretraining pipelines (classifier scores gate which documents

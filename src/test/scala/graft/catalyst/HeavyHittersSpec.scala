@@ -163,6 +163,47 @@ class HeavyHittersSpec extends AnyFunSuite {
     assert(err.getMessage.contains("heavy_hitters"))
   }
 
+  test("weighted MG: exact regime equals groupBy-sum, invariant to " +
+      "partitioning, null/non-positive weights ignored") {
+    import spark.implicits._
+    val rows = (0 until 900).map { i =>
+      (s"host${i % 23}", ((i * 37) % 500 - 50).toLong) } ++
+      Seq(("hostX", 0L), (null.asInstanceOf[String], 99L))
+    val df = rows.toDF("key", "w")
+    val truth = rows.filter(r => r._1 != null && r._2 > 0)
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+    Seq(1, 11).foreach { p =>
+      val got = graft.pipeline.Curation.heavyKeysSketch(
+          df.repartition(p), "key", "w", k = 100, capacity = 64)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == truth, s"parallelism $p")
+    }
+  }
+
+  test("weighted MG: compressed regime keeps the W/(capacity+1) bound " +
+      "and surfaces the by-volume heavies") {
+    import spark.implicits._
+    // 5000 near-unique keys of weight ~100 + 6 heavies carrying 50x a
+    // tail key's mass each, capacity 128 — by-volume heavies must
+    // survive with bounded underestimates
+    val tail = (0 until 5000).map(i => (s"t$i", 100L + i % 7))
+    val heavy = (0 until 6).map(i => (s"H$i", 5000L * (i + 1)))
+    val df = scala.util.Random.javaRandomToRandom(new java.util.Random(3))
+      .shuffle(tail ++ heavy).toDF("key", "w").repartition(13)
+    val bigW = tail.map(_._2).sum + heavy.map(_._2).sum
+    val got = df.agg(graft.catalyst.HeavyHittersAgg
+        .heavyHittersWeighted(128)(col("key"), col("w")).as("hh"))
+      .select(col("hh.max_err"), col("hh.entries")).head()
+    val err = got.getLong(0)
+    assert(err > 0 && err <= bigW / 129)
+    val es = got.getSeq[org.apache.spark.sql.Row](1)
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    heavy.foreach { case (k, w) =>
+      val est = es.getOrElse(k, fail(s"$k (weight $w > bound $err) missing"))
+      assert(est <= w && w - est <= err)
+    }
+  }
+
   test("heavy_hitters aggregate: grouped per-key sketches") {
     import spark.implicits._
     val rows = (0 until 600).map { i =>
