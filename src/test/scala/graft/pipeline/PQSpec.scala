@@ -134,6 +134,29 @@ class PQSpec extends AnyFunSuite {
     }
   }
 
+  test("PQ encode is stateless: identical codes on a stream") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val emb = synthEmb(300, 32)
+    val cb = Similarity.pqTrain(emb, m = 4, ksub = 8).cache()
+    cb.count()
+    val batch = Similarity.pqEncode(emb, cb).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Float])]
+    mem.addData(emb.as[(Long, Seq[Float])].collect().toSeq)
+    val q = Similarity.pqEncode(
+        mem.toDF().toDF("vec_id", "embedding"), cb)
+      .writeStream.format("memory").queryName("pqcodes")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("pqcodes").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    cb.unpersist(false)
+    assert(streamed == batch && streamed.size == 300)
+  }
+
   test("ADC top-k finds planted near-duplicates through the codes") {
     import spark.implicits._
     val rng = new java.util.Random(31)
