@@ -19,6 +19,138 @@ package graft
   */
 object OracleSql {
 
+  /** Shared IVFADC oracle chain (q109 + q111): coarse IVF train,
+    * bucketing, residuals, residual-PQ train+encode, probes, per-cell
+    * LUT parts, ADC scores, rank. Ends with the `ranked` CTE.
+    */
+  private val IvfAdcCtes: String = """nrm AS (
+           SELECT vec_id AS id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         u AS (
+           SELECT id, CASE WHEN nr = 0 THEN v
+                      ELSE list_transform(v, x -> x / nr) END AS unit
+           FROM (SELECT id, v,
+                   sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum'))
+                     AS nr
+                 FROM nrm) t),
+         cseeds AS (
+           SELECT CAST(row_number() OVER (ORDER BY id) AS INT) - 1 AS cid,
+                  unit AS cunit
+           FROM (SELECT id, unit FROM u ORDER BY id LIMIT 8) s),
+         csim1 AS (
+           SELECT c.id, c.unit, s.cid,
+             list_aggregate(list_transform(range(1, len(c.unit) + 1),
+               i -> c.unit[i] * s.cunit[i]), 'sum') AS sim
+           FROM u c CROSS JOIN cseeds s),
+         casg AS (SELECT id, unit, cid FROM (
+             SELECT id, unit, cid, row_number() OVER (PARTITION BY id
+               ORDER BY sim DESC, cid) AS rk FROM csim1) t
+           WHERE rk = 1),
+         ccpos AS (
+           SELECT cid, pos, avg(unit[CAST(pos AS INT)]) AS m
+           FROM (SELECT cid, unit, unnest(range(1, len(unit) + 1)) AS pos
+                 FROM casg) x
+           GROUP BY cid, pos),
+         ccent AS (SELECT cid, list(m ORDER BY pos) AS cunit
+                   FROM ccpos GROUP BY cid),
+         csim2 AS (
+           SELECT c.id, c.unit, ct.cid,
+             list_aggregate(list_transform(range(1, len(c.unit) + 1),
+               i -> c.unit[i] * ct.cunit[i]), 'sum') AS sim
+           FROM u c CROSS JOIN ccent ct),
+         bucketed AS (SELECT id, unit, cid AS ccid FROM (
+             SELECT id, unit, cid, row_number() OVER (PARTITION BY id
+               ORDER BY sim DESC, cid) AS rk FROM csim2) t
+           WHERE rk = 1),
+         resid AS (
+           SELECT b.id, b.ccid,
+             list_transform(range(1, len(b.unit) + 1),
+               i -> b.unit[i] - ct.cunit[i]) AS runit
+           FROM bucketed b JOIN ccent ct ON ct.cid = b.ccid),
+         js AS (SELECT CAST(unnest(range(0, 4)) AS INT) AS sub),
+         subsr AS (
+           SELECT id, ccid, sub, runit[(sub*16+1):((sub+1)*16)] AS svec
+           FROM resid CROSS JOIN js),
+         rseeds0 AS (
+           SELECT CAST(row_number() OVER (ORDER BY id) AS INT) - 1 AS cid,
+                  runit
+           FROM (SELECT id, runit FROM resid ORDER BY id LIMIT 8) s),
+         rseeds AS (
+           SELECT sub, cid, runit[(sub*16+1):((sub+1)*16)] AS cvec
+           FROM rseeds0 CROSS JOIN js),
+         rseedsn AS (
+           SELECT sub, cid, cvec,
+             list_aggregate(list_transform(cvec, x -> x * x), 'sum') AS cn2
+           FROM rseeds),
+         rsc1 AS (
+           SELECT s.id, s.sub, s.svec, c.cid,
+             list_aggregate(list_transform(range(1, len(s.svec) + 1),
+               i -> s.svec[i] * c.cvec[i]), 'sum') - 0.5 * c.cn2 AS score
+           FROM subsr s JOIN rseedsn c ON s.sub = c.sub),
+         rasg AS (SELECT id, sub, svec, cid FROM (
+             SELECT id, sub, svec, cid, row_number() OVER (
+               PARTITION BY id, sub ORDER BY score DESC, cid) AS rk
+             FROM rsc1) t WHERE rk = 1),
+         rcpos AS (
+           SELECT sub, cid, pos, avg(svec[CAST(pos AS INT)]) AS mval
+           FROM (SELECT sub, cid, svec,
+                   unnest(range(1, len(svec) + 1)) AS pos
+                 FROM rasg) x
+           GROUP BY sub, cid, pos),
+         rcent AS (SELECT sub, cid, list(mval ORDER BY pos) AS cvec
+                   FROM rcpos GROUP BY sub, cid),
+         rcentn AS (
+           SELECT sub, cid, cvec,
+             list_aggregate(list_transform(cvec, x -> x * x), 'sum') AS cn2
+           FROM rcent),
+         rsc2 AS (
+           SELECT s.id, s.ccid, s.sub, c.cid,
+             list_aggregate(list_transform(range(1, len(s.svec) + 1),
+               i -> s.svec[i] * c.cvec[i]), 'sum') - 0.5 * c.cn2 AS score
+           FROM subsr s JOIN rcentn c ON s.sub = c.sub),
+         codes AS (SELECT id, ccid, sub, cid AS code FROM (
+             SELECT id, ccid, sub, cid, row_number() OVER (
+               PARTITION BY id, sub ORDER BY score DESC, cid) AS rk
+             FROM rsc2) t WHERE rk = 1),
+         qprobe0 AS (
+           SELECT q.id AS qid, q.unit AS qunit, ct.cid AS ccid,
+             ct.cunit,
+             list_aggregate(list_transform(range(1, len(q.unit) + 1),
+               i -> q.unit[i] * ct.cunit[i]), 'sum') AS sim
+           FROM u q CROSS JOIN ccent ct WHERE q.id < 5),
+         qprobe AS (SELECT qid, ccid, sim AS qc, qunit, cunit FROM (
+             SELECT qid, ccid, sim, qunit, cunit, row_number() OVER (
+               PARTITION BY qid ORDER BY sim DESC, ccid) AS rk
+             FROM qprobe0) t WHERE rk <= 2),
+         qres AS (
+           SELECT qid, ccid, qc,
+             list_transform(range(1, len(qunit) + 1),
+               i -> qunit[i] - cunit[i]) AS runit
+           FROM qprobe),
+         qsubr AS (
+           SELECT qid, ccid, qc, sub,
+                  runit[(sub*16+1):((sub+1)*16)] AS svec
+           FROM qres CROSS JOIN js),
+         parts AS (
+           SELECT q.qid, c.id, q.qc, c.sub,
+             list_aggregate(list_transform(range(1, len(q.svec) + 1),
+               i -> q.svec[i] * ct.cvec[i]), 'sum') AS p
+           FROM codes c
+           JOIN qsubr q ON q.ccid = c.ccid AND q.sub = c.sub
+           JOIN rcentn ct ON ct.sub = c.sub AND ct.cid = c.code
+           WHERE c.id <> q.qid),
+         scored AS (
+           SELECT qid, id,
+             any_value(qc) + list_aggregate(list(p ORDER BY sub), 'sum')
+               AS cosine
+           FROM parts GROUP BY qid, id),
+         ranked AS (SELECT qid, id, cosine,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY cosine DESC, id) AS rk
+           FROM scored)"""
+
+
   /** Deterministic point derivation — must match SynthGeo.customerPoints
     * bit-for-bit (integer modulo then exact-double multiply).
     */
@@ -1135,135 +1267,31 @@ object OracleSql {
     // query probes (top-2 cells by dot), per-(query, cell) residual
     // LUTs, score = q·c_cell + sub-ordered sum of residual lookups
     "q109_ivfadc" ->
-      """WITH nrm AS (
-           SELECT vec_id AS id,
-                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-           FROM embeddings),
-         u AS (
-           SELECT id, CASE WHEN nr = 0 THEN v
-                      ELSE list_transform(v, x -> x / nr) END AS unit
-           FROM (SELECT id, v,
-                   sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum'))
-                     AS nr
-                 FROM nrm) t),
-         cseeds AS (
-           SELECT CAST(row_number() OVER (ORDER BY id) AS INT) - 1 AS cid,
-                  unit AS cunit
-           FROM (SELECT id, unit FROM u ORDER BY id LIMIT 8) s),
-         csim1 AS (
-           SELECT c.id, c.unit, s.cid,
-             list_aggregate(list_transform(range(1, len(c.unit) + 1),
-               i -> c.unit[i] * s.cunit[i]), 'sum') AS sim
-           FROM u c CROSS JOIN cseeds s),
-         casg AS (SELECT id, unit, cid FROM (
-             SELECT id, unit, cid, row_number() OVER (PARTITION BY id
-               ORDER BY sim DESC, cid) AS rk FROM csim1) t
-           WHERE rk = 1),
-         ccpos AS (
-           SELECT cid, pos, avg(unit[CAST(pos AS INT)]) AS m
-           FROM (SELECT cid, unit, unnest(range(1, len(unit) + 1)) AS pos
-                 FROM casg) x
-           GROUP BY cid, pos),
-         ccent AS (SELECT cid, list(m ORDER BY pos) AS cunit
-                   FROM ccpos GROUP BY cid),
-         csim2 AS (
-           SELECT c.id, c.unit, ct.cid,
-             list_aggregate(list_transform(range(1, len(c.unit) + 1),
-               i -> c.unit[i] * ct.cunit[i]), 'sum') AS sim
-           FROM u c CROSS JOIN ccent ct),
-         bucketed AS (SELECT id, unit, cid AS ccid FROM (
-             SELECT id, unit, cid, row_number() OVER (PARTITION BY id
-               ORDER BY sim DESC, cid) AS rk FROM csim2) t
-           WHERE rk = 1),
-         resid AS (
-           SELECT b.id, b.ccid,
-             list_transform(range(1, len(b.unit) + 1),
-               i -> b.unit[i] - ct.cunit[i]) AS runit
-           FROM bucketed b JOIN ccent ct ON ct.cid = b.ccid),
-         js AS (SELECT CAST(unnest(range(0, 4)) AS INT) AS sub),
-         subsr AS (
-           SELECT id, ccid, sub, runit[(sub*16+1):((sub+1)*16)] AS svec
-           FROM resid CROSS JOIN js),
-         rseeds0 AS (
-           SELECT CAST(row_number() OVER (ORDER BY id) AS INT) - 1 AS cid,
-                  runit
-           FROM (SELECT id, runit FROM resid ORDER BY id LIMIT 8) s),
-         rseeds AS (
-           SELECT sub, cid, runit[(sub*16+1):((sub+1)*16)] AS cvec
-           FROM rseeds0 CROSS JOIN js),
-         rseedsn AS (
-           SELECT sub, cid, cvec,
-             list_aggregate(list_transform(cvec, x -> x * x), 'sum') AS cn2
-           FROM rseeds),
-         rsc1 AS (
-           SELECT s.id, s.sub, s.svec, c.cid,
-             list_aggregate(list_transform(range(1, len(s.svec) + 1),
-               i -> s.svec[i] * c.cvec[i]), 'sum') - 0.5 * c.cn2 AS score
-           FROM subsr s JOIN rseedsn c ON s.sub = c.sub),
-         rasg AS (SELECT id, sub, svec, cid FROM (
-             SELECT id, sub, svec, cid, row_number() OVER (
-               PARTITION BY id, sub ORDER BY score DESC, cid) AS rk
-             FROM rsc1) t WHERE rk = 1),
-         rcpos AS (
-           SELECT sub, cid, pos, avg(svec[CAST(pos AS INT)]) AS mval
-           FROM (SELECT sub, cid, svec,
-                   unnest(range(1, len(svec) + 1)) AS pos
-                 FROM rasg) x
-           GROUP BY sub, cid, pos),
-         rcent AS (SELECT sub, cid, list(mval ORDER BY pos) AS cvec
-                   FROM rcpos GROUP BY sub, cid),
-         rcentn AS (
-           SELECT sub, cid, cvec,
-             list_aggregate(list_transform(cvec, x -> x * x), 'sum') AS cn2
-           FROM rcent),
-         rsc2 AS (
-           SELECT s.id, s.ccid, s.sub, c.cid,
-             list_aggregate(list_transform(range(1, len(s.svec) + 1),
-               i -> s.svec[i] * c.cvec[i]), 'sum') - 0.5 * c.cn2 AS score
-           FROM subsr s JOIN rcentn c ON s.sub = c.sub),
-         codes AS (SELECT id, ccid, sub, cid AS code FROM (
-             SELECT id, ccid, sub, cid, row_number() OVER (
-               PARTITION BY id, sub ORDER BY score DESC, cid) AS rk
-             FROM rsc2) t WHERE rk = 1),
-         qprobe0 AS (
-           SELECT q.id AS qid, q.unit AS qunit, ct.cid AS ccid,
-             ct.cunit,
-             list_aggregate(list_transform(range(1, len(q.unit) + 1),
-               i -> q.unit[i] * ct.cunit[i]), 'sum') AS sim
-           FROM u q CROSS JOIN ccent ct WHERE q.id < 5),
-         qprobe AS (SELECT qid, ccid, sim AS qc, qunit, cunit FROM (
-             SELECT qid, ccid, sim, qunit, cunit, row_number() OVER (
-               PARTITION BY qid ORDER BY sim DESC, ccid) AS rk
-             FROM qprobe0) t WHERE rk <= 2),
-         qres AS (
-           SELECT qid, ccid, qc,
-             list_transform(range(1, len(qunit) + 1),
-               i -> qunit[i] - cunit[i]) AS runit
-           FROM qprobe),
-         qsubr AS (
-           SELECT qid, ccid, qc, sub,
-                  runit[(sub*16+1):((sub+1)*16)] AS svec
-           FROM qres CROSS JOIN js),
-         parts AS (
-           SELECT q.qid, c.id, q.qc, c.sub,
-             list_aggregate(list_transform(range(1, len(q.svec) + 1),
-               i -> q.svec[i] * ct.cvec[i]), 'sum') AS p
-           FROM codes c
-           JOIN qsubr q ON q.ccid = c.ccid AND q.sub = c.sub
-           JOIN rcentn ct ON ct.sub = c.sub AND ct.cid = c.code
-           WHERE c.id <> q.qid),
-         scored AS (
-           SELECT qid, id,
-             any_value(qc) + list_aggregate(list(p ORDER BY sub), 'sum')
-               AS cosine
-           FROM parts GROUP BY qid, id),
-         ranked AS (SELECT qid, id, cosine,
-             row_number() OVER (PARTITION BY qid
-               ORDER BY cosine DESC, id) AS rk
-           FROM scored)
+      s"""WITH $IvfAdcCtes
          SELECT qid, id, CAST(rk AS BIGINT) AS rk,
                 (round(cosine, 6) + 0.0) AS cosine
          FROM ranked WHERE rk <= 10 ORDER BY qid, rk""",
+
+    // two-stage retrieval: q109's chain shortlists 30 candidates per
+    // query, exact cosine over the original units re-scores ONLY the
+    // shortlist, top-10 re-ranked — same fold-order dot as q57
+    "q111_ivfadc_rerank" ->
+      s"""WITH $IvfAdcCtes,
+         shortl AS (SELECT qid, id FROM ranked WHERE rk <= 30),
+         exact AS (
+           SELECT s.qid, s.id,
+             list_aggregate(list_transform(range(1, len(c.unit) + 1),
+               i -> c.unit[i] * q.unit[i]), 'sum') AS cosine
+           FROM shortl s
+           JOIN u c ON c.id = s.id
+           JOIN u q ON q.id = s.qid),
+         rer AS (SELECT qid, id, cosine,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY cosine DESC, id) AS rk
+           FROM exact)
+         SELECT qid, id, CAST(rk AS BIGINT) AS rk,
+                (round(cosine, 6) + 0.0) AS cosine
+         FROM rer WHERE rk <= 10 ORDER BY qid, rk""",
 
     // the Misra-Gries sketch at capacity >= distinct-token cardinality
     // never sheds, so its counts are exactly the groupBy counts and the

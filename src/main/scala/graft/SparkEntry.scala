@@ -941,6 +941,22 @@ object SparkEntry {
             length(col("text")).as("len")),
         keyCol = "host", weightCol = "len", k = 50, capacity = 256)
         .orderBy(col("total").desc, col("host"))),
+    "q111_ivfadc_rerank" -> ((s, dir) => {
+      // two-stage retrieval: q109's compressed-domain search shortlists
+      // 30 candidates per query, exact cosine re-scores ONLY those and
+      // re-ranks the top 10 — quantization error confined to candidate
+      // generation, final scores exact
+      val emb = SynthGeo.table(s, dir, "embeddings")
+      val idx = graft.pipeline.Similarity.ivfAdcIndex(emb,
+        nCells = 8, m = 4, ksub = 8)
+      val out = graft.pipeline.Similarity.ivfAdcRerank(idx, emb,
+          emb.filter(col("vec_id") < 5), k = 10, shortlist = 30,
+          nprobe = 2)
+        .select(col("qid"), col("id"), col("rk").cast("long").as("rk"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("qid", "rk")
+      graft.core.Materialize.releasing(out, Seq(idx.cents, idx.codebooks))
+    }),
     "q109_ivfadc" -> ((s, dir) => {
       // the composed billion-scale index: coarse IVF cells + PQ on
       // residuals + in-cell ADC scoring — coarse sweep, residual

@@ -419,6 +419,33 @@ object Similarity {
       Seq(idx.cents, idx.codebooks))
   }
 
+  /** Two-stage retrieval (the production IVFADC deployment shape,
+    * Jégou et al. §V.C): the compressed-domain search shortlists
+    * `shortlist` candidates per query, then ONLY those rows are
+    * re-scored with exact cosine against the original vectors and the
+    * top `k` re-ranked. Quantization error affects candidate
+    * GENERATION only — the final scores and order are exact over the
+    * shortlist — and the exact pass touches `queries × shortlist`
+    * rows, not the corpus: the join back to the embeddings is
+    * id-keyed on a shortlist that is broadcast-sized by construction.
+    * Returns (qid, id, cosine, rk) with exact cosines.
+    */
+  def ivfAdcRerank(idx: IvfAdcIndex, corpus: DataFrame,
+                   queries: DataFrame, k: Int, shortlist: Int = 0,
+                   nprobe: Int = 4): DataFrame = {
+    val c0 = if (shortlist > 0) shortlist else 4 * k
+    val cand = ivfAdcSearch(idx, queries, c0, nprobe)
+      .select(col("qid"), col("id"))
+    val cvec = normalized(corpus)
+    val q = normalized(queries).select(col("id").as("qid"),
+      col("unit").as("qunit"))
+    val scored = cand
+      .join(cvec, "id")
+      .join(broadcast(q), "qid")
+      .select(col("qid"), col("id"), dot("unit", "qunit").as("cosine"))
+    rankTopK(scored, k)
+  }
+
   /** IVF ANN: bucket corpus by nearest centroid; queries probe the
     * `nprobe` nearest centroids; exact scoring within probed buckets.
     * Returns (qid, id, cosine, rk) — approximate top-k.

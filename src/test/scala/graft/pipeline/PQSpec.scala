@@ -134,6 +134,26 @@ class PQSpec extends AnyFunSuite {
     }
   }
 
+  test("IVFADC rerank: full probe + full shortlist reduces to exact " +
+      "brute-force top-k, bit-for-bit") {
+    import spark.implicits._
+    val emb = synthEmb(350, 32)
+    val queries = emb.filter(col("vec_id") < 4)
+    val idx = Similarity.ivfAdcIndex(emb, nCells = 8, m = 4, ksub = 8)
+    // every cell probed + shortlist covers the corpus → candidate
+    // generation is lossless, so the exact re-scoring pass must equal
+    // brute force row-for-row including the cosine bits and tie order
+    val rer = Similarity.ivfAdcRerank(idx, emb, queries, k = 10,
+        shortlist = 400, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)))).sorted
+    val brute = Similarity.bruteTopK(emb, queries, k = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)))).sorted
+    idx.release()
+    assert(rer.length == 40 && rer.sameElements(brute))
+  }
+
   test("PQ encode is stateless: identical codes on a stream") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
