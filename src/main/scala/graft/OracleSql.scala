@@ -1247,6 +1247,16 @@ object OracleSql {
                 (round(cosine, 6) + 0.0) AS cosine
          FROM ranked WHERE rk <= 10 ORDER BY qid, rk""",
 
+    // grouped MG sketches at capacity >= per-group vocabulary: exact,
+    // so the grouped token counts are the oracle
+    "q112_vocab_sketch_by_lang" ->
+      """WITH t AS (SELECT lang,
+                      unnest(string_split(coalesce(text, ''), ' '))
+                        AS token
+                    FROM documents)
+         SELECT lang, token, count(*) AS n FROM t
+         GROUP BY lang, token ORDER BY lang, n DESC, token""",
+
     // weighted MG sketch at capacity >= distinct hosts: exact, so the
     // groupBy-sum is the oracle (q79's synthetic page shape)
     "q110_host_bytes_sketch" ->

@@ -906,6 +906,21 @@ object SparkEntry {
       graft.pipeline.Curation.vocabTopK(
         SynthGeo.table(s, dir, "documents"), k = 100)
         .orderBy(col("n").desc, col("token"))),
+    "q112_vocab_sketch_by_lang" -> ((s, dir) =>
+      // grouped MG sketches: one live sketch per language under
+      // ObjectHashAggregate — exact at this vocabulary, so the grouped
+      // token-count oracle replays it (the grouped regime's hard
+      // per-query signal; global q107 covers the ungrouped one)
+      SynthGeo.table(s, dir, "documents")
+        .select(col("lang"),
+          explode(split(coalesce(col("text"), lit("")), " ")).as("token"))
+        .groupBy("lang")
+        .agg(graft.catalyst.HeavyHittersAgg.heavyHitters(4096)(
+          col("token")).as("hh"))
+        .select(col("lang"), explode(col("hh.entries")).as("e"))
+        .select(col("lang"), col("e.token").as("token"),
+          col("e.count").as("n"))
+        .orderBy(col("lang"), col("n").desc, col("token"))),
     "q108_pq_encode" -> ((s, dir) => {
       // product quantization over the embeddings table: 4 subspaces ×
       // 8 centroids, id-order seeds + one Lloyd sweep per subspace
