@@ -275,6 +275,26 @@ object GraftFunctions {
     HeavyHittersAgg(exprs(0), cap)
   }
 
+  /** `heavy_hitters_w(key, weight, capacity)` SQL builder — weighted
+    * variant; capacity must be a foldable integer literal.
+    */
+  private[catalyst] def buildHeavyHittersWeighted(exprs: Seq[Expression])
+      : Expression = {
+    arityCheck("heavy_hitters_w", "key, weight, capacity", 3, exprs)
+    val cap = exprs(2) match {
+      case e if e.foldable && e.dataType == IntegerType =>
+        e.eval().asInstanceOf[Int]
+      case _ => throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> "`heavy_hitters_w`",
+          "expectedNum" -> "3 (key, weight, capacity: int literal)",
+          "actualNum" -> "a non-literal capacity",
+          "docroot" -> "https://spark.apache.org/docs/latest"))
+    }
+    HeavyHittersWeightedAgg(exprs(0), exprs(1), cap)
+  }
+
   /** Register `cell_id` / `tw_hash` / `dot_arr` / `heavy_hitters` for
     * SQL use.
     */
@@ -292,6 +312,9 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "heavy_hitters", exprs => GraftFunctions.buildHeavyHitters(exprs),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "heavy_hitters_w",
+      exprs => GraftFunctions.buildHeavyHittersWeighted(exprs), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "adc_score", exprs => { arityCheck("adc_score", "codes, lut", 2, exprs)
         AdcScoreExpr(exprs(0), exprs(1)) }, "built-in")
@@ -326,6 +349,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[HeavyHittersAgg].getName, "heavy_hitters"),
         (exprs: Seq[Expression]) => GraftFunctions.buildHeavyHitters(exprs)))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("heavy_hitters_w"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[HeavyHittersWeightedAgg].getName, "heavy_hitters_w"),
+        (exprs: Seq[Expression]) =>
+          GraftFunctions.buildHeavyHittersWeighted(exprs)))
     e.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("adc_score"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

@@ -204,6 +204,36 @@ class HeavyHittersSpec extends AnyFunSuite {
     }
   }
 
+  test("heavy_hitters_w via SQL matches the Column API") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val df = (0 until 400).map(i => (s"k${i % 19}", (i % 50 + 1).toLong))
+      .toDF("key", "w")
+    df.createOrReplaceTempView("hhw_rows")
+    val viaSql = spark.sql(
+      """SELECT e.token AS key, e.count AS total
+         FROM (SELECT explode(hh.entries) AS e FROM
+           (SELECT heavy_hitters_w(key, w, 64) AS hh FROM hhw_rows))
+         ORDER BY total DESC, key""").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val viaCol = graft.pipeline.Curation.heavyKeysSketch(
+        df, "key", "w", k = 100, capacity = 64)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(viaSql.sameElements(viaCol) && viaSql.length == 19)
+  }
+
+  test("heavyKeysSketch plan: sketches cross the exchange, not keys") {
+    import spark.implicits._
+    val df = (0 until 300).map(i => (s"h${i % 31}", (i % 9 + 1).toLong))
+      .toDF("key", "w").repartition(5)
+    val plan = graft.pipeline.Curation
+      .heavyKeysSketch(df, "key", "w", k = 10, capacity = 64)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(plan.contains("Exchange SinglePartition"), plan)
+    assert(!plan.contains("hashpartitioning(key"), plan)
+  }
+
   test("heavy_hitters aggregate: grouped per-key sketches") {
     import spark.implicits._
     val rows = (0 until 600).map { i =>
