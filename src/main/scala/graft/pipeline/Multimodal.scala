@@ -17,6 +17,15 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // javax.imageio defaults to DISK-backed stream caches: every
+  // createImageInputStream / ImageIO.write spins up a temp FILE per
+  // image (File.createTempFile + delete). At corpus scale that is one
+  // filesystem round-trip per row for byte arrays that already live in
+  // memory — switch the whole JVM to memory-cached streams once, at
+  // module init (executors initialize this module when the decoder
+  // closure deserializes, so the setting reaches every JVM).
+  javax.imageio.ImageIO.setUseCache(false)
+
   case class ImageMeta(width: Int, height: Int, channels: Int, format: String)
   case class DecodedImage(meta: ImageMeta, pixels: Array[Byte])
 
@@ -98,36 +107,32 @@ object Multimodal {
 
     private def luma(img: BufferedImage): Array[Byte] = {
       val w = img.getWidth; val h = img.getHeight
+      // bulk getRGB: one color-model conversion pass over the raster
+      // instead of w·h virtual calls — same sRGB values per pixel
+      val px = img.getRGB(0, 0, w, h, null, 0, w)
       val out = new Array[Byte](w * h)
-      var y = 0; var i = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val rgb = img.getRGB(x, y)
-          val r = (rgb >> 16) & 0xFF; val g = (rgb >> 8) & 0xFF
-          val b = rgb & 0xFF
-          out(i) = ((299 * r + 587 * g + 114 * b) / 1000).toByte
-          i += 1; x += 1
-        }
-        y += 1
+      var i = 0
+      while (i < out.length) {
+        val rgb = px(i)
+        val r = (rgb >> 16) & 0xFF; val g = (rgb >> 8) & 0xFF
+        val b = rgb & 0xFF
+        out(i) = ((299 * r + 587 * g + 114 * b) / 1000).toByte
+        i += 1
       }
       out
     }
 
     private def rgbInterleaved(img: BufferedImage): Array[Byte] = {
       val w = img.getWidth; val h = img.getHeight
+      val px = img.getRGB(0, 0, w, h, null, 0, w)
       val out = new Array[Byte](3 * w * h)
-      var y = 0; var i = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val rgb = img.getRGB(x, y)
-          out(i) = ((rgb >> 16) & 0xFF).toByte
-          out(i + 1) = ((rgb >> 8) & 0xFF).toByte
-          out(i + 2) = (rgb & 0xFF).toByte
-          i += 3; x += 1
-        }
-        y += 1
+      var i = 0
+      while (i < px.length) {
+        val rgb = px(i)
+        out(3 * i) = ((rgb >> 16) & 0xFF).toByte
+        out(3 * i + 1) = ((rgb >> 8) & 0xFF).toByte
+        out(3 * i + 2) = (rgb & 0xFF).toByte
+        i += 1
       }
       out
     }
@@ -207,6 +212,7 @@ object Multimodal {
   def synthPng(width: Int, height: Int, seed: Long): Array[Byte] = {
     import java.awt.image.BufferedImage
     val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+    val px = new Array[Int](width * height)
     var y = 0
     while (y < height) {
       var x = 0
@@ -214,11 +220,12 @@ object Multimodal {
         val r = ((seed + 31L * x + 7L * y) % 256).toInt & 0xFF
         val g = ((seed * 3 + 13L * x) % 256).toInt & 0xFF
         val b = ((seed * 5 + 17L * y) % 256).toInt & 0xFF
-        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        px(y * width + x) = (r << 16) | (g << 8) | b
         x += 1
       }
       y += 1
     }
+    img.setRGB(0, 0, width, height, px, 0, width)
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray
@@ -457,22 +464,19 @@ object Multimodal {
   def shiftPng(bytes: Array[Byte], delta: Int): Array[Byte] = {
     import java.awt.image.BufferedImage
     val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-    val out = new BufferedImage(src.getWidth, src.getHeight,
-      BufferedImage.TYPE_INT_RGB)
+    val w = src.getWidth; val h = src.getHeight
+    val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
     def clamp(v: Int) = math.max(0, math.min(255, v))
-    var y = 0
-    while (y < src.getHeight) {
-      var x = 0
-      while (x < src.getWidth) {
-        val rgb = src.getRGB(x, y)
-        out.setRGB(x, y,
-          (clamp(((rgb >> 16) & 0xFF) + delta) << 16) |
-          (clamp(((rgb >> 8) & 0xFF) + delta) << 8) |
-          clamp((rgb & 0xFF) + delta))
-        x += 1
-      }
-      y += 1
+    val px = src.getRGB(0, 0, w, h, null, 0, w)
+    var i = 0
+    while (i < px.length) {
+      val rgb = px(i)
+      px(i) = (clamp(((rgb >> 16) & 0xFF) + delta) << 16) |
+        (clamp(((rgb >> 8) & 0xFF) + delta) << 8) |
+        clamp((rgb & 0xFF) + delta)
+      i += 1
     }
+    out.setRGB(0, 0, w, h, px, 0, w)
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(out, "png", bos)
     bos.toByteArray
