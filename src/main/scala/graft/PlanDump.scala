@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Dump `.explain("formatted")` for declared queries to files — the
-  * plan-evidence artifacts for optimization rounds (plans/rNN/*.txt).
+  * plan-evidence artifacts for optimization rounds (plans/rNN dir).
   *
   * Usage: sbt "runMain graft.PlanDump <outDir> <suffix> [q13,q27,...]"
   * (no list = every query). Reads SPARK_GRAFT_SF_DIR / SPARK_GRAFT_CPUS
