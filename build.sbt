@@ -44,4 +44,5 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-XX:+AlwaysPreTouch",
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
-)
+) ++ sys.env.get("GRAFT_JAVA_OPTS").toSeq
+  .flatMap(_.split("\\s+").toSeq).filter(_.nonEmpty)

@@ -55,6 +55,16 @@ object Components {
     // tuples keep the transient closer to ~50 MB and the retained
     // working set (parent map + star array) well under that
     val pairs = e.select(col("u"), col("v")).as[(Long, Long)].collect()
+    driverFinishCollected(spark, pairs)
+  }
+
+  /** [[driverFinish]] over an already-collected edge array — the
+    * small-graph entry fold ([[connected]]) collects once (bounded) and
+    * reuses the rows here instead of paying a second collect job.
+    */
+  private def driverFinishCollected(spark: org.apache.spark.sql.SparkSession,
+      pairs: Array[(Long, Long)]): (DataFrame, Int, Int) = {
+    import spark.implicits._
     val parent = new java.util.HashMap[Long, Long]()
     def find(x: Long): Long = {
       var r = x
@@ -132,20 +142,40 @@ object Components {
       .getOption("spark.graft.cc.driverFinishEdges").map(_.toLong)
       .getOrElse(1000000L)
 
-    var prev = checksum(e)
+    // Entry fold: ONE bounded collect (limit threshold+1 over the
+    // checkpointed edge blocks) decides small-vs-large AND, when small,
+    // already holds every edge — the union-find runs on those rows
+    // directly. The previous flow spent two jobs here (a checksum pass
+    // plus a separate full collect); at 100-TB scale the limited collect
+    // reads a handful of checkpoint blocks and stops.
     var it = 0
-    var converged = prev._1 == 0L
+    var converged = false
     // (collected edges, star edges) when the driver union-find finished —
     // the convergence log otherwise reports stale round-state (prev._1 is
     // the PRE-finish edge count and `it` can say 0 rounds)
     var driverFinished: Option[(Int, Int)] = None
+    var prev = (-1L, 0L)
 
-    if (!converged && prev._1 <= driverFinishEdges) {
-      val (star, nIn, nStar) = driverFinish(e)
-      driverFinished = Some((nIn, nStar))
-      graft.core.Materialize.release(e)
-      e = star
-      converged = true
+    val spark0 = edges.sparkSession
+    import spark0.implicits._
+    val probeCap = driverFinishEdges + 1
+    val probe =
+      if (probeCap <= Int.MaxValue.toLong)
+        e.select(col("u"), col("v")).limit(probeCap.toInt)
+          .as[(Long, Long)].collect()
+      else Array.empty[(Long, Long)]
+    if (probeCap <= Int.MaxValue.toLong && probe.length <= driverFinishEdges) {
+      if (probe.isEmpty) converged = true
+      else {
+        val (star, nIn, nStar) = driverFinishCollected(spark0, probe)
+        driverFinished = Some((nIn, nStar))
+        graft.core.Materialize.release(e)
+        e = star
+        converged = true
+      }
+    } else {
+      prev = checksum(e)
+      converged = prev._1 == 0L
     }
     while (!converged && it < maxIter) {
       // large-star: every node attaches its LARGER neighbors to the

@@ -305,7 +305,7 @@ object Regionalize {
       liveArr(p) = last; livePos(last) = p
     }
     // threads only pay off once the per-merge sweep is long enough to
-    // amortize the fork/join; below this the serial loop wins
+    // amortize the handoff; below this the serial loop wins
     val parThreshold = 4096
 
     val mode = linkage match {
@@ -314,10 +314,68 @@ object Regionalize {
     }
     val prof = sys.props.contains("graft.redcap.profile") ||
       sys.env.contains("GRAFT_REDCAP_PROFILE")
+
+    // Persistent worker pool for the per-merge LW sweep. A fork/join
+    // submission per merge costs ~0.15 ms of coordination — at ~N
+    // parallel merges that overhead DOMINATED the sweep (measured ~2.5 s
+    // of the 3 s sweep at N=20k). Fixed threads + a Phaser handoff get
+    // the per-merge cost down to the barrier latency. Each worker owns a
+    // contiguous chunk of the live-root array; writes are disjoint
+    // (dSet(c, x) for distinct x), reads are frozen for the phase, and
+    // the Phaser's arrive/advance edges give the happens-before for the
+    // plain shared fields below — values are bit-identical to the
+    // serial sweep in any thread order.
+    // ~16 workers saturate the sweep's memory bandwidth; beyond that the
+    // barrier's unpark fan-out costs more than the extra threads earn
+    // (A/B at 20k: 15 workers 1.2 s, 31 workers 2.3 s, 4 workers 2.7 s)
+    val nw = sys.env.get("GRAFT_REDCAP_WORKERS").map(_.toInt).getOrElse(
+      math.max(1, math.min(Runtime.getRuntime.availableProcessors - 1, 16)))
+    val usePool = n >= parThreshold && nw > 1
+    var mRa = 0; var mRb = 0; var mC = 0; var mCnt = 0
+    var mD = 0.0; var mNAd = 0.0; var mNBd = 0.0; var mInvAB = 0.0
+    @volatile var poolShutdown = false
+    val phaser = if (usePool) new java.util.concurrent.Phaser(nw + 1) else null
+    @inline def lwUpdateAt(x: Int, ra: Int, rb: Int, c: Int, d: Double,
+                           nAd: Double, nBd: Double, invAB: Double): Unit =
+      if (x != ra && x != rb) {
+        val dAX = dGet(ra, x); val dBX = dGet(rb, x)
+        val dCX =
+          if (mode == 0) { if (dAX < dBX) dAX else dBX }
+          else if (mode == 1) { if (dAX > dBX) dAX else dBX }
+          else if (mode == 2) (nAd * dAX + nBd * dBX) * invAB
+          else {
+            val nX = sizes(x).toDouble
+            ((nAd + nX) * dAX + (nBd + nX) * dBX - nX * d) /
+              (nAd + nBd + nX)
+          }
+        dSet(c, x, dCX)
+      }
+    if (usePool) (0 until nw).foreach { t =>
+      val th = new Thread(() => {
+        while (!poolShutdown && !phaser.isTerminated) {
+          phaser.arriveAndAwaitAdvance() // wait for a merge's go signal
+          if (!poolShutdown && !phaser.isTerminated) {
+            val cnt = mCnt; val ra = mRa; val rb = mRb; val c = mC
+            val d = mD; val nAd = mNAd; val nBd = mNBd; val invAB = mInvAB
+            val chunk = (cnt + nw - 1) / nw
+            var i = t * chunk
+            val end = math.min(cnt, i + chunk)
+            while (i < end) {
+              lwUpdateAt(liveArr(i), ra, rb, c, d, nAd, nBd, invAB); i += 1
+            }
+            phaser.arriveAndAwaitAdvance() // signal chunk done
+          }
+        }
+      }, s"redcap-lw-$t")
+      th.setDaemon(true)
+      th.start()
+    }
+
     var tSweep = 0L; var tBook = 0L; var nPops = 0L; var nPush = 0L
     val tLoop0 = System.nanoTime()
     val tree = mutable.ArrayBuffer.empty[(Int, Int)]
     var nClusters = n
+    try {
     while (nClusters > 1 && heap.size > 0) {
       heap.pop()
       nPops += 1
@@ -337,31 +395,18 @@ object Regionalize {
         val nbrs = (contig(ra) | contig(rb)) - ra - rb
         // full Lance-Williams sweep over all live roots (branch-free
         // dispatch: the string match was ~20x the arithmetic per step);
-        // chunked across threads while the live set is large — disjoint
-        // writes, read-only shared state, so thread order cannot change
-        // a single matrix value
-        @inline def lwUpdate(x: Int): Unit =
-          if (x != ra && x != rb) {
-            val dAX = dGet(ra, x); val dBX = dGet(rb, x)
-            val dCX =
-              if (mode == 0) { if (dAX < dBX) dAX else dBX }
-              else if (mode == 1) { if (dAX > dBX) dAX else dBX }
-              else if (mode == 2) (nAd * dAX + nBd * dBX) * invAB
-              else {
-                val nX = sizes(x).toDouble
-                ((nAd + nX) * dAX + (nBd + nX) * dBX - nX * d) /
-                  (nAd + nBd + nX)
-              }
-            dSet(c, x, dCX)
-          }
+        // the worker pool takes over while the live set is large
         val tS0 = if (prof) System.nanoTime() else 0L
-        if (liveCnt >= parThreshold) {
-          val cnt = liveCnt
-          java.util.stream.IntStream.range(0, cnt).parallel()
-            .forEach(p => lwUpdate(liveArr(p)))
+        if (usePool && liveCnt >= parThreshold) {
+          mRa = ra; mRb = rb; mC = c; mCnt = liveCnt
+          mD = d; mNAd = nAd; mNBd = nBd; mInvAB = invAB
+          phaser.arriveAndAwaitAdvance() // release workers
+          phaser.arriveAndAwaitAdvance() // wait for every chunk
         } else {
           var p = 0
-          while (p < liveCnt) { lwUpdate(liveArr(p)); p += 1 }
+          while (p < liveCnt) {
+            lwUpdateAt(liveArr(p), ra, rb, c, d, nAd, nBd, invAB); p += 1
+          }
         }
         if (prof) tSweep += System.nanoTime() - tS0
         val tB0 = if (prof) System.nanoTime() else 0L
@@ -386,6 +431,10 @@ object Regionalize {
         sizes(c) = nA + nB
         nClusters -= 1
       }
+    }
+    } finally {
+      poolShutdown = true
+      if (phaser != null) phaser.forceTermination()
     }
     require(nClusters == 1, "full-order tree did not converge (disconnected?)")
     if (prof)

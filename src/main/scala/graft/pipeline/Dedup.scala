@@ -702,7 +702,10 @@ object Dedup {
           f"centroids — expected cell occupancy ~${
             n.toDouble / (65536.0 * 65536.0)}%.0f; pair volume grows " +
           "quadratically with it. Raise targetCluster knowingly.")
-      val cents1 = Similarity.scatteredCentroids(renamed, k1)
+      // one dim probe shared by both levels' centroid builds (residuals
+      // have the same dimensionality as the embeddings)
+      val dim = renamed.select(size(col("embedding"))).head().getInt(0)
+      val cents1 = Similarity.scatteredCentroids(renamed, k1, dim)
       val a1 = Similarity.assignNearest(
         Similarity.normalized(renamed), cents1)
       val resid = a1.join(broadcast(cents1), "cid")
@@ -710,7 +713,7 @@ object Dedup {
           zip_with(col("unit"), col("cunit"), (x, c) => x - c).as("vec"))
         .cache()
       val cents2 = Similarity.euclidCentroids(
-        resid.select(col("id"), col("vec")), k1)
+        resid.select(col("id"), col("vec")), k1, dim, inputCached = true)
       // top-2 residual cells per vector (multi-probe): a pair split by
       // a residual Voronoi boundary is recovered when either side's
       // second-nearest cell matches — candidates only, precision is

@@ -81,8 +81,9 @@ object Similarity {
     * refinement sweep (mean of assigned vectors). Returns centroid DF
     * (cid, cunit).
     */
-  def ivfCentroids(corpus: DataFrame, nCentroids: Int): DataFrame =
-    lloydCentroids(corpus, nCentroids, scattered = false)
+  def ivfCentroids(corpus: DataFrame, nCentroids: Int,
+                   dimHint: Int = -1): DataFrame =
+    lloydCentroids(corpus, nCentroids, scattered = false, dimHint)
 
   /** Centroids with HASH-SCATTERED seeds — for cluster-partitioned
     * workloads (semantic dedup) where seed placement decides recall:
@@ -93,8 +94,9 @@ object Similarity {
     * queries probe several centroids anyway, and the q57b SQL oracle
     * replays that seeding verbatim).
     */
-  def scatteredCentroids(corpus: DataFrame, nCentroids: Int): DataFrame =
-    lloydCentroids(corpus, nCentroids, scattered = true)
+  def scatteredCentroids(corpus: DataFrame, nCentroids: Int,
+                         dimHint: Int = -1): DataFrame =
+    lloydCentroids(corpus, nCentroids, scattered = true, dimHint)
 
   /** Euclidean k-means over RAW (unnormalized) vectors — for residual
     * quantization, where cosine assignment is wrong: two near-identical
@@ -104,8 +106,16 @@ object Similarity {
     * shared. argmin |r−c|² = argmax (r·c − ½|c|²); ties by min cid.
     * Input (id, vec: array<double>); returns (cid, cvec, cn2).
     */
-  def euclidCentroids(frame: DataFrame, nCentroids: Int): DataFrame = {
-    val f = frame.select(col("id"), col("vec")).cache()
+  /** `inputCached = true` skips the internal cache — for callers whose
+    * frame is already cache-backed (the two-level semantic-dedup
+    * residual frame), where a second cache of the same rows only costs
+    * memory and a materialization pass.
+    */
+  def euclidCentroids(frame: DataFrame, nCentroids: Int,
+                      dimHint: Int = -1,
+                      inputCached: Boolean = false): DataFrame = {
+    val f0 = frame.select(col("id"), col("vec"))
+    val f = if (inputCached) f0 else f0.cache()
     val ord = Seq(xxhash64(col("id")), col("id"))
     val seeds = f.orderBy(ord: _*).limit(nCentroids)
       .withColumn("cid", row_number().over(Window.orderBy(ord: _*)) - 1)
@@ -113,12 +123,14 @@ object Similarity {
       .withColumn("cn2", aggregate(transform(col("cvec"), x => x * x),
         lit(0.0), (a, x) => a + x))
     val assigned = assignNearestEuclid(f, seeds)
-    val dim = f.select(size(col("vec"))).head().getInt(0)
+    val dim =
+      if (dimHint > 0) dimHint
+      else f.select(size(col("vec"))).head().getInt(0)
     val out = assigned.groupBy("cid")
       .agg(array((0 until dim).map(i => avg(col("vec")(i))): _*).as("cvec"))
       .withColumn("cn2", aggregate(transform(col("cvec"), x => x * x),
         lit(0.0), (a, x) => a + x))
-    graft.core.Materialize.releasing(out, Seq(f))
+    graft.core.Materialize.releasing(out, if (inputCached) Nil else Seq(f))
   }
 
   /** Euclidean nearest-centroid assignment: max_by over
@@ -157,7 +169,7 @@ object Similarity {
   }
 
   private def lloydCentroids(corpus: DataFrame, nCentroids: Int,
-      scattered: Boolean): DataFrame = {
+      scattered: Boolean, dimHint: Int = -1): DataFrame = {
     val c = normalized(corpus).cache()
     // TakeOrdered heap either way — never a global sort
     val ord =
@@ -169,7 +181,9 @@ object Similarity {
     // per-dimension avg columns stay inside ONE codegen'd hash aggregate
     // with map-side partials (dim fixed, small).
     val assigned = assignNearest(c, seeds)
-    val dim = c.select(size(col("unit"))).head().getInt(0)
+    val dim =
+      if (dimHint > 0) dimHint
+      else c.select(size(col("unit"))).head().getInt(0)
     val out = assigned.groupBy("cid")
       .agg(array((0 until dim).map(i =>
         avg(col("unit")(i))): _*).as("cunit"))
@@ -203,9 +217,11 @@ object Similarity {
     * the codebook must capture.
     */
   private[graft] def pqTrainUnit(units: DataFrame, m: Int,
-                                 ksub: Int): DataFrame = {
+                                 ksub: Int, dimHint: Int = -1): DataFrame = {
     val c = units.select(col("id"), col("unit")).cache()
-    val dim = c.select(size(col("unit"))).head().getInt(0)
+    val dim =
+      if (dimHint > 0) dimHint
+      else c.select(size(col("unit"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
     val dsub = dim / m
     def subSlices(v: org.apache.spark.sql.Column) =
@@ -373,13 +389,16 @@ object Similarity {
     */
   def ivfAdcIndex(corpus: DataFrame, nCells: Int = 16,
                   m: Int = 8, ksub: Int = 16): IvfAdcIndex = {
-    val cents = ivfCentroids(corpus, nCells).cache()
+    // one dim probe shared by the coarse and the residual-PQ training
+    // (each used to run its own limit-1 job)
+    val dim = corpus.select(size(col("embedding"))).head().getInt(0)
+    val cents = ivfCentroids(corpus, nCells, dim).cache()
     val c = normalized(corpus)
     val resid = assignNearest(c, cents)
       .join(broadcast(cents.select(col("cid"), col("cunit"))), "cid")
       .select(col("id"), col("cid").as("ccid"),
         zip_with(col("unit"), col("cunit"), (a, b) => a - b).as("unit"))
-    val cb = pqTrainUnit(resid.select(col("id"), col("unit")), m, ksub)
+    val cb = pqTrainUnit(resid.select(col("id"), col("unit")), m, ksub, dim)
       .cache()
     IvfAdcIndex(cents, cb, pqEncodeUnit(resid, cb))
   }

@@ -176,19 +176,29 @@ object Breaks {
     while (c <= k) {
       val cur = new Array[Double](n + 1)
       java.util.Arrays.fill(cur, Double.MaxValue)
-      var iEnd = c
-      while (iEnd <= n) {
-        var j = c - 1
+      // each iEnd's minimization reads only `prev` and the prefix sums,
+      // and writes its own cur/split slots — the layer parallelizes with
+      // bit-identical results in any visit order (serial below 4096:
+      // fork/join overhead exceeds the layer's work there)
+      val cc = c; val pv = prev
+      def layerAt(iEnd: Int): Unit = {
+        var j = cc - 1
         var best = Double.MaxValue
-        var bestJ = c - 1
+        var bestJ = cc - 1
         while (j < iEnd) {
-          val v = prev(j) + ssd(j, iEnd)
+          val v = pv(j) + ssd(j, iEnd)
           if (v < best) { best = v; bestJ = j }
           j += 1
         }
         cur(iEnd) = best
-        split(c)(iEnd) = bestJ
-        iEnd += 1
+        split(cc)(iEnd) = bestJ
+      }
+      if (n >= 4096)
+        java.util.stream.IntStream.rangeClosed(c, n).parallel()
+          .forEach(layerAt(_))
+      else {
+        var iEnd = c
+        while (iEnd <= n) { layerAt(iEnd); iEnd += 1 }
       }
       prev = cur
       c += 1

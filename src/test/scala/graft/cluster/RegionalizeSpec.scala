@@ -236,4 +236,30 @@ class RegionalizeSpec extends AnyFunSuite {
       assert(got.sameElements(brute), s"linkage $lk diverges from brute")
     }
   }
+
+  /** r8: the per-merge Lance-Williams sweep runs on a fixed worker pool
+    * once the live set exceeds 4096 roots. The equivalence test above
+    * stays below that threshold, so this probe runs the POOLED path
+    * (n = 4800 > 4096) twice and demands bit-identical labels — the
+    * failure mode a data race would produce is nondeterminism across
+    * runs, never a deterministic wrong answer (each x-slot update is a
+    * pure function of the frozen pre-merge state).
+    */
+  test("pooled LW sweep (n > parallel threshold) is deterministic") {
+    val side = 80; val rows = 60
+    val n = side * rows // 4800 > 4096 -> pool engaged
+    val scaled = Array.tabulate(2)(v =>
+      Array.tabulate(n)(i =>
+        if (v == 0) ((i * 31) % 1200).toDouble else (i % 50).toDouble))
+    val edges = (for {
+      y <- 0 until rows; x <- 0 until side
+      (dx, dy) <- Seq((1, 0), (0, 1), (1, 1), (1, -1))
+      if x + dx < side && y + dy >= 0 && y + dy < rows
+    } yield (y * side + x, (y + dy) * side + (x + dx))).toArray
+    val conf = Regionalize.Conf(k = 6, method = "fullorder-wardlinkage")
+    val a = Regionalize.solve(n, scaled, edges, Array.fill(n)(0.0), conf)
+    val b = Regionalize.solve(n, scaled, edges, Array.fill(n)(0.0), conf)
+    assert(a.sameElements(b), "pooled sweep produced nondeterministic labels")
+    assert(a.toSet == (1 to 6).toSet)
+  }
 }
