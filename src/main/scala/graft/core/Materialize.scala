@@ -53,6 +53,34 @@ object Materialize {
     mat
   }
 
+  /** Collect `out` to the driver and return it as a LOCAL relation,
+    * releasing `internal` caches — the small-frame sibling of
+    * [[releasing]]. For frames that are broadcast to every consumer
+    * anyway (k-means centroids, PQ codebooks: k ≤ 65536 rows by
+    * construction), a local relation is strictly cheaper than a
+    * checkpoint: the collect job costs the same as the checkpoint job,
+    * but every downstream `broadcast(df)` then builds from driver-local
+    * rows with NO job, and AQE has no shuffle stage to schedule.
+    * Callers gate on a size bound — the driver holds these rows for
+    * the broadcast either way, so this adds no new memory ceiling.
+    */
+  def collected(out: DataFrame, internal: Seq[Dataset[_]]): DataFrame = {
+    val spark = out.sparkSession
+    val rows = out.collect()
+    internal.foreach(_.unpersist(blocking = false))
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
+  /** True when the frame is backed by a driver-local relation (no
+    * distributed lineage to cache or release).
+    */
+  def isLocal(df: DataFrame): Boolean =
+    df.queryExecution.analyzed.collectLeaves().forall {
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => true
+      case _ => false
+    }
+
   /** Explicitly release the storage blocks behind a frame previously
     * returned by [[releasing]] (a local/reliable checkpoint). Iterative
     * builders that re-materialize per round (connected components) hold

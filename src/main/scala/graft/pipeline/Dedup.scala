@@ -573,6 +573,23 @@ object Dedup {
     occ
   }
 
+  /** Pair-join input with PINNED partitioning width (4× the session's
+    * shuffle width, hashed by cid). The within-cell pair expansion is
+    * compute-quadratic in occupancy while its shuffle INPUT bytes are
+    * linear — AQE's byte-based coalescing sees a few MB and hands the
+    * whole expansion to one task (r8 probe: the q104 pair join ran as
+    * a single 0.65 s task at 32 idle cores). A user-pinned width is
+    * exempt from coalescing, and both join sides share the one
+    * exchange (ReusedExchange), so the expansion parallelizes by cell
+    * at any scale. Values are unaffected — only placement changes.
+    */
+  private def pairJoinSide(assigned: DataFrame, cells: Long): DataFrame = {
+    val w = math.min(
+      4L * assigned.sparkSession.sessionState.conf.numShufflePartitions,
+      math.max(1L, cells)).toInt
+    assigned.repartition(w, col("cid"))
+  }
+
   private[graft] case class SemAssign(assigned: DataFrame,
                                       kcents: DataFrame,
                                       n: Long, multiProbe: Boolean,
@@ -667,9 +684,16 @@ object Dedup {
       col(vecCol).as("embedding"))
     // with an explicit cluster count only an emptiness probe is needed —
     // a full count() would replay the (possibly expensive, uncached)
-    // upstream plan once before any clustering work
+    // upstream plan once before any clustering work. The probe returns
+    // the DIMENSION too, so neither branch pays a second limit-1 job
+    // for it (the flat path's centroid build used to run its own).
+    val dimProbe: Option[Int] =
+      if (nClusters0 > 0) {
+        val r = renamed.select(size(col("embedding"))).limit(1).collect()
+        r.headOption.map(_.getInt(0))
+      } else None
     val n: Long =
-      if (nClusters0 > 0) { if (renamed.isEmpty) 0L else -1L }
+      if (nClusters0 > 0) { if (dimProbe.isEmpty) 0L else -1L }
       else renamed.count()
     if (n == 0)
       return SemAssign(null, null, 0L, multiProbe = false,
@@ -682,7 +706,8 @@ object Dedup {
       else math.max(1L, n / math.max(1, targetCluster))
     if (kL <= twoLevelK) {
       val k = kL.toInt // <= twoLevelK, Int-safe
-      val cents = Similarity.scatteredCentroids(renamed, k)
+      val cents = Similarity.scatteredCentroids(renamed, k,
+        dimProbe.getOrElse(-1))
       val assigned = Similarity.assignNearest(
           Similarity.normalized(renamed), cents)
         .withColumn("kcid", col("cid")).cache()
@@ -703,8 +728,10 @@ object Dedup {
             n.toDouble / (65536.0 * 65536.0)}%.0f; pair volume grows " +
           "quadratically with it. Raise targetCluster knowingly.")
       // one dim probe shared by both levels' centroid builds (residuals
-      // have the same dimensionality as the embeddings)
-      val dim = renamed.select(size(col("embedding"))).head().getInt(0)
+      // have the same dimensionality as the embeddings); reuses the
+      // emptiness probe's value when it ran
+      val dim = dimProbe.getOrElse(
+        renamed.select(size(col("embedding"))).head().getInt(0))
       val cents1 = Similarity.scatteredCentroids(renamed, k1, dim)
       val a1 = Similarity.assignNearest(
         Similarity.normalized(renamed), cents1)
@@ -779,7 +806,8 @@ object Dedup {
     if (sa.n == 0)
       return Seq.empty[(Long, Long, Double)].toDF("id_a", "id_b", "cosine")
     val (assigned, toRelease) = maybeSplit(sa, targetCluster, splitOversized)
-    val paired = assigned.as("a").join(assigned.as("b"),
+    val byCell = pairJoinSide(assigned, sa.occ.cells)
+    val paired = byCell.as("a").join(byCell.as("b"),
         $"a.cid" === $"b.cid" && $"a.id" < $"b.id")
       .select($"a.id".as("id_a"), $"b.id".as("id_b"),
         graft.catalyst.GraftFunctions.dot_arr($"a.unit", $"b.unit")
@@ -813,7 +841,8 @@ object Dedup {
         .toDF("id", "component", "keep")
     val (assigned, toRelease) = maybeSplit(sa, targetCluster, splitOversized)
     val kcents = sa.kcents
-    val pairs = assigned.as("a").join(assigned.as("b"),
+    val byCell = pairJoinSide(assigned, sa.occ.cells)
+    val pairs = byCell.as("a").join(byCell.as("b"),
         $"a.cid" === $"b.cid" && $"a.id" < $"b.id")
       .filter(graft.catalyst.GraftFunctions.dot_arr($"a.unit", $"b.unit")
         >= threshold)

@@ -130,8 +130,19 @@ object Similarity {
       .agg(array((0 until dim).map(i => avg(col("vec")(i))): _*).as("cvec"))
       .withColumn("cn2", aggregate(transform(col("cvec"), x => x * x),
         lit(0.0), (a, x) => a + x))
-    graft.core.Materialize.releasing(out, if (inputCached) Nil else Seq(f))
+    val internal = if (inputCached) Nil else Seq(f)
+    if (centroidsFitDriver(nCentroids, dim))
+      graft.core.Materialize.collected(out, internal)
+    else graft.core.Materialize.releasing(out, internal)
   }
+
+  /** Centroid frames are broadcast to every consumer, so the driver
+    * holds them regardless; below this bound (64 MB of doubles) they
+    * are returned as LOCAL relations ([[graft.core.Materialize
+    * .collected]]) — same values, no checkpoint/broadcast-build jobs.
+    */
+  private def centroidsFitDriver(n: Int, dim: Int): Boolean =
+    n.toLong * math.max(1, dim) <= (8L << 20)
 
   /** Euclidean nearest-centroid assignment: max_by over
     * (r·c − ½|c|², −cid) — the same windowless partial-agg shape as
@@ -187,7 +198,9 @@ object Similarity {
     val out = assigned.groupBy("cid")
       .agg(array((0 until dim).map(i =>
         avg(col("unit")(i))): _*).as("cunit"))
-    graft.core.Materialize.releasing(out, Seq(c))
+    if (centroidsFitDriver(nCentroids, dim))
+      graft.core.Materialize.collected(out, Seq(c))
+    else graft.core.Materialize.releasing(out, Seq(c))
   }
 
   /** Product-quantization codebooks (Jégou, Douze & Schmid, TPAMI
@@ -217,8 +230,10 @@ object Similarity {
     * the codebook must capture.
     */
   private[graft] def pqTrainUnit(units: DataFrame, m: Int,
-                                 ksub: Int, dimHint: Int = -1): DataFrame = {
-    val c = units.select(col("id"), col("unit")).cache()
+                                 ksub: Int, dimHint: Int = -1,
+                                 inputCached: Boolean = false): DataFrame = {
+    val c0 = units.select(col("id"), col("unit"))
+    val c = if (inputCached) c0 else c0.cache()
     val dim =
       if (dimHint > 0) dimHint
       else c.select(size(col("unit"))).head().getInt(0)
@@ -244,7 +259,13 @@ object Similarity {
         first(col("svec")).as("svec"))
     val out = assigned.groupBy("sub", "cid")
       .agg(array((0 until dsub).map(i => avg(col("svec")(i))): _*).as("cvec"))
-    graft.core.Materialize.releasing(out, Seq(c))
+    // m·ksub rows × (d/m) doubles = d·ksub total — always driver-small
+    // (ksub ≤ 256 in any standard PQ); [[collectCodebooks]] collects
+    // this frame anyway, so the local relation makes that collect free
+    val internal = if (inputCached) Nil else Seq(c)
+    if (centroidsFitDriver(m * ksub, dsub))
+      graft.core.Materialize.collected(out, internal)
+    else graft.core.Materialize.releasing(out, internal)
   }
 
   /** The collected codebook: per subspace, the (cid, cvec, cn2) list
@@ -377,6 +398,7 @@ object Similarity {
     def release(): Unit = {
       graft.core.Materialize.release(cents)
       graft.core.Materialize.release(codebooks)
+      graft.core.Materialize.release(index)
     }
   }
 
@@ -392,15 +414,30 @@ object Similarity {
     // one dim probe shared by the coarse and the residual-PQ training
     // (each used to run its own limit-1 job)
     val dim = corpus.select(size(col("embedding"))).head().getInt(0)
-    val cents = ivfCentroids(corpus, nCells, dim).cache()
+    // centroid/codebook frames come back as LOCAL relations below the
+    // driver bound — caching those would only wrap a job-free local
+    // scan in distributed cache blocks
+    val cents0 = ivfCentroids(corpus, nCells, dim)
+    val cents =
+      if (graft.core.Materialize.isLocal(cents0)) cents0 else cents0.cache()
     val c = normalized(corpus)
+    // ONE corpus assignment pass, cached: residual-PQ training and the
+    // encode both consume `resid` — uncached, the coarse assignment's
+    // aggregate ran twice per index build (and a third time per search
+    // batch through the lazy index frame). The materialized index is
+    // (id, ccid, m codes) — exactly what a deployment persists — so
+    // searches scan checkpoint blocks, never the training lineage.
     val resid = assignNearest(c, cents)
       .join(broadcast(cents.select(col("cid"), col("cunit"))), "cid")
       .select(col("id"), col("cid").as("ccid"),
         zip_with(col("unit"), col("cunit"), (a, b) => a - b).as("unit"))
-    val cb = pqTrainUnit(resid.select(col("id"), col("unit")), m, ksub, dim)
       .cache()
-    IvfAdcIndex(cents, cb, pqEncodeUnit(resid, cb))
+    val cb0 = pqTrainUnit(resid.select(col("id"), col("unit")), m, ksub, dim,
+      inputCached = true)
+    val cb = if (graft.core.Materialize.isLocal(cb0)) cb0 else cb0.cache()
+    val index = graft.core.Materialize.releasing(
+      pqEncodeUnit(resid, cb), Seq(resid))
+    IvfAdcIndex(cents, cb, index)
   }
 
   /** Query an IVFADC index: probe `nprobe` cells, score candidates in
@@ -433,9 +470,10 @@ object Similarity {
                  nCells: Int = 16, nprobe: Int = 4,
                  m: Int = 8, ksub: Int = 16): DataFrame = {
     val idx = ivfAdcIndex(corpus, nCells, m, ksub)
-    graft.core.Materialize.releasing(
-      ivfAdcSearch(idx, queries, k, nprobe),
-      Seq(idx.cents, idx.codebooks))
+    val out = graft.core.Materialize.releasing(
+      ivfAdcSearch(idx, queries, k, nprobe), Nil)
+    idx.release()
+    out
   }
 
   /** Two-stage retrieval (the production IVFADC deployment shape,
@@ -471,7 +509,9 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nCentroids: Int = 16, nprobe: Int = 4): DataFrame = {
-    val cents = ivfCentroids(corpus, nCentroids).cache()
+    val cents0 = ivfCentroids(corpus, nCentroids)
+    val cents =
+      if (graft.core.Materialize.isLocal(cents0)) cents0 else cents0.cache()
     val c = normalized(corpus)
     val cBucketed = assignNearest(c, cents)
       .select(col("id"), col("unit"), col("cid"))

@@ -27,14 +27,24 @@ import org.apache.spark.sql.functions._
   */
 object GlobalStats {
 
-  /** (gid, nbr, w) from a directed pair list. */
+  /** (gid, nbr, w) from a directed pair list — MATERIALIZED once (the
+    * engine's scoped checkpoint): the numerator and the S0/S1/S2
+    * moment subtrees reference this frame ~6 times, and without the
+    * materialization each reference replays the pair derivation and
+    * the row-standardization aggregate from scratch (at 10^12 edges
+    * that is six passes over the edge list instead of one pass plus
+    * six block scans; at bench scale it was ~10 concurrent duplicate
+    * AQE stages per statistic).
+    */
   private def weighted(pairs: DataFrame, rowStandardized: Boolean)
       : DataFrame = {
     val p = pairs.select(col("gid").cast("long").as("gid"),
       col("nbr").cast("long").as("nbr"))
-    if (!rowStandardized) p.withColumn("w", lit(1.0))
-    else p.join(p.groupBy("gid").agg(count(lit(1)).as("deg")), "gid")
-      .select(col("gid"), col("nbr"), (lit(1.0) / col("deg")).as("w"))
+    val w =
+      if (!rowStandardized) p.withColumn("w", lit(1.0))
+      else p.join(p.groupBy("gid").agg(count(lit(1)).as("deg")), "gid")
+        .select(col("gid"), col("nbr"), (lit(1.0) / col("deg")).as("w"))
+    graft.core.Materialize.releasing(w, Nil)
   }
 
   /** Every endpoint in the weights graph must carry a value row: the
@@ -75,17 +85,22 @@ object GlobalStats {
     s01.crossJoin(s2)
   }
 
-  /** One row (n, sz2, sz4, mean): deviation moments of the value. */
+  /** One row (n, sz2, sz4, mean): deviation moments of the value —
+    * collected to a LOCAL relation (it is consumed 2-3 times per
+    * statistic, each time via a broadcast/crossJoin; one row of four
+    * doubles re-derived per reference was pure stage latency).
+    */
   private def zMoments(vals: DataFrame): DataFrame = {
     val v = vals.select(col("gid").cast("long").as("gid"),
       col("value").cast("double").as("x"))
     val m = v.agg(avg(col("x")).as("mean"), count(lit(1)).as("nl"))
-    v.crossJoin(broadcast(m))
-      .select((col("x") - col("mean")).as("z"), col("nl"), col("mean"))
-      .agg(first(col("nl")).cast("double").as("n"),
-        sum(col("z") * col("z")).as("sz2"),
-        sum(pow(col("z"), 4)).as("sz4"),
-        first(col("mean")).as("mean"))
+    graft.core.Materialize.collected(
+      v.crossJoin(broadcast(m))
+        .select((col("x") - col("mean")).as("z"), col("nl"), col("mean"))
+        .agg(first(col("nl")).cast("double").as("n"),
+          sum(col("z") * col("z")).as("sz2"),
+          sum(pow(col("z"), 4)).as("sz4"),
+          first(col("mean")).as("mean")), Nil)
   }
 
   /** Global Moran's I: one row `(i, e_i, var_norm, z_norm, var_rand,

@@ -119,7 +119,18 @@ object TileLisa {
       .join(weights.select(col("gid").cast("long"), col("nbrs")), Seq("gid"))
       .select(col("tile"), col("gid").cast("long").as("gid"), col("vals"),
         col("nbrs"))
-      .repartition(col("tile"))
+      // 4× the session's shuffle width (the KnnWeights group-pass
+      // convention): the kernel stage is compute-bound (O(rows × k ×
+      // permutations) per window), and hashing a modest tile count into
+      // exactly `numShufflePartitions` partitions stacks 2-3 windows on
+      // one task while other cores idle — at 20 tiles / 32 partitions
+      // the r8 probe measured the kernel job at ~0.9 s vs ~0.35 s of
+      // max-window work. Wider hashing separates the windows; values
+      // are partitioning-independent (per-window seed streams), so the
+      // output is bit-identical under any width.
+      .repartition(
+        4 * points.sparkSession.sessionState.conf.numShufflePartitions,
+        col("tile"))
       .sortWithinPartitions("tile", "gid")
 
     val permutations = conf.permutations
@@ -186,7 +197,7 @@ object TileLisa {
           }
         }
       }
-    org.apache.spark.sql.graftshim.ColumnShim.internalDf(spark, outRdd,
+    val out = org.apache.spark.sql.graftshim.ColumnShim.internalDf(spark, outRdd,
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("gid",
           org.apache.spark.sql.types.LongType),
@@ -198,6 +209,14 @@ object TileLisa {
           org.apache.spark.sql.types.DoubleType),
         org.apache.spark.sql.types.StructField("c",
           org.apache.spark.sql.types.DoubleType))))
+    // materialize the kernel output ONCE (5 fixed-width columns per
+    // row — tiny next to the permutation work that produced it): every
+    // caller of this 10^12-row path sorts or joins the result, and a
+    // range-partitioned sort SAMPLES its child first — without this the
+    // O(rows × k × permutations) kernel executes twice per query (the
+    // r8 job-listener probe measured 2 × ~0.85 s of an ~2.1 s tile
+    // query inside the duplicated kernel jobs; guide §1.4/§2.4)
+    graft.core.Materialize.releasing(out, Nil)
   }
 
   /** Run one tile window (rows already gid-sorted). Everything the

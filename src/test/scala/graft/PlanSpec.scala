@@ -157,8 +157,13 @@ class PlanSpec extends AnyFunSuite {
     // only nested-loop join anywhere in the lineage is the INTENDED
     // n × k centroid broadcast (IdentityBroadcastMode, tiny side)
     assert(!pp.contains("CartesianProduct"), pp)
+    // any cid-KEYED equi-join qualifies: sort-merge / shuffled-hash at
+    // scale, or broadcast-hash when the planner can prove one side tiny
+    // (the r8 local-relation centroids give it honest size estimates
+    // here) — the guard is against an ALL-PAIRS join, not a strategy
     assert(pp.contains("SortMergeJoin [cid") ||
-      pp.contains("ShuffledHashJoin [cid"),
+      pp.contains("ShuffledHashJoin [cid") ||
+      pp.contains("BroadcastHashJoin [cid"),
       "pairwise self-join must be cid-keyed, not all-pairs: " + pp)
     assert(plan.nonEmpty)
   }
