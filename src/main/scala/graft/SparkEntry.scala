@@ -1086,8 +1086,13 @@ object SparkEntry {
       // the "slightly edited re-upload" the filter must catch
       val spark2 = s
       import spark2.implicits._
-      val media = SynthGeo.table(s, dir, "documents")
-        .select(col("doc_id").cast("long").as("id")).as[Long]
+      // the PNG mint + decode is per-row compute behind a kilobyte id
+      // scan — widen to the session width (ids only: no payload moves;
+      // no-op at real scale, graft.core.Parallelism)
+      val media = graft.core.Parallelism.widen(
+          SynthGeo.table(s, dir, "documents")
+            .select(col("doc_id").cast("long").as("id")), col("id"))
+        .as[Long]
         .map { id =>
           val bytes =
             if (id % 10 == 9)

@@ -180,7 +180,11 @@ object Curation {
       bench.select(explode(distinctGrams(col(textCol), n)).as("g"))
         .distinct()
         .withColumn("__hit", lit(1)))
-    docs.select(col(idCol).cast("long").as("id"),
+    // n-gram minting + the broadcast probe are per-row compute — widen
+    // a narrow scan (no-op at real scale, graft.core.Parallelism)
+    graft.core.Parallelism.widen(
+        docs.select(col(idCol), col(textCol)), col(idCol))
+      .select(col(idCol).cast("long").as("id"),
         explode_outer(distinctGrams(col(textCol), n)).as("g"))
       .join(benchGrams, Seq("g"), "left")
       .groupBy("id")
@@ -288,7 +292,11 @@ object Curation {
                         dim: Int = 1024, bias: Double = 0.0,
                         idCol: String = "doc_id",
                         textCol: String = "text"): DataFrame = {
-    val scored = docs.select(col(idCol).cast("long").as("id"),
+    // tokenization + per-token hashing are per-row compute — widen a
+    // narrow scan (no-op at real scale, graft.core.Parallelism)
+    val scored = graft.core.Parallelism.widen(
+        docs.select(col(idCol), col(textCol)), col(idCol))
+      .select(col(idCol).cast("long").as("id"),
         explode(split(coalesce(col(textCol), lit("")), " ")).as("tok"))
       .filter(length(col("tok")) > 0)
       .select(col("id"), tokenBucket(col("tok"), dim).as("bucket"))

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -117,11 +117,21 @@ object Similarity {
     val f0 = frame.select(col("id"), col("vec"))
     val f = if (inputCached) f0 else f0.cache()
     val ord = Seq(xxhash64(col("id")), col("id"))
-    val seeds = f.orderBy(ord: _*).limit(nCentroids)
-      .withColumn("cid", row_number().over(Window.orderBy(ord: _*)) - 1)
-      .select(col("cid"), col("vec").as("cvec"))
-      .withColumn("cn2", aggregate(transform(col("cvec"), x => x * x),
-        lit(0.0), (a, x) => a + x))
+    // cn2 on the driver is the same left-fold of squares in array order
+    // as the old aggregate(transform(...)) column
+    val seeds = collectSeeds(f, nCentroids, ord, "vec",
+      r => {
+        val v = r.getSeq[Double](1)
+        Seq(v, v.foldLeft(0.0)((a, x) => a + x * x))
+      },
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cid",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("cvec",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)),
+        org.apache.spark.sql.types.StructField("cn2",
+          org.apache.spark.sql.types.DoubleType, nullable = false))))
     val assigned = assignNearestEuclid(f, seeds)
     val dim =
       if (dimHint > 0) dimHint
@@ -179,15 +189,39 @@ object Similarity {
         .select(col("id"), col("t._2").cast("int").as("cid"))
   }
 
+  /** Seed draw as a LOCAL relation: one TakeOrdered-heap collect of the
+    * first `n` rows under `ord` (never a global sort), numbered 0..n-1
+    * on the driver — the same rows and cids the old
+    * `orderBy.limit + row_number().over(Window.orderBy(ord))` form
+    * produced, without the window's sort exchange or the broadcast-
+    * build job every consumer then paid (seeds are ≤65536 rows by
+    * construction — driver-held for the broadcast either way).
+    */
+  private def collectSeeds(src: DataFrame, n: Int,
+      ord: Seq[org.apache.spark.sql.Column], vecCol: String,
+      outCols: Row => Seq[Any], schema: org.apache.spark.sql.types.StructType)
+      : DataFrame = {
+    val rows = src.orderBy(ord: _*).limit(n).collect() // TakeOrdered: sorted
+    val out = rows.iterator.zipWithIndex
+      .map { case (r, i) => Row.fromSeq(i +: outCols(r)) }.toSeq
+    src.sparkSession.createDataFrame(
+      java.util.Arrays.asList(out: _*), schema)
+  }
+
   private def lloydCentroids(corpus: DataFrame, nCentroids: Int,
       scattered: Boolean, dimHint: Int = -1): DataFrame = {
     val c = normalized(corpus).cache()
     // TakeOrdered heap either way — never a global sort
     val ord =
       if (scattered) Seq(xxhash64(col("id")), col("id")) else Seq(col("id"))
-    val seeds = c.orderBy(ord: _*).limit(nCentroids)
-      .withColumn("cid", row_number().over(Window.orderBy(ord: _*)) - 1)
-      .select(col("cid"), col("unit").as("cunit"))
+    val seeds = collectSeeds(c.select(col("id"), col("unit")), nCentroids,
+      ord, "unit", r => Seq(r.getSeq[Double](1)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cid",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("cunit",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)))))
     // one Lloyd sweep: assign to nearest seed, recompute means. The
     // per-dimension avg columns stay inside ONE codegen'd hash aggregate
     // with map-side partials (dim fixed, small).
@@ -244,12 +278,31 @@ object Similarity {
         slice(v, j * dsub + 1, dsub)): _*))
     val subs = c.select(col("id"), subSlices(col("unit")))
       .select(col("id"), col("pos").as("sub"), col("col").as("svec"))
-    val seeds = c.orderBy(col("id")).limit(ksub)
-      .withColumn("cid", row_number().over(Window.orderBy(col("id"))) - 1)
-      .select(col("cid"), subSlices(col("unit")))
-      .select(col("pos").as("sub"), col("cid"), col("col").as("cvec"))
-      .withColumn("cn2", aggregate(transform(col("cvec"), x => x * x),
-        lit(0.0), (a, x) => a + x))
+    // seed draw collected to a LOCAL relation (ksub ≤ 256 rows): same
+    // id-order TakeOrdered rows, cids 0..ksub-1, sub slices and cn2
+    // computed on the driver with the identical element order — kills
+    // the row_number window's sort exchange and the per-consumer
+    // broadcast-build job
+    val seedRows = c.orderBy(col("id")).limit(ksub).collect()
+    val seedOut: Seq[Row] =
+      (for ((r, i) <- seedRows.iterator.zipWithIndex; j <- (0 until m).iterator)
+        yield {
+          val unit = r.getSeq[Double](1)
+          val sv = unit.slice(j * dsub, (j + 1) * dsub)
+          Row(j, i, sv, sv.foldLeft(0.0)((a, x) => a + x * x))
+        }).toSeq
+    val seeds = c.sparkSession.createDataFrame(
+      java.util.Arrays.asList(seedOut: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("sub",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("cid",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("cvec",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)),
+        org.apache.spark.sql.types.StructField("cn2",
+          org.apache.spark.sql.types.DoubleType, nullable = false))))
     val assigned = subs.join(broadcast(seeds), "sub")
       .select(col("id"), col("sub"), col("svec"), col("cid"),
         (dot("svec", "cvec") - lit(0.5) * col("cn2")).as("score"))

@@ -161,7 +161,12 @@ object TextAnalysis {
                       textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(idCol).cast("long").as("id"), col(textCol))
+    // per-row trigram/n-gram statistics are compute-dense — widen a
+    // narrow scan (single-row-group file) to the session width; no-op
+    // at real scale (graft.core.Parallelism)
+    graft.core.Parallelism.widen(
+        docs.select(col(idCol).cast("long").as("id"), col(textCol)),
+        col("id"))
       .as[(Long, String)]
       .map { case (id, t0) =>
         val t = if (t0 == null) "" else t0
@@ -247,7 +252,10 @@ object TextAnalysis {
   def redactPii(docs: DataFrame, idCol: String = "doc_id",
                 textCol: String = "text"): DataFrame = {
     val t = coalesce(col(textCol), lit(""))
-    docs.select(col(idCol).cast("long").as("id"),
+    // six regex passes per row — widen a narrow scan (no-op at scale)
+    graft.core.Parallelism.widen(
+        docs.select(col(idCol), col(textCol)), col(idCol))
+      .select(col(idCol).cast("long").as("id"),
       regexp_count(t, lit(EmailRe)).cast("long").as("n_emails"),
       regexp_count(t, lit(PhoneRe)).cast("long").as("n_phones"),
       regexp_count(t, lit(IpRe)).cast("long").as("n_ips"),
