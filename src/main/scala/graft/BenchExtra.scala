@@ -160,7 +160,15 @@ object BenchExtra {
     val sel = sys.env.get("SPARK_GRAFT_PROBE")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set("q108"))
-    probes.filter(p => sel.contains(p._1)).foreach { case (name, body) =>
+    // any selected name not in the curated probe list falls back to the
+    // declared query with that prefix, consumed via the noop sink
+    val known = probes.map(_._1).toSet
+    val extra = sel.diff(known).toSeq.sorted.flatMap { p =>
+      SparkEntry.queries.keys.find(_.startsWith(p)).map { qn =>
+        p -> (() => noop(SparkEntry.queries(qn).apply(spark, sfDir)))
+      }
+    }
+    (probes ++ extra).filter(p => sel.contains(p._1)).foreach { case (name, body) =>
       (1 to runs).foreach { i =>
         log.reset()
         val t0 = System.nanoTime()

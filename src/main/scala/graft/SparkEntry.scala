@@ -190,11 +190,15 @@ object SparkEntry {
     }),
     "q89_weights_summary" -> ((s, dir) => {
       // GeoDa Weights-Manager connectivity panel over the queen graph:
-      // n, edges, degree min/max/mean/median, % non-zero, islands
+      // n, edges, degree min/max/mean/median, % non-zero, islands.
+      // Edge list derived from the session-memoized queen weights (the
+      // same reuse pattern as knnPairs4): exploding the nbrs arrays
+      // yields exactly adjacency()'s pair set (isolates' empty arrays
+      // vanish; the summary's left join re-admits them at degree 0)
       val polys = SynthGeo.partPolygons(s, dir)
       graft.weights.WeightsSummary.summary(
-        ContiguityWeights.adjacency(polys,
-          ContiguityWeights.Conf(queen = true)),
+        queenWeights(s, dir).select(col("gid"),
+          explode(col("nbrs")).as("nbr")),
         polys)
     }),
     "q17_rook_pairs" -> ((s, dir) => {

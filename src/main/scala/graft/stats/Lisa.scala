@@ -198,8 +198,14 @@ object Lisa {
             Array[Any](gid, t.stat, t.p, t.c)): InternalRow
         }
       }
-    org.apache.spark.sql.graftshim.ColumnShim
-      .internalDf(spark, outRdd, outSchema)
+    // materialize the kernel output once (4 fixed-width columns per
+    // row): every declared consumer sorts the result, and a range-
+    // partitioned sort SAMPLES its child — without this the
+    // O(rows × k × permutations) kernel executes twice per query
+    // (the same double-execution TileLisa.runMulti fixes; guide §1.4)
+    graft.core.Materialize.releasing(
+      org.apache.spark.sql.graftshim.ColumnShim
+        .internalDf(spark, outRdd, outSchema), Nil)
   }
 
   /** `local_moran_fast` parity (`postgeoda/src/localmoran.c:149-221`,

@@ -140,7 +140,15 @@ object ContiguityWeights {
       frontier = next
       o += 1
     }
-    graft.core.Materialize.releasing(accum.distinct(), loopCaches.toSeq)
+    // without lower orders, accum IS the last frontier — already
+    // distinct by construction (every `next` ends in .distinct()); the
+    // extra distinct was a full shuffle of the result for nothing.
+    // With lower orders the union of per-order sets still needs it
+    // (orders are disjoint by the anti-join, but union duplicates
+    // nothing either — keep the defensive distinct only there, where
+    // includeLowerOrder semantics already pay a union).
+    val out = if (conf.includeLowerOrder) accum.distinct() else accum
+    graft.core.Materialize.releasing(out, loopCaches.toSeq)
   }
 
   /** Per-row binary weights `(gid, nbrs array<long> sorted, wts=null)`.
