@@ -63,19 +63,33 @@ object Similarity {
     rankTopK(scored, k)
   }
 
-  /** Nearest-centroid assignment WITHOUT a window: per-id argmax via
-    * `max_by` over a lexicographic (sim, -cid) struct — a partial-agg
-    * hash aggregate instead of a full sort shuffle (the old
-    * `Window.partitionBy(id)` sorted corpus×centroid rows twice).
-    * Tie rule identical: max sim, then min cid.
+  /** Nearest-centroid assignment. When the centroid frame is a LOCAL
+    * relation (every build below the driver bound), assignment is a
+    * PURE SCAN — the centroids ride into the plan as literals (the
+    * pqEncode pattern) and each row pays k fused dot products inside
+    * whole-stage codegen with NO exchange: the corpus is never
+    * shuffled to be assigned, at any corpus size. Tie rule identical
+    * to the aggregate form: max sim, then min cid (`array_position`
+    * finds the FIRST maximum and the score array is cid-ascending).
+    * Distributed centroid frames (beyond the driver bound) keep the
+    * max_by partial-agg form.
     */
   private[graft] def assignNearest(c: DataFrame, cents: DataFrame): DataFrame =
-    c.crossJoin(broadcast(cents))
-      .select(col("id"), col("unit"), col("cid"),
-        dot("unit", "cunit").as("sim"))
-      .groupBy("id")
-      .agg(max_by(col("cid"), struct(col("sim"), negate(col("cid")))).as("cid"),
-        first(col("unit")).as("unit"))
+    if (graft.core.Materialize.isLocal(cents)) {
+      val rows = cents.select(col("cid").cast("int"), col("cunit")).collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+      val scores = array(rows.map { case (_, v) =>
+        graft.catalyst.GraftFunctions.dot_arr(col("unit"), typedLit(v)) }: _*)
+      val cid = element_at(typedLit(rows.map(_._1).toSeq),
+        array_position(scores, array_max(scores)).cast("int"))
+      c.select(col("id"), cid.as("cid"), col("unit"))
+    } else
+      c.crossJoin(broadcast(cents))
+        .select(col("id"), col("unit"), col("cid"),
+          dot("unit", "cunit").as("sim"))
+        .groupBy("id")
+        .agg(max_by(col("cid"), struct(col("sim"), negate(col("cid")))).as("cid"),
+          first(col("unit")).as("unit"))
 
   /** Deterministic IVF centroids: pick nCentroids seeds by id order, one
     * refinement sweep (mean of assigned vectors). Returns centroid DF
@@ -168,7 +182,39 @@ object Similarity {
     */
   private[graft] def assignNearestEuclid(f: DataFrame,
       cents: DataFrame, probes: Int = 1): DataFrame = {
-    if (probes <= 1)
+    // LOCAL centroid frame → pure-scan assignment (see [[assignNearest]]):
+    // scores as literal-codebook expressions, argmax (and for
+    // multi-probe the argmax-of-the-rest) by position — no corpus
+    // shuffle, identical (score desc, cid asc) tie rule
+    if (graft.core.Materialize.isLocal(cents)) {
+      val rows = cents.select(col("cid").cast("int"), col("cvec"),
+          col("cn2")).collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1), r.getDouble(2)))
+        .sortBy(_._1)
+      val cids = typedLit(rows.map(_._1).toSeq)
+      val scores = array(rows.map { case (_, v, n2) =>
+        graft.catalyst.GraftFunctions.dot_arr(col("vec"), typedLit(v)) -
+          lit(0.5 * n2) }: _*)
+      if (probes <= 1) {
+        val cid = element_at(cids,
+          array_position(scores, array_max(scores)).cast("int"))
+        f.select(col("id"), cid.as("cid"), col("vec"))
+      } else {
+        require(probes == 2,
+          "scan-form multi-probe implements the top-2 the engine uses")
+        val p1 = array_position(scores, array_max(scores)).cast("int")
+        // mask the winner, take the max of the rest (ties again to the
+        // first position = smallest cid, matching the top-k aggregate)
+        val masked = zip_with(scores,
+          sequence(lit(1), lit(rows.length)),
+          (s, i) => when(i === p1, lit(Double.NegativeInfinity)).otherwise(s))
+        val p2 = array_position(masked, array_max(masked)).cast("int")
+        f.select(col("id"),
+            explode(array(element_at(cids, p1), element_at(cids, p2)))
+              .as("cid"))
+          .select(col("id"), col("cid"))
+      }
+    } else if (probes <= 1)
       f.crossJoin(broadcast(cents))
         .select(col("id"), col("vec"), col("cid"),
           (graft.catalyst.GraftFunctions.dot_arr(col("vec"), col("cvec"))

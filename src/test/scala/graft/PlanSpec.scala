@@ -48,12 +48,25 @@ class PlanSpec extends AnyFunSuite {
     val cents = Seq(0, 1, 2, 3)
       .map(i => (i, Seq.tabulate(dim)(d => (d % (i + 2)).toDouble)))
       .toDF("cid", "cunit")
-    val plan = graft.pipeline.Similarity.assignNearest(c, cents)
+    // LOCAL centroid frame (the standard case: every centroid build
+    // below the driver bound): assignment is a PURE SCAN — literal
+    // codebooks, no exchange, no join, no aggregate; the corpus is
+    // never shuffled to be assigned
+    val scanPlan = graft.pipeline.Similarity.assignNearest(c, cents)
       .queryExecution.executedPlan.toString
-    // the corpus-side per-id argmax must be an aggregate with MAP-SIDE
-    // partials (shuffle volume / nCentroids), not the old
-    // Window.partitionBy(id) which shuffled and sorted every
-    // corpus×centroid row
+    assert(!scanPlan.contains("Window"), scanPlan)
+    assert(!scanPlan.contains("Exchange"), scanPlan)
+    assert(!scanPlan.contains("Join"), scanPlan)
+    // DISTRIBUTED centroid frame (beyond the driver bound — built from
+    // a Range leaf, so it is NOT a local relation): the corpus-side
+    // per-id argmax must be an aggregate with MAP-SIDE partials
+    // (shuffle volume / nCentroids), not the old Window.partitionBy(id)
+    // which shuffled and sorted every corpus×centroid row
+    val centsDist = spark.range(4).select(col("id").cast("int").as("cid"),
+      transform(sequence(lit(1), lit(dim)),
+        d => (d % (col("id") + 2)).cast("double")).as("cunit"))
+    val plan = graft.pipeline.Similarity.assignNearest(c, centsDist)
+      .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), plan)
     assert(plan.contains("partial_max_by"), plan)
   }
@@ -148,8 +161,11 @@ class PlanSpec extends AnyFunSuite {
     val assigned = graft.pipeline.Similarity.assignNearest(
       graft.pipeline.Similarity.normalized(renamed), cents)
     val ap = assigned.queryExecution.executedPlan.toString
-    // centroid side rides a broadcast exchange into the scoring join
-    assert(ap.contains("BroadcastExchange"), ap)
+    // with driver-local centroids the assignment is a pure scan (no
+    // join at all); a distributed centroid frame would ride a
+    // broadcast exchange — either way, never a shuffle of the corpus
+    assert(ap.contains("BroadcastExchange") || !ap.contains("Join"), ap)
+    assert(!ap.contains("Window"), ap)
     val pairs = assigned.as("a").join(assigned.as("b"),
       col("a.cid") === col("b.cid") && col("a.id") < col("b.id"))
     val pp = pairs.queryExecution.executedPlan.toString
