@@ -64,7 +64,10 @@ object TextAnalysis {
     val punct = length(regexp_replace(t, "[^.,;:!?]", "")).cast("double")
     val stop = size(split(lower(t),
       "\\b(the|and|of|to|in|is|that|a|for|it)\\b")) - 1
-    docs.select(col(idCol).cast("long").as("id"),
+    // regex/split passes per row — widen a narrow scan (no-op at scale)
+    graft.core.Parallelism.widen(
+        docs.select(col(idCol), col(textCol)), col(idCol))
+      .select(col(idCol).cast("long").as("id"),
       nChars.as("n_chars"),
       tokens.cast("long").as("n_tokens"),
       when(nChars > 0, alpha / nChars).otherwise(0.0).as("alpha_ratio"),
