@@ -57,7 +57,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // Measured (q91/q92/q98/q104, same window): 3.31/3.06/2.49/3.49 s →
   // 1.00/0.79/0.69/2.73 s with both; each alone helps, together they
   // remove the file-create wall entirely.
-  s"-Dspark.local.dir=${sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/dev/shm")}",
+  s"-Dspark.local.dir=${sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR",
+    if (new java.io.File("/dev/shm").isDirectory) "/dev/shm"
+    else sys.props.getOrElse("java.io.tmpdir", "/tmp"))}",
   s"-Dspark.shuffle.sort.bypassMergeThreshold=${
     sys.env.getOrElse("SPARK_GRAFT_BYPASS_MERGE_THRESHOLD", "1")}",
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
